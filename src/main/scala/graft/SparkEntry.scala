@@ -44,7 +44,37 @@ object SparkEntry {
     "ts_fetch_prefix" -> ((s, dir) =>
       Tsdb.fetch(Tsdb.trackRollup(t(s, dir, "events")),
         lit("2024-01-05"), lit("2024-01-20"), Seq(Some("purchase")))),
+    "ts_epoch_chunks" -> ((s, dir) =>
+      Tsdb.epochChunks(Tsdb.points(t(s, dir, "events")),
+        lit("2024-01-03"), lit("2024-01-28"))),
+    "ts_retention_expire" -> ((s, dir) =>
+      Tsdb.retentionExpire(Tsdb.points(t(s, dir, "events")), 7)),
+    "ts_downsample" -> ((s, dir) =>
+      Tsdb.downsample(Tsdb.points(t(s, dir, "events")), 6)),
+    "ts_gapfill" -> ((s, dir) =>
+      Tsdb.gapfill(Tsdb.points1(t(s, dir, "events")),
+        lit("2024-01-05"), lit("2024-01-08"), Seq("purchase", "error"))),
+    "ts_latest" -> ((s, dir) => Tsdb.latest(Tsdb.points(t(s, dir, "events")))),
+    "ts_rate" -> ((s, dir) => Tsdb.rate(Tsdb.points(t(s, dir, "events")))),
+    "ts_moving_avg" -> ((s, dir) => Tsdb.movingAvg(Tsdb.points(t(s, dir, "events")), 3)),
+    "ts_topk_series" -> ((s, dir) => Tsdb.topkSeries(Tsdb.points(t(s, dir, "events")), 5)),
+    "ts_avg_value" -> ((s, dir) => Tsdb.avgValue(Tsdb.points(t(s, dir, "events")))),
   )
+
+  /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
+  private val store2 =
+    """WITH store AS (
+       SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,
+              date_trunc('hour', ts) AS bucket,
+              round(sum(value),2) AS total, count(*) AS cnt
+       FROM events GROUP BY 1,2,3)"""
+
+  /** Depth-1 store (Tsdb.points1). */
+  private val store1 =
+    """WITH store AS (
+       SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,
+              round(sum(value),2) AS total, count(*) AS cnt
+       FROM events GROUP BY 1,2)"""
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
@@ -100,5 +130,64 @@ object SparkEntry {
            AND date_trunc('hour', ts) >= TIMESTAMP '2024-01-05'
            AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-20'
          GROUP BY 1, 2, 3""",
+
+    "ts_epoch_chunks" -> s"""$store2
+         SELECT date_trunc('day', bucket) AS epoch,
+                count(DISTINCT f1 || '|' || f2) AS n_series,
+                count(*) AS n_points,
+                round(sum(total),2) AS total,
+                greatest(date_trunc('day', bucket), TIMESTAMP '2024-01-03') AS chunk_from,
+                least(date_trunc('day', bucket) + INTERVAL 1 DAY, TIMESTAMP '2024-01-28') AS chunk_to
+         FROM store
+         WHERE bucket >= TIMESTAMP '2024-01-03' AND bucket < TIMESTAMP '2024-01-28'
+         GROUP BY date_trunc('day', bucket)""",
+
+    "ts_retention_expire" -> s"""$store2
+         SELECT f1, f2, bucket, total, cnt, date_trunc('day', bucket) AS epoch
+         FROM store
+         WHERE date_trunc('day', bucket) >
+           (SELECT max(date_trunc('day', bucket)) FROM store) - INTERVAL 7 DAY""",
+
+    "ts_downsample" -> s"""$store2
+         SELECT f1, f2,
+                date_trunc('day', bucket)
+                  + to_hours(CAST(floor(extract(hour FROM bucket)/6)*6 AS BIGINT)) AS bucket6,
+                round(sum(total),2) AS total, CAST(sum(cnt) AS BIGINT) AS cnt
+         FROM store GROUP BY 1,2,3""",
+
+    "ts_gapfill" -> s"""$store1,
+         ax AS (SELECT f1, unnest(generate_series(TIMESTAMP '2024-01-05',
+                       TIMESTAMP '2024-01-08' - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS bucket
+                FROM (SELECT DISTINCT f1 FROM store WHERE f1 IN ('purchase','error')))
+         SELECT ax.f1, ax.bucket,
+                coalesce(s.total, 0.0) AS total,
+                CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt
+         FROM ax LEFT JOIN store s
+           ON s.f1 = ax.f1 AND s.bucket = ax.bucket
+          AND s.bucket >= TIMESTAMP '2024-01-05' AND s.bucket < TIMESTAMP '2024-01-08'""",
+
+    "ts_latest" -> s"""$store2
+         SELECT f1, f2, max(bucket) AS last_bucket,
+                arg_max(total, bucket) AS total, arg_max(cnt, bucket) AS cnt
+         FROM store GROUP BY 1,2""",
+
+    "ts_rate" -> s"""$store2
+         SELECT f1, f2, bucket,
+                round(total - lag(total) OVER (PARTITION BY f1, f2 ORDER BY bucket), 2) AS rate
+         FROM store""",
+
+    "ts_moving_avg" -> s"""$store2
+         SELECT f1, f2, bucket,
+                round(avg(total) OVER (PARTITION BY f1, f2 ORDER BY bucket
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+         FROM store""",
+
+    "ts_topk_series" -> s"""$store2
+         SELECT f1, f2, round(sum(total),2) AS grand_total, CAST(sum(cnt) AS BIGINT) AS cnt
+         FROM store GROUP BY 1,2
+         ORDER BY grand_total DESC, f1, f2 LIMIT 5""",
+
+    "ts_avg_value" -> s"""$store2
+         SELECT f1, f2, bucket, round(total/cnt, 4) AS avg_value FROM store""",
   )
 }

@@ -71,5 +71,115 @@ object Tsdb {
 
   /** Epoch id for a bucket: duration-floor (database.go:267 split()). */
   def epochOf(bucket: Column, duration: String = "day"): Column =
-    date_trunc(duration, bucket)
+    date_trunc(duration, bucket).cast("timestamp_ntz")
+
+  /** Depth-2 series points only (no rollup expand): one row per
+    * (f1, f2, bucket). Cheaper than trackRollup when a single depth is
+    * queried — no Expand node, one map-side-partial aggregation.
+    */
+  def points(events: DataFrame, resolution: String = "hour"): DataFrame =
+    events
+      .groupBy(
+        col("event_type").as("f1"),
+        col("user_id").cast("string").as("f2"),
+        bucket(col("ts"), resolution).as("bucket"))
+      .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("cnt"))
+
+  /** Depth-1 (rollup) series points: one row per (f1, bucket). */
+  def points1(events: DataFrame, resolution: String = "hour"): DataFrame =
+    events
+      .groupBy(col("event_type").as("f1"), bucket(col("ts"), resolution).as("bucket"))
+      .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("cnt"))
+
+  /** Fetch result chunked per epoch, kadiyadb's protocol.Chunk shape
+    * (database.go:201-251): per epoch, [From, To) clipped to the query
+    * range + series/point counts.
+    */
+  def epochChunks(pts: DataFrame, from: Column, to: Column): DataFrame =
+    pts
+      .filter(col("bucket") >= from && col("bucket") < to)
+      .withColumn("epoch", epochOf(col("bucket")))
+      .groupBy(col("epoch"))
+      .agg(
+        countDistinct(col("f1"), col("f2")).as("n_series"),
+        count(lit(1)).as("n_points"),
+        round(sum(col("total")), 2).as("total"))
+      .withColumn("chunk_from", greatest(col("epoch"), from.cast("timestamp_ntz")))
+      .withColumn("chunk_to",
+        least(col("epoch") + expr("INTERVAL 1 DAY"), to.cast("timestamp_ntz")))
+
+  /** Expire (epoch/cache.go:136): drop epochs older than the retention
+    * window, measured from the newest epoch. The max-epoch scalar is a
+    * 1-row aggregate broadcast into the filter — no global window, scales.
+    */
+  def retentionExpire(pts: DataFrame, retentionDays: Int): DataFrame = {
+    val maxEpoch = pts.agg(max(epochOf(col("bucket"))).as("max_epoch"))
+    pts
+      .withColumn("epoch", epochOf(col("bucket")))
+      .crossJoin(broadcast(maxEpoch))
+      .filter(col("epoch") > col("max_epoch") - expr(s"INTERVAL $retentionDays DAYS"))
+      .drop("max_epoch")
+  }
+
+  /** Re-aggregate hourly points to a coarser resolution (slotHours-sized slots). */
+  def downsample(pts: DataFrame, slotHours: Int): DataFrame =
+    pts
+      .withColumn("bucket6",
+        expr(s"timestampadd(HOUR, CAST(floor(hour(bucket) / $slotHours) * $slotHours AS INT), date_trunc('DAY', bucket))")
+          .cast("timestamp_ntz"))
+      .groupBy(col("f1"), col("f2"), col("bucket6"))
+      .agg(round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+
+  /** Dense time axis per series with zero-filled gaps. */
+  def gapfill(pts1: DataFrame, from: Column, to: Column, series: Seq[String]): DataFrame = {
+    val axis = pts1
+      .filter(col("f1").isin(series: _*))
+      .select(col("f1")).distinct()
+      .select(col("f1"), explode(sequence(
+        from.cast("timestamp_ntz"),
+        to.cast("timestamp_ntz") - expr("INTERVAL 1 HOUR"),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+    axis.join(
+        pts1.filter(col("f1").isin(series: _*) &&
+          col("bucket") >= from && col("bucket") < to),
+        Seq("f1", "bucket"), "left")
+      .select(col("f1"), col("bucket"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Latest point per series (arg-max on bucket). */
+  def latest(pts: DataFrame): DataFrame =
+    pts.groupBy(col("f1"), col("f2"))
+      .agg(
+        max(col("bucket")).as("last_bucket"),
+        max_by(col("total"), col("bucket")).as("total"),
+        max_by(col("cnt"), col("bucket")).as("cnt"))
+
+  /** Per-bucket delta vs the series' previous bucket (counter rate). */
+  def rate(pts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("f1"), col("f2")).orderBy(col("bucket"))
+    pts.select(col("f1"), col("f2"), col("bucket"),
+      round(col("total") - lag(col("total"), 1).over(w), 2).as("rate"))
+  }
+
+  /** Sliding moving average over the trailing `n` buckets per series. */
+  def movingAvg(pts: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("f1"), col("f2")).orderBy(col("bucket"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    pts.select(col("f1"), col("f2"), col("bucket"),
+      round(avg(col("total")).over(w), 4).as("mavg"))
+  }
+
+  /** Top-k series by grand total (deterministic tie-break on series id). */
+  def topkSeries(pts: DataFrame, k: Int): DataFrame =
+    pts.groupBy(col("f1"), col("f2"))
+      .agg(round(sum(col("total")), 2).as("grand_total"), sum(col("cnt")).as("cnt"))
+      .orderBy(col("grand_total").desc, col("f1"), col("f2"))
+      .limit(k)
+
+  /** Derived avg metric = total/count (kadiyadb's Point semantics). */
+  def avgValue(pts: DataFrame): DataFrame =
+    pts.select(col("f1"), col("f2"), col("bucket"),
+      round(col("total") / col("cnt"), 4).as("avg_value"))
 }
