@@ -1,0 +1,187 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** DuckDB oracle SQL for the LLM-pipeline operators (dedup / similarity /
+  * text / multimodal). Pseudo-random constants (minhash perms, LSH planes)
+  * are generated from the SAME md5-derived values the Spark operators use
+  * (graft.functions.Hashing.h60jvm), so both engines see identical literals.
+  */
+object PipelineOracles {
+
+  /** DuckDB twin of Hashing.h60. */
+  private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::UBIGINT"
+
+  private val tok =
+    """tok AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tk FROM documents)"""
+
+  private val sh =
+    """sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(tk) >= 3
+              THEN list_transform(generate_series(1, len(tk)-2),
+                                  i -> array_to_string(tk[i:i+2], ' '))
+              ELSE []::VARCHAR[] END)) AS shingle FROM tok)"""
+
+  private val jaccardTail =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)"""
+
+  private val dot64 = (a: String, b: String) =>
+    s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private val nrm =
+    s"""nrm AS (SELECT vec_id, sqrt(${dot64("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  def all: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "dedup_ngram_jaccard" -> s"""WITH $tok, $sh, $jaccardTail
+         SELECT doc_a, doc_b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+         FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.6""",
+
+    "dedup_minhash_lsh" -> {
+      val perms = Dedup.minhashPerms
+      val sigCols = perms.zipWithIndex
+        .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS mh$j" }
+        .mkString(", ")
+      val rows = Dedup.NumPerms / Dedup.Bands
+      val bandSelects = (0 until Dedup.Bands).map { bnd =>
+        val key = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(" || '_' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $tok, $sh,
+          hm AS (SELECT doc_id, CAST(${h60("shingle")} % ${Dedup.P} AS BIGINT) AS hm FROM sh),
+          sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY 1),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+          $jaccardTail,
+          prc AS (SELECT pr.* FROM pr JOIN cand USING (doc_a, doc_b))
+          SELECT doc_a, doc_b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+          FROM prc JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+          WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.5"""
+    },
+
+    "dedup_simhash" -> {
+      val sums = (0 until 16)
+        .map(i => s"sum(CASE WHEN (hm // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val fp = (0 until 16)
+        .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $tok,
+          tk2 AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM tok),
+          hm AS (SELECT doc_id, CAST(${h60("tok")} % 65536 AS BIGINT) AS hm FROM tk2),
+          bits AS (SELECT doc_id, $sums FROM hm GROUP BY 1),
+          fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM bits)
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+          FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.fp, y.fp)) <= 2"""
+    },
+
+    "dedup_embedding" -> s"""WITH $nrm
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                round(${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm), 4) AS cos_sim
+         FROM embeddings a
+         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         JOIN nrm na ON na.vec_id = a.vec_id
+         JOIN nrm nb ON nb.vec_id = b.vec_id
+         WHERE round(${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm), 4) >= 0.4""",
+
+    "ann_bruteforce_topk" -> s"""WITH $nrm,
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                FROM q JOIN embeddings c ON c.vec_id <> query_id
+                JOIN nrm nq ON nq.vec_id = query_id
+                JOIN nrm nc ON nc.vec_id = c.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                       cos FROM sc)
+         SELECT query_id, neighbor_id, rnk, round(cos, 4) AS score FROM rk WHERE rnk <= 5""",
+
+    "ann_lsh_topk" -> {
+      val planeSign =
+        s"(CASE WHEN ${h60("'plane' || p || '_' || i")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      s"""WITH $nrm,
+          dps AS (SELECT e.vec_id, ps.p,
+                         list_sum(list_transform(generate_series(1, 64),
+                           i -> e.embedding[i]::DOUBLE * $planeSign)) AS dp
+                  FROM embeddings e
+                  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.NumPlanes - 1})) AS p) ps),
+          sigs AS (SELECT vec_id,
+                          CAST(sum(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
+                   FROM dps GROUP BY 1),
+          q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, s.sig
+                FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id WHERE e.vec_id < 10),
+          sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q
+                 JOIN sigs cs ON cs.sig = q.sig
+                 JOIN embeddings c ON c.vec_id = cs.vec_id AND c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+          rk AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                        cos FROM sc)
+          SELECT query_id, neighbor_id, rnk, round(cos, 4) AS score FROM rk WHERE rnk <= 5"""
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens
+         FROM documents""",
+
+    "text_quality" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok)
+         SELECT doc_id, n_tokens,
+                round(punct * 1.0 / nchars, 4) AS punct_ratio,
+                round(stops * 1.0 / n_tokens, 4) AS stop_ratio,
+                round(least(1.0, n_tokens / 100.0) * 0.4
+                      + (1.0 - punct * 1.0 / nchars) * 0.3
+                      + least(1.0, stops * 5.0 / n_tokens) * 0.3, 4) AS quality
+         FROM t2""",
+
+    "text_langid" -> s"""WITH $tok,
+         c AS (SELECT doc_id,
+                      len(list_filter(tk, x -> x = 'the')) AS c_en,
+                      len(list_filter(tk, x -> x = 'der')) AS c_de,
+                      len(list_filter(tk, x -> x = 'el')) AS c_es,
+                      len(list_filter(tk, x -> x = 'le')) AS c_fr
+               FROM tok)
+         SELECT doc_id, c_en, c_de, c_es, c_fr,
+                CASE WHEN c_en > 0 AND c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+                     WHEN c_de > 0 AND c_de >= greatest(c_es, c_fr) THEN 'de'
+                     WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+                     WHEN c_fr > 0 THEN 'fr'
+                     ELSE 'und' END AS pred_lang
+         FROM c""",
+
+    "text_fingerprint" -> s"""WITH $tok
+         SELECT doc_id,
+                list_reduce(list_prepend(0, list_transform(tk,
+                    x -> CAST(${h60("x")} % 1000003 AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+         FROM tok""",
+
+    "mm_binary_meta" -> s"""WITH h AS (
+           SELECT doc_id, text, CAST(${h60("text")} AS BIGINT) AS hm FROM documents)
+         SELECT doc_id, octet_length(text::BLOB) AS byte_len, md5(text) AS content_hash,
+                CAST(64 + hm % 512 AS INT) AS width,
+                CAST(64 + (hm // 512) % 512 AS INT) AS height,
+                CAST(1 + hm % 8 AS INT) AS n_frames
+         FROM h""",
+  )
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, Tsdb}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory. */
 object SparkEntry {
@@ -18,20 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B. analytics -------------------------------------------------
-    "q1_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-    }),
+    "q1_pricing_summary" -> (Analytics.q1 _),
+    "q3_shipping_priority" -> (Analytics.q3 _),
+    "q5_region_revenue" -> (Analytics.q5 _),
+    "q_running_revenue" -> (Analytics.runningRevenue _),
+    "q_order_priority" -> (Analytics.orderPriority _),
+    "q_top_parts" -> (Analytics.topParts _),
 
     // ---- A. tsdb core -------------------------------------------------
     "ts_track_rollup" -> ((s, dir) => Tsdb.trackRollup(t(s, dir, "events"))),
@@ -59,6 +52,20 @@ object SparkEntry {
     "ts_moving_avg" -> ((s, dir) => Tsdb.movingAvg(Tsdb.points(t(s, dir, "events")), 3)),
     "ts_topk_series" -> ((s, dir) => Tsdb.topkSeries(Tsdb.points(t(s, dir, "events")), 5)),
     "ts_avg_value" -> ((s, dir) => Tsdb.avgValue(Tsdb.points(t(s, dir, "events")))),
+
+    // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), 0.6)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 2)),
+    "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
+    "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), 10, 5)),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -91,6 +98,52 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         GROUP BY n_name""",
+
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), 2) AS running_total
+         FROM orders""",
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
+
+    "q_top_parts" ->
+      """SELECT p_brand, round(sum(l_extendedprice),2) AS revenue, count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand HAVING count(*) > 50""",
 
     "ts_track_rollup" ->
       """SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,
@@ -189,5 +242,5 @@ object SparkEntry {
 
     "ts_avg_value" -> s"""$store2
          SELECT f1, f2, bucket, round(total/cnt, 4) AS avg_value FROM store""",
-  )
+  ) ++ PipelineOracles.all
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deduplication operators over `documents`.
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. Exact dedup is a
+  * hash groupBy; Jaccard joins only docs sharing a shingle; MinHash+LSH
+  * joins only docs sharing a band bucket; SimHash joins only docs sharing
+  * one of 3 fingerprint bands (complete for hamming ≤ 2 by pigeonhole).
+  * AQE skew-join handles hot buckets.
+  */
+object Dedup {
+
+  val P: Long = 1000003L // prime modulus shared with the DuckDB oracle
+  val NumPerms = 16
+  val Bands = 4 // 4 bands x 4 rows
+
+  /** MinHash permutation constants, md5-derived so the oracle can inline
+    * the identical literals. a in [1, P-1], b in [0, P-1].
+    */
+  lazy val minhashPerms: Seq[(Long, Long)] =
+    (0 until NumPerms).map { j =>
+      (Hashing.h60jvm(s"mh_a_$j") % (P - 1) + 1, Hashing.h60jvm(s"mh_b_$j") % P)
+    }
+
+  /** Distinct word-n-gram shingles per doc, exploded to (doc_id, shingle).
+    * slice(tokens,1,0) is the typed-empty-array fallback for short docs.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(expr(
+      s"""array_distinct(
+            CASE WHEN size(split(text, '\\\\s+')) >= $n
+                 THEN transform(sequence(1, size(split(text, '\\\\s+')) - ${n - 1}),
+                                i -> array_join(slice(split(text, '\\\\s+'), i, $n), ' '))
+                 ELSE slice(split(text, '\\\\s+'), 1, 0) END)""")).as("shingle"))
+
+  /** Exact dedup: md5 hash-groupBy; keeper = min doc_id per content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  private def pairJaccard(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter0 = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val interSrc = candidates match {
+      case Some(c) => inter0.join(c, Seq("doc_a", "doc_b"), "left_semi")
+      case None    => inter0
+    }
+    interSrc
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+  }
+
+  /** N-gram Jaccard near-dup pairs (shingle-join candidates, no cross join). */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
+    pairJaccard(shingles(docs), None)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** MinHash signatures: one row per doc with NumPerms min-hash columns. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).withColumn("hm", Hashing.h60mod(col("shingle"), P))
+    val aggs = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("hm") * a + b) % P).as(s"mh$j")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band explode: (doc_id, band, key). */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val rows = NumPerms / Bands
+    val bandStructs = (0 until Bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash + LSH dedup: band-bucket join for candidates, then exact
+    * Jaccard verification at `threshold`.
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairJaccard(shingles(docs), Some(cand))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash fingerprint per doc over distinct tokens. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, '\\\\s+'))")).as("tok"))
+      .withColumn("hm", Hashing.h60mod(col("tok"), 65536L))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(expr(s"(hm div ${1L << i}) % 2") === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val fp = (0 until 16)
+      .map(i => when(col(s"s$i") > 0, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ 2 here).
+    * Banded join on 3 fingerprint bands (6+5+5 bits): any pair at hamming
+    * ≤ 2 shares at least one intact band (pigeonhole), so this equals the
+    * brute-force O(n²) scan the oracle runs — without the cross join.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val fps = simhashFingerprints(docs)
+    val banded = fps.select(col("doc_id"), col("fp"), explode(array(
+      struct(lit(0).as("band"), expr("fp % 64").as("key")),
+      struct(lit(1).as("band"), expr("(fp div 64) % 32").as("key")),
+      struct(lit(2).as("band"), expr("(fp div 2048) % 32").as("key")))).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.fp ^ y.fp)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, over `documents`.
+  * All pure builtin expressions (whole-stage codegen, no UDFs); every
+  * pseudo-random choice is md5-derived so the DuckDB oracle can replicate
+  * it exactly (see graft.functions.Hashing).
+  */
+object TextAnalysis {
+
+  /** Whitespace token array. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex sub-token count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).as("n_bpe_tokens"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio composite.
+    * All inputs are integer counts, so the double math is bit-identical
+    * across engines.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val nTok = size(tk).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct = regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("double")
+    val stops = expr(
+      "size(filter(split(text, '\\\\s+'), x -> x IN ('the','a','of','and','to','in','is')))")
+      .cast("double")
+    docs.select(
+      col("doc_id"),
+      size(tk).as("n_tokens"),
+      round(punct / nChars, 4).as("punct_ratio"),
+      round(stops / nTok, 4).as("stop_ratio"),
+      round(
+        least(lit(1.0), nTok / 100.0) * 0.4 +
+          (lit(1.0) - punct / nChars) * 0.3 +
+          least(lit(1.0), stops * 5.0 / nTok) * 0.3, 4).as("quality"))
+  }
+
+  /** Language ID: marker-word voting with a deterministic priority order. */
+  def langId(docs: DataFrame): DataFrame = {
+    def cnt(w: String) = expr(s"size(filter(split(text, '\\\\s+'), x -> x = '$w'))")
+    docs.select(
+        col("doc_id"),
+        cnt("the").as("c_en"), cnt("der").as("c_de"),
+        cnt("el").as("c_es"), cnt("le").as("c_fr"))
+      .withColumn("pred_lang",
+        when(col("c_en") > 0 && col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
+          .when(col("c_de") > 0 && col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
+          .when(col("c_es") > 0 && col("c_es") >= col("c_fr"), "es")
+          .when(col("c_fr") > 0, "fr")
+          .otherwise("und"))
+  }
+
+  /** Document fingerprint: rolling polynomial hash over the token stream
+    * (order-sensitive, multiplicity-sensitive).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(
+        """aggregate(
+             transform(split(text, '\\s+'),
+                       x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 1000003),
+             0L, (acc, x) -> (acc * 31 + x) % 2147483647)""").as("fingerprint"))
+}
