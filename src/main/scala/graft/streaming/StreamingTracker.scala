@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming ingestion — the real-time Track path of the
+  * reference (kadiyadb ingests metrics continuously and serves reads on
+  * rolling epochs; /root/reference/database.go:153, epoch/cache.go).
+  *
+  * readStream → watermark → windowed (total, count) aggregation is the
+  * streaming twin of Tsdb.points: same bucket semantics, late data bounded
+  * by the watermark, state bounded because closed windows are evicted.
+  */
+object StreamingTracker {
+
+  /** Windowed rollup aggregation over a streaming events frame with
+    * columns (ts: timestamp, f1, f2, value). Emits one row per
+    * (f1, f2, bucket) when the watermark closes the window.
+    */
+  def trackStream(events: DataFrame, resolution: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), resolution), col("f1"), col("f2"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket"), col("f1"), col("f2"),
+        col("total"), col("cnt"))
+
+  /** Start the stream into a parquet sink (an epoch-partitioned landing
+    * zone a MetricStore can serve).
+    */
+  def start(events: DataFrame, outDir: String, checkpointDir: String,
+      resolution: String = "1 hour", watermark: String = "2 hours"): StreamingQuery =
+    trackStream(events, resolution, watermark)
+      .withColumn("epoch", date_format(date_trunc("day", col("bucket")), "yyyy-MM-dd"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("epoch")
+      .format("parquet")
+      .start(outDir)
+
+  final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
+  final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
+
+  /** Latest-point-per-series via arbitrary stateful processing —
+    * kadiyadb's "current value" read on the RW epoch, kept incrementally
+    * with mapGroupsWithState instead of a full re-aggregation.
+    */
+  def latestPerSeries(spark: SparkSession, points: Dataset[Point]): Dataset[Latest] = {
+    import spark.implicits._
+    points
+      .groupByKey(p => (p.f1, p.f2))
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+        case ((f1, f2), it, state: GroupState[Latest]) =>
+          val incoming = it.maxBy(_.ts.getTime)
+          val best = state.getOption match {
+            case Some(cur) if cur.ts.getTime >= incoming.ts.getTime => cur
+            case _ => Latest(f1, f2, incoming.ts, incoming.value)
+          }
+          state.update(best)
+          best
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = docsDf(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different words entirely here now okay friend")))
+
+  test("h60 is identical on the JVM and in Spark SQL") {
+    import spark.implicits._
+    val sparkSide = Seq("abc", "the quick", "plane0_1").toDF("s")
+      .select(Hashing.h60(col("s"))).collect().map(_.getLong(0))
+    val jvmSide = Seq("abc", "the quick", "plane0_1").map(Hashing.h60jvm)
+    assert(sparkSide.toSeq == jvmSide)
+  }
+
+  test("exact dedup groups identical texts, keeper = min doc_id") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 3)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("ngram jaccard finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccard(docs, 0.3).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    val exactPair = pairs.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L).get
+    assert(exactPair.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash signatures are equal for identical shingle sets") {
+    val sig = Dedup.minhashSignatures(docs).collect()
+    def row(id: Long) = sig.find(_.getAs[Long]("doc_id") == id).get
+    assert((0 until Dedup.NumPerms).forall(j =>
+      row(1L).getAs[Long](s"mh$j") == row(2L).getAs[Long](s"mh$j")))
+    assert((0 until Dedup.NumPerms).exists(j =>
+      row(1L).getAs[Long](s"mh$j") != row(4L).getAs[Long](s"mh$j")))
+  }
+
+  test("minhash LSH surfaces the duplicate pair with jaccard 1.0") {
+    val r = Dedup.minhashLsh(docs, 0.9).collect()
+    assert(r.exists(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L &&
+      x.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("simhash: identical docs at hamming 0; banded join finds them") {
+    val fps = Dedup.simhashFingerprints(docs).collect()
+    def fp(id: Long) = fps.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("fp")
+    assert(fp(1L) == fp(2L))
+    val pairs = Dedup.simhashPairs(docs, 2).collect()
+    assert(pairs.exists(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L &&
+      x.getAs[Int]("hamming") == 0))
+  }
+}

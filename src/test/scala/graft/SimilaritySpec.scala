@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), // identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 0), // orthogonal
+      (3L, Array(0.9f, 0.1f, 0.0f), 1)) // close to 0, other label
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("cosine: identical → 1, orthogonal → 0") {
+    import spark.implicits._
+    val r = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-2.0f, 1.0f)))
+      .toDF("a", "b", "c")
+      .select(
+        Similarity.cosine(col("a"), col("b")).as("same"),
+        Similarity.cosine(col("a"), col("c")).as("orth"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("embeddingDedup blocks by label and finds the identical pair") {
+    val r = Similarity.embeddingDedup(emb, 0.95).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("vec_a") == 0L && r.head.getAs[Long]("vec_b") == 1L)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with vec_id tie-break") {
+    val top = Similarity.bruteForceTopK(emb, 1, 3).collect().sortBy(_.getAs[Int]("rnk"))
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(top.head.getAs[Double]("score") == 1.0)
+  }
+
+  test("lshSignature puts identical vectors in the same bucket") {
+    val sigs = emb.withColumn("sig", Similarity.lshSignature(col("embedding")))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sig")).toMap
+    assert(sigs(0L) == sigs(1L))
+    val r = Similarity.lshTopK(emb, 1, 3).collect()
+    assert(r.exists(_.getAs[Long]("neighbor_id") == 1L)) // bucket-mate found
+  }
+}

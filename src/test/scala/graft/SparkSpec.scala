@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs (one per test JVM). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Tiny events frame with the production schema (ts/event_type/user_id/value). */
+  def eventsDf(rows: Seq[(String, String, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("ts", "event_type", "user_id", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+  }
+
+  def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs = docsDf(Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "on the mat the cat sat"), // same tokens, different order
+    (3L, "xyzzy 42 plugh!")))
+
+  test("tokenCounts: whitespace and BPE-ish counts") {
+    val r = TextAnalysis.tokenCounts(docs).collect()
+    def row(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get
+    assert(row(1L).getAs[Int]("n_ws_tokens") == 6)
+    assert(row(3L).getAs[Int]("n_ws_tokens") == 3)
+    assert(row(3L).getAs[Int]("n_bpe_tokens") == 5) // xyzzy, 4, 2, plugh, !
+  }
+
+  test("quality is bounded and penalizes punctuation") {
+    val r = TextAnalysis.quality(docs).collect()
+    assert(r.forall { x =>
+      val q = x.getAs[Double]("quality"); q >= 0.0 && q <= 1.0
+    })
+    def q(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get.getAs[Double]("quality")
+    assert(q(1L) > q(3L)) // stopwords + no punctuation beats punctuation + no stopwords
+  }
+
+  test("langId votes for marker words deterministically") {
+    val r = TextAnalysis.langId(docs).collect()
+    def lang(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get.getAs[String]("pred_lang")
+    assert(lang(1L) == "en")
+    assert(lang(3L) == "und")
+  }
+
+  test("fingerprint is order-sensitive (rolling hash, not a bag hash)") {
+    val r = TextAnalysis.fingerprint(docs).collect()
+    def fp(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("fingerprint")
+    assert(fp(1L) != fp(2L))
+    assert(fp(1L) >= 0L && fp(1L) < 2147483647L)
+  }
+
+  test("multimodal: declarative binaryMeta equals the batched mapPartitions decode") {
+    import spark.implicits._
+    val declarative = Multimodal.binaryMeta(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("byte_len"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("n_frames"))).toSet
+    val media = docs.map(r => Multimodal.MediaBatch(
+      r.getAs[Long]("doc_id"),
+      r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val batched = Multimodal.decodeBatched(spark, media).collect()
+      .map(d => (d.doc_id, d.byte_len, d.width, d.height, d.n_frames)).toSet
+    assert(declarative == batched)
+  }
+}

