@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.core.Tables
+
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val docs = Tables.load(spark, dir, "documents")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $name ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    time("shingles count")(println("rows=" + Dedup.shingles(docs).count()))
+    time("shingles again")(println("rows=" + Dedup.shingles(docs).count()))
+    val sh = Dedup.shingles(docs)
+    time("self-join count")(println("pairs=" + sh.as("a").join(sh.as("b"),
+      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")).count()))
+    time("full jaccard")(println("res=" + Dedup.ngramJaccard(docs, 0.6).count()))
+    time("minhash sigs")(println("sigs=" + Dedup.minhashSignatures(docs).count()))
+    time("full minhashLsh")(println("res=" + Dedup.minhashLsh(docs, 0.5).count()))
+    spark.stop()
+  }
+}

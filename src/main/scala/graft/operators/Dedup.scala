@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Hashing
 
@@ -9,9 +10,11 @@ import graft.functions.Hashing
   *
   * Scale design: nothing here is O(n²) on the full corpus. Exact dedup is a
   * hash groupBy; Jaccard joins only docs sharing a shingle; MinHash+LSH
-  * joins only docs sharing a band bucket; SimHash joins only docs sharing
-  * one of 3 fingerprint bands (complete for hamming ≤ 2 by pigeonhole).
-  * AQE skew-join handles hot buckets.
+  * verifies ONLY band-bucket candidate pairs; SimHash joins only docs
+  * sharing one of 3 fingerprint bands (complete for hamming ≤ 2 by
+  * pigeonhole). The tokenization/shingling projection is computed once and
+  * cached per operator invocation (it feeds 2-4 joins); doc-size side
+  * tables are broadcast. AQE skew-join handles hot shingle buckets.
   */
 object Dedup {
 
@@ -28,52 +31,71 @@ object Dedup {
     }
 
   /** Distinct word-n-gram shingles per doc, exploded to (doc_id, shingle).
-    * slice(tokens,1,0) is the typed-empty-array fallback for short docs.
+    * Tokenizes once into a projected column (the regex split is the
+    * expensive part), then shingles from it. slice(tk,1,0) is the
+    * typed-empty-array fallback for short docs.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(expr(
-      s"""array_distinct(
-            CASE WHEN size(split(text, '\\\\s+')) >= $n
-                 THEN transform(sequence(1, size(split(text, '\\\\s+')) - ${n - 1}),
-                                i -> array_join(slice(split(text, '\\\\s+'), i, $n), ' '))
-                 ELSE slice(split(text, '\\\\s+'), 1, 0) END)""")).as("shingle"))
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(
+              CASE WHEN size(tk) >= $n
+                   THEN transform(sequence(1, size(tk) - ${n - 1}),
+                                  i -> array_join(slice(tk, i, $n), ' '))
+                   ELSE slice(tk, 1, 0) END)""")).as("shingle"))
 
   /** Exact dedup: md5 hash-groupBy; keeper = min doc_id per content hash. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Jaccard for doc pairs from a cached shingle table. With `candidates`,
+    * the shingle table is first restricted to candidate docs (MinHash-LSH
+    * path) so the shingle join only touches candidate pairs.
+    */
   private def pairJaccard(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter0 = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val interSrc = candidates match {
-      case Some(c) => inter0.join(c, Seq("doc_a", "doc_b"), "left_semi")
-      case None    => inter0
+    val inter = candidates match {
+      case Some(c) =>
+        val cand = broadcast(c)
+        cand
+          .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sh.as("b"),
+            col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      case None =>
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     }
-    interSrc
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .withColumn("jaccard",
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
   }
 
   /** N-gram Jaccard near-dup pairs (shingle-join candidates, no cross join). */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
-    pairJaccard(shingles(docs), None)
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    pairJaccard(sh, None)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** MinHash signatures: one row per doc with NumPerms min-hash columns. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).withColumn("hm", Hashing.h60mod(col("shingle"), P))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingles(docs))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("hm", Hashing.h60mod(col("shingle"), P))
     val aggs = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
       min((col("hm") * a + b) % P).as(s"mh$j")
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band explode: (doc_id, band, key). */
@@ -88,17 +110,18 @@ object Dedup {
   }
 
   /** MinHash + LSH dedup: band-bucket join for candidates, then exact
-    * Jaccard verification at `threshold`.
+    * Jaccard verification restricted to those candidates.
     */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs))
+    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBands(minhashSignaturesFrom(sh))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    pairJaccard(shingles(docs), Some(cand))
+    pairJaccard(sh, Some(cand))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -106,7 +129,8 @@ object Dedup {
   /** 16-bit SimHash fingerprint per doc over distinct tokens. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), explode(expr("array_distinct(split(text, '\\\\s+'))")).as("tok"))
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      .select(col("doc_id"), explode(expr("array_distinct(tk)")).as("tok"))
       .withColumn("hm", Hashing.h60mod(col("tok"), 65536L))
     val bitSums = (0 until 16).map { i =>
       sum(when(expr(s"(hm div ${1L << i}) % 2") === 1, 1).otherwise(-1)).as(s"s$i")
@@ -124,7 +148,7 @@ object Dedup {
     * brute-force O(n²) scan the oracle runs — without the cross join.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
-    val fps = simhashFingerprints(docs)
+    val fps = simhashFingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fps.select(col("doc_id"), col("fp"), explode(array(
       struct(lit(0).as("band"), expr("fp % 64").as("key")),
       struct(lit(1).as("band"), expr("(fp div 64) % 32").as("key")),
