@@ -29,14 +29,14 @@ object SparkEntry {
     // ---- A. tsdb core -------------------------------------------------
     "ts_track_rollup" -> ((s, dir) => Tsdb.trackRollup(t(s, dir, "events"))),
     "ts_fetch_exact" -> ((s, dir) =>
-      Tsdb.fetch(Tsdb.trackRollup(t(s, dir, "events")),
-        lit("2024-01-05"), lit("2024-01-20"), Seq(Some("purchase"), Some("12")))),
+      Tsdb.fetchEvents(t(s, dir, "events"),
+        "2024-01-05", "2024-01-20", Seq(Some("purchase"), Some("12")))),
     "ts_fetch_wildcard" -> ((s, dir) =>
-      Tsdb.fetch(Tsdb.trackRollup(t(s, dir, "events")),
-        lit("2024-01-05"), lit("2024-01-20"), Seq(None, Some("12")))),
+      Tsdb.fetchEvents(t(s, dir, "events"),
+        "2024-01-05", "2024-01-20", Seq(None, Some("12")))),
     "ts_fetch_prefix" -> ((s, dir) =>
-      Tsdb.fetch(Tsdb.trackRollup(t(s, dir, "events")),
-        lit("2024-01-05"), lit("2024-01-20"), Seq(Some("purchase")))),
+      Tsdb.fetchEvents(t(s, dir, "events"),
+        "2024-01-05", "2024-01-20", Seq(Some("purchase")))),
     "ts_epoch_chunks" -> ((s, dir) =>
       Tsdb.epochChunks(Tsdb.points(t(s, dir, "events")),
         lit("2024-01-03"), lit("2024-01-28"))),

@@ -16,9 +16,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // timestamp_ntz keeps wall-clock semantics end-to-end: the source file is
-    // tz-naive and the DuckDB oracle compares naive timestamps.
+    // tz-naive and the DuckDB oracle compares naive timestamps. The raw nanos
+    // column survives as ts_ns so range predicates stay pushable into the
+    // parquet scan (a predicate on the derived ts cannot be pushed).
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      df.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     else df
   }
 }

@@ -33,6 +33,15 @@ object Tsdb {
   def bucket(ts: Column, resolution: String): Column =
     date_trunc(resolution, ts).cast("timestamp_ntz")
 
+  /** Wall-clock 'yyyy-MM-dd[ HH:mm:ss]' → nanos since epoch (UTC). */
+  private def wallNanos(s: String): Long = {
+    val ldt =
+      if (s.contains(" "))
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      else java.time.LocalDate.parse(s).atStartOfDay()
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+  }
+
   /** Canonical materialized store: one row per (series-prefix, bucket).
     * Equivalent of Track()'s write amplification, done as ONE aggregation
     * with grouping sets (depth-1 and depth-2 prefixes), not two passes.
@@ -72,6 +81,47 @@ object Tsdb {
   /** Epoch id for a bucket: duration-floor (database.go:267 split()). */
   def epochOf(bucket: Column, duration: String = "day"): Column =
     date_trunc(duration, bucket).cast("timestamp_ntz")
+
+  /** Fetch evaluated directly against the raw events table: the pattern
+    * and time range become plain predicates on scan columns (pushed into
+    * the parquet reader — verified `PushedFilters`), and only the queried
+    * prefix depth is aggregated (no Expand of unused grouping sets).
+    * This is the plan shape that survives 100 TB: filter → partial agg →
+    * one shuffle of |matching series × buckets| rows.
+    *
+    * `from`/`to` must be resolution-aligned (bucket predicate ≡ ts
+    * predicate), which kadiyadb's integer split() also assumes
+    * (/root/reference/database.go:267).
+    */
+  def fetchEvents(events: DataFrame, from: String, to: String,
+      pattern: Seq[Option[String]], resolution: String = "hour"): DataFrame = {
+    val fieldCols = Seq(col("event_type"), col("user_id").cast("string"))
+    // range predicate on the raw nanos column (pushable into the parquet
+    // scan; row-group stats prune whole epochs) + on the derived ts
+    val ranged = events.filter(
+      (if (events.columns.contains("ts_ns"))
+         col("ts_ns") >= wallNanos(from) && col("ts_ns") < wallNanos(to)
+       else lit(true)) &&
+        col("ts") >= lit(from).cast("timestamp_ntz") && col("ts") < lit(to).cast("timestamp_ntz"))
+    val filtered = pattern.zip(fieldCols).foldLeft(ranged) {
+      case (df, (Some(v), c)) => df.filter(c === lit(v))
+      case (df, (None, _))    => df
+    }
+    val agg = Seq(round(sum(col("value")), 2).as("total"), count(lit(1)).as("cnt"))
+    if (pattern.length == 1)
+      filtered
+        .groupBy(col("event_type").as("f1"), bucket(col("ts"), resolution).as("bucket"))
+        .agg(agg.head, agg.tail: _*)
+        .select(col("f1"), lit(null).cast("string").as("f2"), col("bucket"),
+          col("total"), col("cnt"), lit(1).as("depth"))
+    else
+      filtered
+        .groupBy(col("event_type").as("f1"), col("user_id").cast("string").as("f2"),
+          bucket(col("ts"), resolution).as("bucket"))
+        .agg(agg.head, agg.tail: _*)
+        .select(col("f1"), col("f2"), col("bucket"),
+          col("total"), col("cnt"), lit(2).as("depth"))
+  }
 
   /** Depth-2 series points only (no rollup expand): one row per
     * (f1, f2, bucket). Cheaper than trackRollup when a single depth is
