@@ -34,6 +34,33 @@ object PipelineOracles {
   private val nrm =
     s"""nrm AS (SELECT vec_id, sqrt(${dot64("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
+  /** Full MinHash+LSH CTE chain ending in a `pairs` CTE (verified
+    * candidate pairs at `threshold`), shared by the pair and survivor
+    * queries.
+    */
+  private def minhashWith(threshold: Double): String = {
+    val sigCols = Dedup.minhashPerms.zipWithIndex
+      .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS mh$j" }
+      .mkString(", ")
+    val rows = Dedup.NumPerms / Dedup.Bands
+    val bandSelects = (0 until Dedup.Bands).map { bnd =>
+      val key = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $tok, $sh,
+        hm AS (SELECT doc_id, CAST(${h60("shingle")} % ${Dedup.P} AS BIGINT) AS hm FROM sh),
+        sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY 1),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        $jaccardTail,
+        prc AS (SELECT pr.* FROM pr JOIN cand USING (doc_a, doc_b)),
+        pairs AS (SELECT doc_a, doc_b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+                  FROM prc JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                  WHERE round(inter / (sa.n + sb.n - inter), 4) >= $threshold)"""
+  }
+
   def all: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
@@ -44,29 +71,12 @@ object PipelineOracles {
          FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.6""",
 
-    "dedup_minhash_lsh" -> {
-      val perms = Dedup.minhashPerms
-      val sigCols = perms.zipWithIndex
-        .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS mh$j" }
-        .mkString(", ")
-      val rows = Dedup.NumPerms / Dedup.Bands
-      val bandSelects = (0 until Dedup.Bands).map { bnd =>
-        val key = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(" || '_' || ")
-        s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $tok, $sh,
-          hm AS (SELECT doc_id, CAST(${h60("shingle")} % ${Dedup.P} AS BIGINT) AS hm FROM sh),
-          sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY 1),
-          bands AS ($bandSelects),
-          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                   FROM bands x JOIN bands y
-                     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-          $jaccardTail,
-          prc AS (SELECT pr.* FROM pr JOIN cand USING (doc_a, doc_b))
-          SELECT doc_a, doc_b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
-          FROM prc JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-          WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.5"""
-    },
+    "dedup_minhash_lsh" -> s"""${minhashWith(0.5)}
+          SELECT doc_a, doc_b, jaccard FROM pairs""",
+
+    "dedup_survivors" -> s"""${minhashWith(0.5)}
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)""",
 
     "dedup_simhash" -> {
       val sums = (0 until 16)

@@ -25,6 +25,11 @@ object SparkEntry {
     "q_running_revenue" -> (Analytics.runningRevenue _),
     "q_order_priority" -> (Analytics.orderPriority _),
     "q_top_parts" -> (Analytics.topParts _),
+    "q6_forecast_revenue" -> (Analytics.q6 _),
+    "q10_returned_items" -> (Analytics.q10 _),
+    "q12_priority_split" -> (Analytics.q12 _),
+    "q14_type_share" -> (Analytics.q14 _),
+    "q18_large_orders" -> (Analytics.q18 _),
 
     // ---- A. tsdb core -------------------------------------------------
     "ts_track_rollup" -> ((s, dir) => Tsdb.trackRollup(t(s, dir, "events"))),
@@ -52,6 +57,8 @@ object SparkEntry {
     "ts_moving_avg" -> ((s, dir) => Tsdb.movingAvg(Tsdb.points(t(s, dir, "events")), 3)),
     "ts_topk_series" -> ((s, dir) => Tsdb.topkSeries(Tsdb.points(t(s, dir, "events")), 5)),
     "ts_avg_value" -> ((s, dir) => Tsdb.avgValue(Tsdb.points(t(s, dir, "events")))),
+    "ts_percentile" -> ((s, dir) => Tsdb.percentiles(t(s, dir, "events"))),
+    "ts_props_extract" -> ((s, dir) => Tsdb.propsExtract(t(s, dir, "events"))),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -59,8 +66,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 2)),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
+    "dedup_survivors" -> ((s, dir) => Dedup.survivors(t(s, dir, "documents"), 0.5)),
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), 10, 5)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 10, 5)),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -144,6 +153,62 @@ object SparkEntry {
       """SELECT p_brand, round(sum(l_extendedprice),2) AS revenue, count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand HAVING count(*) > 50""",
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount),2) AS revenue, count(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q12_priority_split" ->
+      """SELECT l_linestatus,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_linestatus""",
+
+    "q14_type_share" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
+                  THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+                / sum(l_extendedprice*(1-l_discount)), 4) AS standard_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""",
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+         FROM (SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
+               FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),2) > 150) big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "ts_percentile" ->
+      """SELECT event_type AS f1,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.95), 4) AS p95,
+         count(*) AS cnt
+         FROM events GROUP BY 1""",
+
+    "ts_props_extract" ->
+      """SELECT event_type AS f1,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+         sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_high
+         FROM events GROUP BY 1""",
 
     "ts_track_rollup" ->
       """SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,

@@ -97,6 +97,29 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     */
   def sync(): Unit = ()
 
+  /** Compact one epoch partition: merge its accumulated append segments
+    * back to one pre-aggregated file set. Bounds per-epoch file counts the
+    * way kadiyadb's epoch close/snapshot does for its append logs
+    * (/root/reference/index/index.go:24-65). Only the named partition is
+    * rewritten (dynamic partition overwrite).
+    */
+  def compact(epoch: String): Unit = {
+    val merged = spark.read.parquet(dataDir)
+      .filter(col("epoch") === epoch)
+      .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
+      .groupBy(col("epoch"), col("depth"), col("f1"), col("f2"), col("bucket"))
+      .agg(sum(col("total")).as("total"), sum(col("cnt")).as("cnt"))
+      .select(col("f1"), col("f2"), col("bucket"), col("total"), col("cnt"),
+        col("depth"), col("epoch"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(dataDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   private def listEpochDirs(root: Path): Seq[(String, Path)] = {
     val s = Files.list(root)
     try {

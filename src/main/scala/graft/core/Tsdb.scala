@@ -232,4 +232,26 @@ object Tsdb {
   def avgValue(pts: DataFrame): DataFrame =
     pts.select(col("f1"), col("f2"), col("bucket"),
       round(col("total") / col("cnt"), 4).as("avg_value"))
+
+  /** Exact value percentiles per series (p50/p95, linear interpolation —
+    * same definition as DuckDB's quantile_cont).
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type").as("f1"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("cnt"))
+
+  /** Semi-structured props: extract a JSON field and aggregate on it —
+    * kadiyadb has no payloads, but real metric pipelines tag events.
+    */
+  def propsExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type").as("f1"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(when(col("k") > 50, 1).otherwise(0)).as("n_high"))
 }

@@ -8,10 +8,13 @@ import graft.core.Tables
 
 /** General OLAP queries (TPC-H-shaped) over the star schema.
   *
-  * Scale notes (100 TB): lineitem/orders are the fact tables; every dim
-  * side (region/nation/supplier, and customer/part at these cardinalities)
-  * is explicitly broadcast so the fact table never shuffles for a join.
-  * Aggregations are partial (map-side combine) by construction.
+  * Scale notes (100 TB): lineitem/orders are the fact tables. Only the
+  * FIXED-cardinality dims (nation=25, region=5 rows at any scale factor)
+  * carry explicit broadcast hints; tables that scale with SF (customer,
+  * part, supplier, orders) are left to AQE, which broadcasts them while
+  * they fit and falls back to shuffle joins (with skew handling) when
+  * they don't. Aggregations are partial (map-side combine) by
+  * construction.
   */
 object Analytics {
 
@@ -40,8 +43,8 @@ object Analytics {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -59,9 +62,9 @@ object Analytics {
     val ord = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
     t(s, dir, "lineitem")
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(dims),
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(dims,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -91,8 +94,69 @@ object Analytics {
   /** Revenue by part brand with a HAVING floor (broadcast part dim). */
   def topParts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 50)
+
+  /** TPC-H Q6: forecasting revenue change — single scan, all predicates
+    * pushed to the parquet reader.
+    */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q10 (adapted): top returned-item customers by lost revenue. */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12 (adapted to this schema): line-status priority split. */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("low_line_count"))
+
+  /** TPC-H Q14 (adapted): promo revenue share via conditional aggregation. */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type").startsWith("STANDARD"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("standard_revenue_pct"))
+
+  /** TPC-H Q18 (adapted): large-volume orders (HAVING subquery join). */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
 }

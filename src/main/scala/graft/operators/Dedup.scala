@@ -126,6 +126,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** End-to-end dedup: the corpus with near-duplicates removed. Greedy
+    * keep-first policy: a doc is dropped iff it is the higher-id member of
+    * any near-dup pair (standard first-occurrence-wins dedup; one anti-join,
+    * no iterative connected components).
+    */
+  def survivors(docs: DataFrame, threshold: Double): DataFrame = {
+    val drop = minhashLsh(docs, threshold).select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** 16-bit SimHash fingerprint per doc over distinct tokens. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val toks = docs

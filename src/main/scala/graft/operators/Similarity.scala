@@ -75,6 +75,42 @@ object Similarity {
       when(V.dotF(v, typedLit(plane)) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF-style ANN: coarse quantization by per-label centroids (element-wise
+    * mean vectors); each query probes the nProbe nearest centroids and runs
+    * exact cosine only within those partitions. The scale path when buckets
+    * must be balanced: |candidates| ≈ nProbe/|centroids| of the corpus.
+    * Declared rows-only (centroid means are float-sum order dependent, so
+    * no bit-exact SQL oracle).
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> CAST(x.cv AS FLOAT))")
+        .as("cvec"))
+      .withColumn("cnrm", V.normF(col("cvec")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy((V.dotF(col("qv"), col("cvec")) / (col("qnrm") * col("cnrm"))).desc, col("label"))
+    val probes = broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("label"))
+    val scored = e.as("c")
+      .join(broadcast(probes),
+        col("c.label") === probes("label") && col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (V.dotF(col("qv"), col("c.embedding")) / (col("qnrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("score"))
+  }
+
   /** ANN via LSH buckets: candidates share the query's bucket signature,
     * reranked by exact cosine. Recall < 1 by construction; the oracle
     * replicates the same bucketing, so results still match exactly.

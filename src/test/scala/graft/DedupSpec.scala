@@ -52,6 +52,17 @@ class DedupSpec extends SparkSpec {
       x.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("survivors drops the higher-id member of each near-dup pair") {
+    import spark.implicits._
+    val full = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L),
+      (4L, "completely different words entirely here now okay friend", "en", "s", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Dedup.survivors(full, 0.9).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   test("simhash: identical docs at hamming 0; banded join finds them") {
     val fps = Dedup.simhashFingerprints(docs).collect()
     def fp(id: Long) = fps.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("fp")

@@ -35,6 +35,22 @@ class MetricStoreSpec extends SparkSpec {
     assert(wild.length == 2)
   }
 
+  test("compact merges an epoch's append segments without changing results") {
+    val dir = Files.createTempDirectory("graftstore").toString
+    val store = new MetricStore(spark, dir)
+    store.track(mkEvents(Seq(("2024-01-01 10:05:00", "cpu", "h1", 10.0))))
+    store.track(mkEvents(Seq(("2024-01-01 10:45:00", "cpu", "h1", 7.0))))
+    def files() = {
+      val d = java.nio.file.Paths.get(dir, "points", "epoch=2024-01-01")
+      Files.list(d).filter(_.toString.endsWith(".parquet")).count()
+    }
+    val before = files()
+    store.compact("2024-01-01")
+    assert(files() < before)
+    val r = store.fetch("2024-01-01", "2024-01-02", Seq(Some("cpu"), Some("h1"))).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("total") == 17.0 && r.head.getAs[Long]("cnt") == 2L)
+  }
+
   test("expire drops epoch partitions beyond retention (cache.Expire)") {
     val dir = Files.createTempDirectory("graftstore").toString
     val store = new MetricStore(spark, dir, StoreParams(retentionEpochs = 2))

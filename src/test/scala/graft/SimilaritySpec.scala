@@ -40,6 +40,12 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("score") == 1.0)
   }
 
+  test("ivfTopK probes the query's own centroid partition first") {
+    val r = Similarity.ivfTopK(emb, 1, 3, nProbe = 2).collect().sortBy(_.getAs[Int]("rnk"))
+    // both labels probed (only 2 centroids exist) → same result as brute force
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+  }
+
   test("lshSignature puts identical vectors in the same bucket") {
     val sigs = emb.withColumn("sig", Similarity.lshSignature(col("embedding")))
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sig")).toMap
