@@ -56,9 +56,9 @@ object PipelineOracles {
                    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
         $jaccardTail,
         prc AS (SELECT pr.* FROM pr JOIN cand USING (doc_a, doc_b)),
-        pairs AS (SELECT doc_a, doc_b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        pairs AS (SELECT doc_a, doc_b, floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
                   FROM prc JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-                  WHERE round(inter / (sa.n + sb.n - inter), 4) >= $threshold)"""
+                  WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= $threshold)"""
   }
 
   def all: Map[String, String] = Map(
@@ -67,9 +67,9 @@ object PipelineOracles {
          FROM documents GROUP BY 1""",
 
     "dedup_ngram_jaccard" -> s"""WITH $tok, $sh, $jaccardTail
-         SELECT doc_a, doc_b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+         SELECT doc_a, doc_b, floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-         WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.6""",
+         WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.6""",
 
     "dedup_minhash_lsh" -> s"""${minhashWith(0.5)}
           SELECT doc_a, doc_b, jaccard FROM pairs""",
@@ -98,12 +98,12 @@ object PipelineOracles {
 
     "dedup_embedding" -> s"""WITH $nrm
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                round(${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm), 4) AS cos_sim
+                floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          FROM embeddings a
          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          JOIN nrm na ON na.vec_id = a.vec_id
          JOIN nrm nb ON nb.vec_id = b.vec_id
-         WHERE round(${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm), 4) >= 0.4""",
+         WHERE floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 >= 0.4""",
 
     "ann_bruteforce_topk" -> s"""WITH $nrm,
          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -115,7 +115,7 @@ object PipelineOracles {
          rk AS (SELECT query_id, neighbor_id,
                        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
                        cos FROM sc)
-         SELECT query_id, neighbor_id, rnk, round(cos, 4) AS score FROM rk WHERE rnk <= 5""",
+         SELECT query_id, neighbor_id, rnk, floor((cos) * 10000.0 + 0.5) / 10000.0 AS score FROM rk WHERE rnk <= 5""",
 
     "ann_lsh_topk" -> {
       val planeSign =
@@ -141,7 +141,7 @@ object PipelineOracles {
           rk AS (SELECT query_id, neighbor_id,
                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
                         cos FROM sc)
-          SELECT query_id, neighbor_id, rnk, round(cos, 4) AS score FROM rk WHERE rnk <= 5"""
+          SELECT query_id, neighbor_id, rnk, floor((cos) * 10000.0 + 0.5) / 10000.0 AS score FROM rk WHERE rnk <= 5"""
     },
 
     "text_tokens" ->
@@ -157,11 +157,11 @@ object PipelineOracles {
                        len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
                 FROM tok)
          SELECT doc_id, n_tokens,
-                round(punct * 1.0 / nchars, 4) AS punct_ratio,
-                round(stops * 1.0 / n_tokens, 4) AS stop_ratio,
-                round(least(1.0, n_tokens / 100.0) * 0.4
+                floor((punct * 1.0 / nchars) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                floor((stops * 1.0 / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                floor((least(1.0, n_tokens / 100.0) * 0.4
                       + (1.0 - punct * 1.0 / nchars) * 0.3
-                      + least(1.0, stops * 5.0 / n_tokens) * 0.3, 4) AS quality
+                      + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM t2""",
 
     "text_langid" -> s"""WITH $tok,

@@ -296,8 +296,8 @@ object SparkEntry {
 
     "ts_moving_avg" -> s"""$store2
          SELECT f1, f2, bucket,
-                round(avg(total) OVER (PARTITION BY f1, f2 ORDER BY bucket
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+                floor((avg(total) OVER (PARTITION BY f1, f2 ORDER BY bucket
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 AS mavg
          FROM store""",
 
     "ts_topk_series" -> s"""$store2
@@ -306,6 +306,6 @@ object SparkEntry {
          ORDER BY grand_total DESC, f1, f2 LIMIT 5""",
 
     "ts_avg_value" -> s"""$store2
-         SELECT f1, f2, bucket, round(total/cnt, 4) AS avg_value FROM store""",
+         SELECT f1, f2, bucket, floor((total/cnt) * 10000.0 + 0.5) / 10000.0 AS avg_value FROM store""",
   ) ++ PipelineOracles.all
 }

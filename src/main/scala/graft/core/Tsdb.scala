@@ -218,7 +218,7 @@ object Tsdb {
     val w = Window.partitionBy(col("f1"), col("f2")).orderBy(col("bucket"))
       .rowsBetween(-(n - 1), Window.currentRow)
     pts.select(col("f1"), col("f2"), col("bucket"),
-      round(avg(col("total")).over(w), 4).as("mavg"))
+      graft.functions.Hashing.rd4(avg(col("total")).over(w)).as("mavg"))
   }
 
   /** Top-k series by grand total (deterministic tie-break on series id). */
@@ -231,7 +231,7 @@ object Tsdb {
   /** Derived avg metric = total/count (kadiyadb's Point semantics). */
   def avgValue(pts: DataFrame): DataFrame =
     pts.select(col("f1"), col("f2"), col("bucket"),
-      round(col("total") / col("cnt"), 4).as("avg_value"))
+      graft.functions.Hashing.rd4(col("total") / col("cnt")).as("avg_value"))
 
   /** Exact value percentiles per series (p50/p95, linear interpolation —
     * same definition as DuckDB's quantile_cont).

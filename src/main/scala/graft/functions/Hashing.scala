@@ -25,6 +25,17 @@ object Hashing {
   /** h60 reduced mod m (m > 0, result in [0, m)). */
   def h60mod(c: Column, m: Long): Column = h60(c) % m
 
+  /** Engine-portable fixed-point rounding: floor(x*10^d + 0.5)/10^d.
+    * Spark's round() (BigDecimal HALF_UP on the exact binary expansion)
+    * and DuckDB's round() (scale-multiply + nearbyint) can disagree by one
+    * step when the scaled product lands exactly on .5 — this formula is
+    * plain IEEE arithmetic, so when both engines hold bit-identical inputs
+    * the outputs are bit-identical too. Use it for ratio/score columns
+    * derived deterministically; keep round() for decimal-grid money sums.
+    * DuckDB twin: floor(x * 1e4 + 0.5) / 1e4
+    */
+  def rd4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
   /** Same hash computed driver-side (for deriving small constant tables
     * like LSH hyperplanes that are then broadcast as literals).
     */

@@ -75,7 +75,7 @@ object Dedup {
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+        Hashing.rd4(col("inter") / (col("na") + col("nb") - col("inter"))))
   }
 
   /** N-gram Jaccard near-dup pairs (shingle-join candidates, no cross join). */

@@ -35,8 +35,8 @@ object Similarity {
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
-        round(V.dotF(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
+        Hashing.rd4(V.dotF(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -55,7 +55,7 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 4).as("score"))
+        Hashing.rd4(col("cos")).as("score"))
   }
 
   val NumPlanes = 8
@@ -108,7 +108,7 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 4).as("score"))
+        Hashing.rd4(col("cos")).as("score"))
   }
 
   /** ANN via LSH buckets: candidates share the query's bucket signature,
@@ -128,6 +128,6 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 4).as("score"))
+        Hashing.rd4(col("cos")).as("score"))
   }
 }

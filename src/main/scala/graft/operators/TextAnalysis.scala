@@ -35,12 +35,12 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       size(tk).as("n_tokens"),
-      round(punct / nChars, 4).as("punct_ratio"),
-      round(stops / nTok, 4).as("stop_ratio"),
-      round(
+      graft.functions.Hashing.rd4(punct / nChars).as("punct_ratio"),
+      graft.functions.Hashing.rd4(stops / nTok).as("stop_ratio"),
+      graft.functions.Hashing.rd4(
         least(lit(1.0), nTok / 100.0) * 0.4 +
           (lit(1.0) - punct / nChars) * 0.3 +
-          least(lit(1.0), stops * 5.0 / nTok) * 0.3, 4).as("quality"))
+          least(lit(1.0), stops * 5.0 / nTok) * 0.3).as("quality"))
   }
 
   /** Language ID: marker-word voting with a deterministic priority order. */
