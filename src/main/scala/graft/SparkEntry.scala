@@ -59,6 +59,9 @@ object SparkEntry {
     "ts_avg_value" -> ((s, dir) => Tsdb.avgValue(Tsdb.points(t(s, dir, "events")))),
     "ts_percentile" -> ((s, dir) => Tsdb.percentiles(t(s, dir, "events"))),
     "ts_props_extract" -> ((s, dir) => Tsdb.propsExtract(t(s, dir, "events"))),
+    "ts_sessionize" -> ((s, dir) => Tsdb.sessionize(t(s, dir, "events"), 30)),
+    "ts_funnel" -> ((s, dir) => Tsdb.funnel(t(s, dir, "events"))),
+    "ts_histogram" -> ((s, dir) => Tsdb.histogram(t(s, dir, "events"), 50.0)),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -202,6 +205,40 @@ object SparkEntry {
          round(quantile_cont(value, 0.95), 4) AS p95,
          count(*) AS cnt
          FROM events GROUP BY 1""",
+
+    "ts_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+         b AS (SELECT user_id, event_id, ts_us, value,
+                      lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+               FROM e),
+         f AS (SELECT user_id, ts_us, value,
+                      CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END AS new_session, event_id
+               FROM b),
+         s AS (SELECT user_id, ts_us, value,
+                      sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+                count(*) AS n_events, round(sum(value),2) AS total_value
+         FROM s GROUP BY 1, 2""",
+
+    "ts_funnel" ->
+      """WITH u AS (SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+              FROM events GROUP BY 1)
+         SELECT sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+                sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase,
+                sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                         AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+         FROM u""",
+
+    "ts_histogram" ->
+      """SELECT event_type AS f1, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         count(*) AS cnt, round(sum(value),2) AS total
+         FROM events GROUP BY 1, 2""",
 
     "ts_props_extract" ->
       """SELECT event_type AS f1,

@@ -243,6 +243,54 @@ object Tsdb {
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         count(lit(1)).as("cnt"))
 
+  /** Sessionization: split each user's event stream at inactivity gaps
+    * > gapMinutes. Classic events-table op built from two windows (lag →
+    * boundary flag → running sum = session id); boundaries compare raw
+    * nano timestamps, so the math is exact integer on both engines.
+    * Deterministic ordering via (ts_ns, event_id).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    // microsecond precision: DuckDB truncates parquet nano timestamps to
+    // micros on read, so the oracle can only see micros — match it exactly
+    val wus = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wus))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        wus.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Funnel: signup → purchase conversion. One row; first-touch
+    * timestamps compared as exact nano ints.
+    */
+  def funnel(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", expr("ts_ns div 1000"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", expr("ts_ns div 1000"))).as("first_purchase"))
+      .agg(
+        sum(when(col("first_signup").isNotNull, 1).otherwise(0)).as("n_signup"),
+        sum(when(col("first_purchase").isNotNull, 1).otherwise(0)).as("n_purchase"),
+        sum(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_signup"), 1).otherwise(0)).as("n_converted"))
+
+  /** Fixed-width value histogram per series. */
+  def histogram(events: DataFrame, binWidth: Double): DataFrame =
+    events
+      .groupBy(col("event_type").as("f1"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+
   /** Semi-structured props: extract a JSON field and aggregate on it —
     * kadiyadb has no payloads, but real metric pipelines tag events.
     */
