@@ -77,6 +77,27 @@ class TsdbSpec extends SparkSpec {
     assert(zero.length == 1 && zero.head.getAs[Double]("total") == 0.0)
   }
 
+  test("sessionize splits on inactivity gaps; funnel counts conversions; histogram bins") {
+    import spark.implicits._
+    val ev2 = Seq(
+      (1L, 7L, "signup", 1000000000L, 1.0),
+      (2L, 7L, "purchase", 1000000000L + 300e9.toLong, 60.0), // +5 min, same session
+      (3L, 7L, "purchase", 1000000000L + 7200e9.toLong, 10.0), // +2h, new session
+      (4L, 8L, "purchase", 1000000000L, 5.0)) // purchase with no signup
+      .toDF("event_id", "user_id", "event_type", "ts_ns", "value")
+    val sessions = graft.core.Tsdb.sessionize(ev2, 30).collect()
+    assert(sessions.count(_.getAs[Long]("user_id") == 7L) == 2)
+    val s1 = sessions.find(r => r.getAs[Long]("user_id") == 7L &&
+      r.getAs[Long]("session_id") == 1L).get
+    assert(s1.getAs[Long]("n_events") == 2L && s1.getAs[Double]("total_value") == 61.0)
+    val f = graft.core.Tsdb.funnel(ev2).head()
+    assert(f.getAs[Long]("n_signup") == 1L && f.getAs[Long]("n_purchase") == 2L &&
+      f.getAs[Long]("n_converted") == 1L)
+    val h = graft.core.Tsdb.histogram(ev2, 50.0).collect()
+    assert(h.find(r => r.getAs[String]("f1") == "purchase" && r.getAs[Long]("bin") == 1L)
+      .get.getAs[Long]("cnt") == 1L)
+  }
+
   test("latest / rate / movingAvg / topk / avgValue") {
     val pts = Tsdb.points(ev)
     val last = Tsdb.latest(pts).collect()
