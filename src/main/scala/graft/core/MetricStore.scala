@@ -3,50 +3,65 @@ package graft.core
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Store parameters — the Spark-native analog of kadiyadb's params.json
   * (/root/reference/database.go:15-31): resolution buckets points, epochs
-  * partition storage, retention bounds history. MaxRO/MaxRWEpochs (an mmap
-  * cache concern) have no Spark equivalent — the executor cache + partition
-  * pruning fill that role.
+  * partition storage, retention bounds history, `fields` names the series
+  * hierarchy levels. MaxRO/MaxRWEpochs (an mmap cache concern) have no
+  * Spark equivalent — the executor cache + partition pruning fill that role.
   */
 final case class StoreParams(
     resolution: String = "hour",
     epochDuration: String = "day",
-    retentionEpochs: Int = 30)
+    retentionEpochs: Int = 30,
+    fields: Seq[String] = Seq("f1", "f2"))
 
 /** Parquet-backed metric store with kadiyadb's DB API surface
-  * (Track / Fetch / Expire / Sync — /root/reference/database.go:153-264).
+  * (Track / Fetch / Expire / Sync — /root/reference/database.go:153-264),
+  * supporting arbitrary-depth field hierarchies like the reference's index
+  * tree (/root/reference/index/node.go).
   *
   * Layout: one parquet dataset partitioned by `epoch` (duration-floored
   * bucket). Track appends pre-aggregated segment files (the analog of RW
-  * epoch blocks); Fetch merges segments with a sum-reaggregation (the
-  * analog of reading RO+RW epochs) and prunes partitions via the epoch
-  * predicate. Expire drops whole epoch partition directories, exactly like
-  * cache.Expire's os.RemoveAll (/root/reference/epoch/cache.go:136-156).
+  * epoch blocks) covering EVERY prefix of the field list (epoch.go:66-80);
+  * Fetch merges segments with a sum-reaggregation (the analog of reading
+  * RO+RW epochs) and prunes partitions via the epoch predicate. Expire
+  * drops whole epoch partition directories, exactly like cache.Expire's
+  * os.RemoveAll (/root/reference/epoch/cache.go:136-156).
   *
   * At cluster scale the same layout holds: epoch partitioning → partition
-  * pruning; appends are small per-epoch deltas; a periodic compaction
-  * (rewrite of one epoch partition) bounds segment counts.
+  * pruning; appends are small per-epoch deltas; compact() bounds segment
+  * counts per epoch.
   */
 final class MetricStore(spark: SparkSession, path: String, params: StoreParams = StoreParams()) {
 
   private val dataDir = s"$path/points"
+  private val nFields = params.fields.length
+  require(nFields >= 1, "at least one series field required")
+
+  private def fieldCols: Seq[Column] = params.fields.map(col)
+
+  /** Depth of a (possibly rolled-up) row = index of last non-null field.
+    * Forward fold so the DEEPEST field ends up as the outermost test.
+    */
+  private def depthCol: Column =
+    params.fields.zipWithIndex
+      .foldLeft(lit(0)) { case (acc, (f, i)) => when(col(f).isNotNull, i + 1).otherwise(acc) }
 
   /** Track: accumulate (total, count) per series prefix and bucket, append
-    * to the epoch-partitioned store. Input schema: (ts, f1, f2, value).
+    * to the epoch-partitioned store. Input schema: (ts, fields..., value).
+    * One grouping-sets aggregation covers all prefix depths.
     */
   def track(events: DataFrame): Unit = {
-    val base = events
-      .withColumn("bucket", Tsdb.bucket(col("ts"), params.resolution))
+    writeParamsIfAbsent()
+    val base = events.withColumn("bucket", Tsdb.bucket(col("ts"), params.resolution))
+    val sets = (1 to nFields).map(i => fieldCols.take(i) :+ col("bucket"))
     val pts = base
-      .groupingSets(
-        Seq(Seq(col("f1"), col("bucket")), Seq(col("f1"), col("f2"), col("bucket"))),
-        col("f1"), col("f2"), col("bucket"))
+      .groupingSets(sets, (fieldCols :+ col("bucket")): _*)
       .agg(sum(col("value")).as("total"), count(lit(1)).as("cnt"))
-      .withColumn("depth", when(col("f2").isNull, 1).otherwise(2))
+      .withColumn("depth", depthCol)
       .withColumn("epoch",
         date_format(Tsdb.epochOf(col("bucket"), params.epochDuration), "yyyy-MM-dd"))
     pts.write.mode("append").partitionBy("epoch").parquet(dataDir)
@@ -61,18 +76,27 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
       // partition-column inference types epoch=yyyy-MM-dd as DATE; keep the
       // store's contract stable as an ISO string (lexicographic == temporal)
       .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
-      .groupBy(col("epoch"), col("depth"), col("f1"), col("f2"), col("bucket"))
+      .groupBy((Seq(col("epoch"), col("depth")) ++ fieldCols :+ col("bucket")): _*)
       .agg(sum(col("total")).as("total"), sum(col("cnt")).as("cnt"))
 
-  /** Fetch: field-pattern + [from, to) range, kadiyadb Fetch semantics.
-    * The range predicate on `epoch` (a partition column) prunes whole
-    * epoch directories before any file is read.
+  /** Fetch: field-pattern + [from, to) range, kadiyadb Fetch semantics
+    * (pattern length = queried depth; None = `*` wildcard). The range
+    * predicate on `epoch` (a partition column) prunes whole epoch
+    * directories before any file is read.
     */
   def fetch(from: String, to: String, pattern: Seq[Option[String]]): DataFrame = {
+    require(pattern.length <= nFields, s"pattern deeper than ${params.fields}")
     val pruned = points()
       .filter(col("epoch") >= date_format(Tsdb.epochOf(lit(from), params.epochDuration), "yyyy-MM-dd")
         && col("epoch") <= date_format(Tsdb.epochOf(lit(to), params.epochDuration), "yyyy-MM-dd"))
-    Tsdb.fetch(pruned, lit(from), lit(to), pattern)
+    val depthMatch = col("depth") === lit(pattern.length)
+    val fieldMatch = pattern.zip(fieldCols).foldLeft(depthMatch) {
+      case (acc, (Some(v), c)) => acc && c === lit(v)
+      case (acc, (None, _))    => acc // wildcard
+    }
+    pruned.filter(fieldMatch &&
+      col("bucket") >= lit(from).cast("timestamp_ntz") &&
+      col("bucket") < lit(to).cast("timestamp_ntz"))
   }
 
   /** Expire: physically drop epoch partitions older than `retentionEpochs`
@@ -107,16 +131,25 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     val merged = spark.read.parquet(dataDir)
       .filter(col("epoch") === epoch)
       .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
-      .groupBy(col("epoch"), col("depth"), col("f1"), col("f2"), col("bucket"))
+      .groupBy((Seq(col("epoch"), col("depth")) ++ fieldCols :+ col("bucket")): _*)
       .agg(sum(col("total")).as("total"), sum(col("cnt")).as("cnt"))
-      .select(col("f1"), col("f2"), col("bucket"), col("total"), col("cnt"),
-        col("depth"), col("epoch"))
+      .select((fieldCols ++ Seq(col("bucket"), col("total"), col("cnt"),
+        col("depth"), col("epoch"))): _*)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(dataDir)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  private def writeParamsIfAbsent(): Unit = {
+    val p = Paths.get(path, MetricStore.ParamFile)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      val json = s"""{"resolution":"${params.resolution}","epochDuration":"${params.epochDuration}","retentionEpochs":${params.retentionEpochs},"fields":[${params.fields.map("\"" + _ + "\"").mkString(",")}]}"""
+      Files.writeString(p, json)
     }
   }
 
@@ -129,5 +162,55 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
         .map(p => (p.getFileName.toString.stripPrefix("epoch="), p))
         .toSeq
     } finally s.close()
+  }
+}
+
+object MetricStore {
+
+  /** Name of the per-store config file, like kadiyadb's params.json
+    * (/root/reference/database.go:30).
+    */
+  val ParamFile = "params.json"
+
+  /** LoadAll: open every store under `rootDir` that has a params.json —
+    * the directory-of-databases layout of kadiyadb.LoadAll
+    * (/root/reference/database.go:66-124). Unparseable stores are skipped,
+    * matching the reference's tolerant loop.
+    */
+  def loadAll(spark: SparkSession, rootDir: String): Map[String, MetricStore] = {
+    val root = Paths.get(rootDir)
+    if (!Files.exists(root)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(root)
+    try {
+      s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .flatMap { dir =>
+          val pf = dir.resolve(ParamFile)
+          if (!Files.exists(pf)) None
+          else parseParams(Files.readString(pf)).map { params =>
+            dir.getFileName.toString -> new MetricStore(spark, dir.toString, params)
+          }
+        }
+        .toMap
+    } finally s.close()
+  }
+
+  /** Minimal params.json parser (flat schema, no external deps). */
+  private[core] def parseParams(json: String): Option[StoreParams] = {
+    def str(key: String) =
+      s""""$key"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    def num(key: String) =
+      s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    def arr(key: String) =
+      s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+    for {
+      res <- str("resolution")
+      dur <- str("epochDuration")
+      ret <- num("retentionEpochs")
+      fs <- arr("fields")
+      if fs.nonEmpty && fs.forall(_.nonEmpty)
+    } yield StoreParams(res, dur, ret, fs)
   }
 }

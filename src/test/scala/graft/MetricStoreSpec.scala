@@ -35,6 +35,49 @@ class MetricStoreSpec extends SparkSpec {
     assert(wild.length == 2)
   }
 
+  test("arbitrary-depth hierarchies: 3-level fields, fetch at every depth") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftstore").toString
+    val store = new MetricStore(spark, dir,
+      StoreParams(fields = Seq("dc", "host", "metric")))
+    val ev = Seq(
+      ("2024-01-01 10:05:00", "us", "h1", "cpu", 10.0),
+      ("2024-01-01 10:20:00", "us", "h1", "mem", 4.0),
+      ("2024-01-01 10:30:00", "us", "h2", "cpu", 2.0),
+      ("2024-01-01 10:40:00", "eu", "h3", "cpu", 1.0))
+      .toDF("ts", "dc", "host", "metric", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    store.track(ev)
+    // depth 1: rollup across all us hosts+metrics
+    val d1 = store.fetch("2024-01-01", "2024-01-02", Seq(Some("us"))).collect()
+    assert(d1.length == 1 && d1.head.getAs[Double]("total") == 16.0)
+    // depth 2 wildcard dc: all hosts named h1
+    val d2 = store.fetch("2024-01-01", "2024-01-02", Seq(None, Some("h1"))).collect()
+    assert(d2.length == 1 && d2.head.getAs[Long]("cnt") == 2L)
+    // depth 3 exact
+    val d3 = store.fetch("2024-01-01", "2024-01-02",
+      Seq(Some("us"), Some("h2"), Some("cpu"))).collect()
+    assert(d3.length == 1 && d3.head.getAs[Double]("total") == 2.0)
+  }
+
+  test("loadAll opens every store with a params.json (kadiyadb LoadAll)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftroot").toString
+    val a = new MetricStore(spark, s"$root/metrics_a",
+      StoreParams(fields = Seq("dc", "host", "metric")))
+    a.track(Seq(("2024-01-01 10:05:00", "us", "h1", "cpu", 1.0))
+      .toDF("ts", "dc", "host", "metric", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz")))
+    val b = new MetricStore(spark, s"$root/metrics_b", StoreParams(retentionEpochs = 7))
+    b.track(mkEvents(Seq(("2024-01-02 00:00:00", "cpu", "h", 1.0))))
+    Files.createDirectory(java.nio.file.Paths.get(s"$root/not_a_store"))
+    val stores = MetricStore.loadAll(spark, root)
+    assert(stores.keySet == Set("metrics_a", "metrics_b"))
+    val r = stores("metrics_a").fetch("2024-01-01", "2024-01-02",
+      Seq(Some("us"), Some("h1"), Some("cpu"))).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("total") == 1.0)
+  }
+
   test("compact merges an epoch's append segments without changing results") {
     val dir = Files.createTempDirectory("graftstore").toString
     val store = new MetricStore(spark, dir)
