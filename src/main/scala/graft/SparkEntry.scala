@@ -62,6 +62,7 @@ object SparkEntry {
     "ts_sessionize" -> ((s, dir) => Tsdb.sessionize(t(s, dir, "events"), 30)),
     "ts_funnel" -> ((s, dir) => Tsdb.funnel(t(s, dir, "events"))),
     "ts_histogram" -> ((s, dir) => Tsdb.histogram(t(s, dir, "events"), 50.0)),
+    "ts_zscore" -> ((s, dir) => Tsdb.zscore(Tsdb.points1(t(s, dir, "events")))),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -239,6 +240,12 @@ object SparkEntry {
       """SELECT event_type AS f1, CAST(floor(value / 50.0) AS BIGINT) AS bin,
          count(*) AS cnt, round(sum(value),2) AS total
          FROM events GROUP BY 1, 2""",
+
+    "ts_zscore" -> s"""$store1
+         SELECT f1, bucket,
+                round((total - avg(total) OVER (PARTITION BY f1))
+                      / stddev_samp(total) OVER (PARTITION BY f1), 2) AS z
+         FROM store""",
 
     "ts_props_extract" ->
       """SELECT event_type AS f1,

@@ -284,6 +284,16 @@ object Tsdb {
         sum(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
           col("first_purchase") > col("first_signup"), 1).otherwise(0)).as("n_converted"))
 
+  /** Per-series z-score anomaly signal over depth-1 points: how far each
+    * bucket's total deviates from the series' mean, in sample stddevs.
+    */
+  def zscore(pts1: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("f1"))
+    pts1.select(col("f1"), col("bucket"),
+      round((col("total") - avg(col("total")).over(w)) /
+        stddev_samp(col("total")).over(w), 2).as("z"))
+  }
+
   /** Fixed-width value histogram per series. */
   def histogram(events: DataFrame, binWidth: Double): DataFrame =
     events
