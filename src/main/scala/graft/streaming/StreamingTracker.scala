@@ -41,6 +41,48 @@ object StreamingTracker {
       .format("parquet")
       .start(outDir)
 
+  /** Continuous ingestion INTO a MetricStore: the streaming twin of
+    * MetricStore.track. One streaming aggregation per prefix depth (Spark
+    * disallows grouping sets in a single streaming agg), each appending
+    * store-layout segments (fields…, bucket, total, cnt, depth, epoch=…)
+    * under `<storePath>/points`; closed windows become segments the
+    * store's segment-merging fetch already handles. Returns one
+    * StreamingQuery per depth.
+    */
+  def startIntoStore(events: DataFrame, storePath: String,
+      checkpointDir: String, resolution: String = "1 hour",
+      watermark: String = "2 hours"): Seq[StreamingQuery] = {
+    val dataDir = s"$storePath/points"
+    val d2 = trackStream(events, resolution, watermark)
+      .select(col("f1"), col("f2"), col("bucket"), col("total"), col("cnt"))
+      .withColumn("depth", lit(2))
+    val d1 = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), resolution), col("f1"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("cnt"))
+      .select(col("f1"), lit(null).cast("string").as("f2"), col("window.start").as("bucket"),
+        col("total"), col("cnt"))
+      .withColumn("depth", lit(1))
+    // ONE query over the union of both depth aggregations (Spark 4 supports
+    // multiple stateful operators): a single writer owns the directory, so
+    // batch appends can't race on _temporary. foreachBatch + plain batch
+    // append (not a streaming file sink) writes the exact segment layout
+    // MetricStore.track uses; replays are at-least-once, which the store's
+    // fetch re-merge treats as extra segments.
+    val q = d2.union(d1)
+      .withColumn("bucket", col("bucket").cast("timestamp_ntz"))
+      .withColumn("epoch", date_format(date_trunc("day", col("bucket")), "yyyy-MM-dd"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .option("checkpointLocation", s"$checkpointDir/union")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("epoch").parquet(dataDir)
+      }
+      .start()
+    Seq(q)
+  }
+
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
   final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
 

@@ -33,6 +33,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startIntoStore: streamed windows are fetchable through MetricStore") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("streamstore").toString
+    val chk = java.nio.file.Files.createTempDirectory("streamchk").toString
+    val input = MemoryStream[Point]
+    val qs = StreamingTracker.startIntoStore(input.toDF(), root, chk,
+      resolution = "1 hour", watermark = "0 seconds")
+    try {
+      input.addData(
+        Point("cpu", "h1", ts("2024-01-01 10:05:00"), 10.0),
+        Point("cpu", "h1", ts("2024-01-01 10:50:00"), 5.0),
+        Point("cpu", "h2", ts("2024-01-01 11:10:00"), 2.0))
+      qs.foreach(_.processAllAvailable())
+      // advance the watermark so the 10:00/11:00 windows close and flush
+      input.addData(Point("cpu", "h9", ts("2024-01-01 13:00:00"), 0.0))
+      qs.foreach(_.processAllAvailable())
+      val store = new graft.core.MetricStore(spark, root)
+      val exact = store.fetch("2024-01-01", "2024-01-02", Seq(Some("cpu"), Some("h1"))).collect()
+      assert(exact.length == 1 && exact.head.getAs[Double]("total") == 15.0)
+      val rollup = store.fetch("2024-01-01", "2024-01-02", Seq(Some("cpu"))).collect()
+      assert(rollup.map(_.getAs[Long]("cnt")).sum == 3L)
+    } finally qs.foreach(_.stop())
+  }
+
   test("latestPerSeries keeps the newest point via mapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
