@@ -179,6 +179,11 @@ object PipelineOracles {
                      ELSE 'und' END AS pred_lang
          FROM c""",
 
+    "sample_stratified" -> s"""
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE ${h60("CAST(doc_id AS VARCHAR) || 'r1'")} % 100 <
+               (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END)""",
+
     "text_fingerprint" -> s"""WITH $tok
          SELECT doc_id,
                 list_reduce(list_prepend(0, list_transform(tk,

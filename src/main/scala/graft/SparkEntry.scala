@@ -78,6 +78,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "sample_stratified" -> ((s, dir) => TextAnalysis.sampleStratified(
+      t(s, dir, "documents"), col("lang"), Map("en" -> 50, "zh" -> 10), 25, "r1")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
   )
 

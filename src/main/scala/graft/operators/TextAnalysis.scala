@@ -58,6 +58,23 @@ object TextAnalysis {
           .otherwise("und"))
   }
 
+  /** Deterministic stratified sampling for training-data curation: keep a
+    * per-stratum fraction of docs, selected by content hash rather than
+    * rand() — reproducible across runs, engines and cluster sizes, and
+    * skew-free. rates = stratum → percentage [0,100).
+    */
+  def sampleStratified(docs: DataFrame, stratum: Column, rates: Map[String, Int],
+      default: Int, salt: String): DataFrame = {
+    val pct = rates.foldLeft(when(lit(false), lit(default))) {
+      case (acc, (k, v)) => acc.when(stratum === k, v)
+    }.otherwise(default)
+    docs
+      .withColumn("__bucket",
+        graft.functions.Hashing.h60mod(concat(col("doc_id").cast("string"), lit(salt)), 100L))
+      .filter(col("__bucket") < pct)
+      .drop("__bucket")
+  }
+
   /** Document fingerprint: rolling polynomial hash over the token stream
     * (order-sensitive, multiplicity-sensitive).
     */
