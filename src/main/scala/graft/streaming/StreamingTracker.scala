@@ -65,10 +65,9 @@ object StreamingTracker {
       .withColumn("depth", lit(1))
     // ONE query over the union of both depth aggregations (Spark 4 supports
     // multiple stateful operators): a single writer owns the directory, so
-    // batch appends can't race on _temporary. foreachBatch + plain batch
-    // append (not a streaming file sink) writes the exact segment layout
-    // MetricStore.track uses; replays are at-least-once, which the store's
-    // fetch re-merge treats as extra segments.
+    // batch appends can't race on _temporary. foreachBatch + the idempotent
+    // commitBatch below writes the exact segment layout MetricStore.track
+    // uses, exactly-once under micro-batch replay.
     val q = d2.union(d1)
       .withColumn("bucket", col("bucket").cast("timestamp_ntz"))
       .withColumn("epoch", date_format(date_trunc("day", col("bucket")), "yyyy-MM-dd"))
@@ -76,11 +75,40 @@ object StreamingTracker {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .option("checkpointLocation", s"$checkpointDir/union")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("epoch").parquet(dataDir)
-      }
+      .foreachBatch(commitBatch(storePath) _)
       .start()
     Seq(q)
+  }
+
+  /** Exactly-once micro-batch commit: stage → move → marker.
+    * A replayed batchId is skipped (marker exists), and a crash between
+    * stage and marker leaves only staging files (invisible to the store)
+    * or fully-moved files + no marker, in which case the replay re-moves
+    * over the same deterministic file names — never double data.
+    */
+  def commitBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val marker = Paths.get(storePath, "_commits", batchId.toString)
+    if (Files.exists(marker)) return // replay of a committed batch
+    val stagingDir = Paths.get(storePath, "_staging", batchId.toString)
+    // one file per epoch: the move target `batch-<id>.parquet` is then
+    // fully deterministic, so a re-move after a crash overwrites rather
+    // than duplicates (Spark part names contain fresh UUIDs on replay)
+    batch.coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(stagingDir.toString)
+    Files.list(stagingDir).forEach { epochDir =>
+      val name = epochDir.getFileName.toString
+      if (name.startsWith("epoch=")) {
+        val target = Paths.get(storePath, "points", name)
+        Files.createDirectories(target)
+        Files.list(epochDir).forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            Files.move(f, target.resolve(s"batch-$batchId.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    Files.createDirectories(marker.getParent)
+    Files.createFile(marker)
   }
 
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)

@@ -58,6 +58,21 @@ class StreamingSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("commitBatch is exactly-once under micro-batch replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("commitstore").toString
+    val batch = Seq(("cpu", "h1", "2024-01-01 10:00:00", 15.0, 2L, 2))
+      .toDF("f1", "f2", "bucket", "total", "cnt", "depth")
+      .withColumn("bucket", org.apache.spark.sql.functions.col("bucket").cast("timestamp_ntz"))
+      .withColumn("epoch", org.apache.spark.sql.functions.lit("2024-01-01"))
+    StreamingTracker.commitBatch(root)(batch, 7L)
+    StreamingTracker.commitBatch(root)(batch, 7L) // replay of the same batch
+    val store = new graft.core.MetricStore(spark, root)
+    val r = store.fetch("2024-01-01", "2024-01-02", Seq(Some("cpu"), Some("h1"))).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("total") == 15.0
+      && r.head.getAs[Long]("cnt") == 2L) // not doubled
+  }
+
   test("latestPerSeries keeps the newest point via mapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
