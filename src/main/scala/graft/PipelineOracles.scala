@@ -184,6 +184,16 @@ object PipelineOracles {
          WHERE ${h60("CAST(doc_id AS VARCHAR) || 'r1'")} % 100 <
                (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END)""",
 
+    "text_top_bigrams" -> s"""WITH $tok,
+         bg AS (SELECT doc_id, unnest(
+                  CASE WHEN len(tk) >= 2
+                       THEN list_transform(generate_series(1, len(tk)-1),
+                                           i -> array_to_string(tk[i:i+1], ' '))
+                       ELSE []::VARCHAR[] END) AS bigram FROM tok)
+         SELECT bigram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+         FROM bg GROUP BY 1
+         ORDER BY occurrences DESC, bigram LIMIT 20""",
+
     "text_fingerprint" -> s"""WITH $tok
          SELECT doc_id,
                 list_reduce(list_prepend(0, list_transform(tk,

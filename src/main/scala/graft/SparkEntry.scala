@@ -30,6 +30,8 @@ object SparkEntry {
     "q12_priority_split" -> (Analytics.q12 _),
     "q14_type_share" -> (Analytics.q14 _),
     "q18_large_orders" -> (Analytics.q18 _),
+    "q19_disjunctive" -> (Analytics.q19 _),
+    "q22_idle_customers" -> (Analytics.q22 _),
 
     // ---- A. tsdb core -------------------------------------------------
     "ts_track_rollup" -> ((s, dir) => Tsdb.trackRollup(t(s, dir, "events"))),
@@ -78,6 +80,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(t(s, dir, "documents"), 20)),
     "sample_stratified" -> ((s, dir) => TextAnalysis.sampleStratified(
       t(s, dir, "documents"), col("lang"), Map("en" -> 50, "zh" -> 10), 25, "r1")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
@@ -202,6 +205,22 @@ object SparkEntry {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q22_idle_customers" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal),2) AS totacctbal
+         FROM customer, ab
+         WHERE c_acctbal > ab.a
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_nationkey""",
 
     "ts_percentile" ->
       """SELECT event_type AS f1,

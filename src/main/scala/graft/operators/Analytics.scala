@@ -146,6 +146,38 @@ object Analytics {
           / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("standard_revenue_pct"))
 
+  /** TPC-H Q19 (adapted): disjunctive multi-attribute predicates — tests
+    * OR-of-ANDs pushdown and join-then-filter planning.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q22 (adapted): customers above the average balance with no
+    * RECENT orders — scalar subquery + filtered anti-join.
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
   /** TPC-H Q18 (adapted): large-volume orders (HAVING subquery join). */
   def q18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")

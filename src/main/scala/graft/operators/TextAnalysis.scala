@@ -58,6 +58,22 @@ object TextAnalysis {
           .otherwise("und"))
   }
 
+  /** Corpus bigram statistics: top word pairs across the corpus (document
+    * frequency + total occurrences) — the distributional profile used for
+    * contamination and boilerplate screening.
+    */
+  def topBigrams(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) >= 2
+                THEN transform(sequence(1, size(tk) - 1), i -> array_join(slice(tk, i, 2), ' '))
+                ELSE slice(tk, 1, 0) END""")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("bigram"))
+      .limit(k)
+
   /** Deterministic stratified sampling for training-data curation: keep a
     * per-stratum fraction of docs, selected by content hash rather than
     * rand() — reproducible across runs, engines and cluster sizes, and
