@@ -201,6 +201,15 @@ object PipelineOracles {
                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
          FROM tok""",
 
+    "mm_frame_sample" -> s"""WITH h AS (
+           SELECT doc_id, md5(text) AS content_hash,
+                  CAST(1 + ${h60("text")} % 8 AS INT) AS n_frames FROM documents),
+         fr AS (SELECT doc_id, content_hash,
+                       unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx FROM h)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                CAST(${h60("content_hash || '_f' || frame_idx")} AS BIGINT) AS frame_hash
+         FROM fr""",
+
     "mm_binary_meta" -> s"""WITH h AS (
            SELECT doc_id, text, CAST(${h60("text")} AS BIGINT) AS hm FROM documents)
          SELECT doc_id, octet_length(text::BLOB) AS byte_len, md5(text) AS content_hash,

@@ -85,6 +85,7 @@ object SparkEntry {
       t(s, dir, "documents"), col("lang"), Map("en" -> 50, "zh" -> 10), 25, "r1")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(t(s, dir, "documents"), 2)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -29,6 +29,39 @@ object Multimodal {
         expr("CAST(64 + (hm div 512) % 512 AS INT)").as("height"),
         expr("CAST(1 + hm % 8 AS INT)").as("n_frames"))
 
+  /** Frame sampling: one row per sampled frame index (every `everyN`th of
+    * the decoded n_frames), with a deterministic per-frame content hash.
+    * Real plumbing: explode + per-frame derivation; the frame decode
+    * itself is the same md5-stub as binaryMeta.
+    */
+  def frameSample(docs: DataFrame, everyN: Int): DataFrame =
+    binaryMeta(docs)
+      .select(col("doc_id"), col("content_hash"), col("n_frames"),
+        explode(expr(s"sequence(0, n_frames - 1, $everyN)")).as("frame_idx"))
+      .withColumn("frame_hash",
+        Hashing.h60(concat(col("content_hash"), lit("_f"), col("frame_idx"))))
+      .select(col("doc_id"), col("frame_idx"), col("frame_hash"))
+
+  /** Resize: recompute target dimensions preserving aspect ratio against a
+    * bounding box — metadata-level op; a real codec would transform pixels.
+    */
+  def resize(meta: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    meta.withColumn("scale",
+        least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"), lit(1.0)))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+      .drop("scale")
+
+  /** Feature extraction STUB: a deterministic 8-dim pseudo-embedding per
+    * payload (hash-derived floats in [-1,1)). Schema/batching is what a
+    * real extractor would produce (array<float> column).
+    */
+  def featureExtract(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("""transform(sequence(0, 7), i ->
+                CAST((CAST(conv(substring(md5(concat(text, '_e', i)), 1, 15), 16, 10) AS BIGINT)
+                      % 2000 - 1000) / 1000.0 AS FLOAT))""").as("features"))
+
   final case class MediaBatch(doc_id: Long, payload: Array[Byte])
   final case class DecodedMedia(
       doc_id: Long, byte_len: Int, width: Int, height: Int, n_frames: Int)

@@ -40,6 +40,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) >= 0L && fp(1L) < 2147483647L)
   }
 
+  test("multimodal: resize preserves aspect ratio; featureExtract is deterministic") {
+    val meta = Multimodal.binaryMeta(docs)
+    val resized = Multimodal.resize(meta, 128, 128).collect()
+    assert(resized.forall { r =>
+      val (w, h, ow, oh) = (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      ow <= 128 && oh <= 128 && ow <= w && oh <= h &&
+        math.abs(ow.toDouble / oh - w.toDouble / h) < 0.1
+    })
+    val f1 = Multimodal.featureExtract(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.featureExtract(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2 && f1.values.forall(v => v.length == 8 && v.forall(x => x >= -1f && x < 1f)))
+  }
+
   test("multimodal: declarative binaryMeta equals the batched mapPartitions decode") {
     import spark.implicits._
     val declarative = Multimodal.binaryMeta(docs).collect()
