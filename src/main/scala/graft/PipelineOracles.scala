@@ -61,7 +61,21 @@ object PipelineOracles {
                   WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= $threshold)"""
   }
 
+  private val sh8 =
+    """sh8 AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(tk) >= 8
+              THEN list_transform(generate_series(1, len(tk)-7),
+                                  i -> array_to_string(tk[i:i+7], ' '))
+              ELSE []::VARCHAR[] END)) AS shingle FROM tok)"""
+
   def all: Map[String, String] = Map(
+    "contamination_check" -> s"""WITH $tok, $sh8,
+         f AS (SELECT s.doc_id, s.shingle, (s.doc_id < 50) AS is_test FROM sh8 s)
+         SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS shared_ngrams
+         FROM (SELECT doc_id, shingle FROM f WHERE NOT is_test) tr
+         JOIN (SELECT doc_id, shingle FROM f WHERE is_test) te USING (shingle)
+         GROUP BY 1, 2""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1""",

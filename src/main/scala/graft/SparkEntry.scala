@@ -30,6 +30,7 @@ object SparkEntry {
     "q12_priority_split" -> (Analytics.q12 _),
     "q14_type_share" -> (Analytics.q14 _),
     "q18_large_orders" -> (Analytics.q18 _),
+    "q13_order_distribution" -> (Analytics.q13 _),
     "q19_disjunctive" -> (Analytics.q19 _),
     "q22_idle_customers" -> (Analytics.q22 _),
 
@@ -73,6 +74,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 2)),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
     "dedup_survivors" -> ((s, dir) => Dedup.survivors(t(s, dir, "documents"), 0.5)),
+    "contamination_check" -> ((s, dir) =>
+      Dedup.contamination(t(s, dir, "documents"), col("doc_id") < 50, 8)),
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 10, 5)),
@@ -206,6 +209,12 @@ object SparkEntry {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q13_order_distribution" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+           SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) GROUP BY n_orders""",
 
     "q19_disjunctive" ->
       """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt

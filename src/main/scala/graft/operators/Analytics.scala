@@ -178,6 +178,17 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
   }
 
+  /** TPC-H Q13: customer order-count distribution — left outer join with
+    * a double aggregation (customers with zero orders included).
+    */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+
   /** TPC-H Q18 (adapted): large-volume orders (HAVING subquery join). */
   def q18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")

@@ -126,6 +126,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Train/test contamination detection: training docs sharing at least
+    * one n-gram (n=8 default: long enough that chance collisions are
+    * negligible) with any held-out test doc. The n-gram equi-join scales
+    * like the dedup shingle join — candidates only where text genuinely
+    * overlaps, never O(train × test).
+    */
+  def contamination(docs: DataFrame, isTest: Column, n: Int = 8): DataFrame = {
+    val sh = shingles(docs, n)
+      .join(docs.select(col("doc_id"), isTest.as("__is_test")), "doc_id")
+    val test = sh.filter(col("__is_test")).select(col("doc_id").as("test_id"), col("shingle"))
+    val train = sh.filter(!col("__is_test")).select(col("doc_id").as("train_id"), col("shingle"))
+    train.join(test, "shingle")
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** End-to-end dedup: the corpus with near-duplicates removed. Greedy
     * keep-first policy: a doc is dropped iff it is the higher-id member of
     * any near-dup pair (standard first-occurrence-wins dedup; one anti-join,

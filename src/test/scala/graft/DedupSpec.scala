@@ -52,6 +52,14 @@ class DedupSpec extends SparkSpec {
       x.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("contamination finds train docs sharing an n-gram with test docs") {
+    import org.apache.spark.sql.functions.col
+    val r = Dedup.contamination(docs, col("doc_id") <= 2L, n = 5).collect()
+    // docs 1,2 are test; train doc 3 shares long spans with both; doc 4 with neither
+    val pairs = r.map(x => (x.getAs[Long]("train_id"), x.getAs[Long]("test_id"))).toSet
+    assert(pairs == Set((3L, 1L), (3L, 2L)))
+  }
+
   test("survivors drops the higher-id member of each near-dup pair") {
     import spark.implicits._
     val full = Seq(
