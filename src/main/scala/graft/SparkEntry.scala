@@ -66,6 +66,7 @@ object SparkEntry {
     "ts_funnel" -> ((s, dir) => Tsdb.funnel(t(s, dir, "events"))),
     "ts_histogram" -> ((s, dir) => Tsdb.histogram(t(s, dir, "events"), 50.0)),
     "ts_zscore" -> ((s, dir) => Tsdb.zscore(Tsdb.points1(t(s, dir, "events")))),
+    "ts_retention_cohorts" -> ((s, dir) => Tsdb.retentionCohorts(t(s, dir, "events"))),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -238,6 +239,14 @@ object SparkEntry {
          round(quantile_cont(value, 0.95), 4) AS p95,
          count(*) AS cnt
          FROM events GROUP BY 1""",
+
+    "ts_retention_cohorts" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         cohorts AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1)
+         SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+                count(DISTINCT d.user_id) AS n_users
+         FROM days d JOIN cohorts c ON d.user_id = c.user_id
+         GROUP BY 1, 2""",
 
     "ts_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -294,6 +294,18 @@ object Tsdb {
         stddev_samp(col("total")).over(w), 2).as("z"))
   }
 
+  /** Cohort retention: users grouped by first-seen day, counted per
+    * day-offset of later activity — two chained aggregations, the second
+    * joining each event back to its user's cohort.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), epochOf(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Fixed-width value histogram per series. */
   def histogram(events: DataFrame, binWidth: Double): DataFrame =
     events
