@@ -67,6 +67,7 @@ object SparkEntry {
     "ts_histogram" -> ((s, dir) => Tsdb.histogram(t(s, dir, "events"), 50.0)),
     "ts_zscore" -> ((s, dir) => Tsdb.zscore(Tsdb.points1(t(s, dir, "events")))),
     "ts_retention_cohorts" -> ((s, dir) => Tsdb.retentionCohorts(t(s, dir, "events"))),
+    "ts_heatmap" -> ((s, dir) => Tsdb.heatmap(t(s, dir, "events"))),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -239,6 +240,11 @@ object SparkEntry {
          round(quantile_cont(value, 0.95), 4) AS p95,
          count(*) AS cnt
          FROM events GROUP BY 1""",
+
+    "ts_heatmap" ->
+      """SELECT dayofweek(ts) AS dow, extract(hour FROM ts) AS hod,
+         count(*) AS cnt, round(sum(value),2) AS total
+         FROM events GROUP BY 1, 2""",
 
     "ts_retention_cohorts" ->
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -294,6 +294,15 @@ object Tsdb {
         stddev_samp(col("total")).over(w), 2).as("z"))
   }
 
+  /** Occupancy heatmap: activity grid over day-of-week x hour-of-day
+    * (0=Sunday, matching DuckDB's dayofweek; Spark's is 1-based).
+    */
+  def heatmap(events: DataFrame): DataFrame =
+    events.groupBy(
+        (dayofweek(col("ts")) - 1).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+
   /** Cohort retention: users grouped by first-seen day, counted per
     * day-offset of later activity — two chained aggregations, the second
     * joining each event back to its user's cohort.
