@@ -34,6 +34,22 @@ object PipelineOracles {
   private val nrm =
     s"""nrm AS (SELECT vec_id, sqrt(${dot64("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
+  /** Hyperplane-LSH signature CTE chain (dps → sigs), the DuckDB twin of
+    * Similarity.lshSignature — identical md5-derived ±1 plane literals.
+    */
+  private val sigs: String = {
+    val planeSign =
+      s"(CASE WHEN ${h60("'plane' || p || '_' || i")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+    s"""dps AS (SELECT e.vec_id, ps.p,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> e.embedding[i]::DOUBLE * $planeSign)) AS dp
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.NumPlanes - 1})) AS p) ps),
+        sigs AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
+                 FROM dps GROUP BY 1)"""
+  }
+
   /** Full MinHash+LSH CTE chain ending in a `pairs` CTE (verified
     * candidate pairs at `threshold`), shared by the pair and survivor
     * queries.
@@ -70,7 +86,9 @@ object PipelineOracles {
 
   def all: Map[String, String] = Map(
     "contamination_check" -> s"""WITH $tok, $sh8,
-         f AS (SELECT s.doc_id, s.shingle, (s.doc_id < 50) AS is_test FROM sh8 s)
+         rare8 AS (SELECT shingle FROM sh8 GROUP BY 1 HAVING count(*) <= 50),
+         shc AS (SELECT sh8.doc_id, sh8.shingle FROM sh8 JOIN rare8 USING (shingle)),
+         f AS (SELECT s.doc_id, s.shingle, (s.doc_id < 50) AS is_test FROM shc s)
          SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS shared_ngrams
          FROM (SELECT doc_id, shingle FROM f WHERE NOT is_test) tr
          JOIN (SELECT doc_id, shingle FROM f WHERE is_test) te USING (shingle)
@@ -80,7 +98,15 @@ object PipelineOracles {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1""",
 
-    "dedup_ngram_jaccard" -> s"""WITH $tok, $sh, $jaccardTail
+    // document-frequency cap (<= 50) mirrors Dedup.capShingles: boilerplate
+    // shingles are dropped BEFORE sizes/intersections on both engines
+    "dedup_ngram_jaccard" -> s"""WITH $tok, $sh,
+         rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50),
+         shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
          SELECT doc_a, doc_b, floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.6""",
@@ -92,32 +118,73 @@ object PipelineOracles {
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)""",
 
+    // brute-force O(n²) over the 60-bit fingerprints: equals the Spark
+    // side's pigeonhole banding (complete for hamming <= SimhashBands-1)
+    // as long as no band bucket exceeds the cap — the cap never binds at
+    // oracle scale, so brute force is the stronger, independent check
     "dedup_simhash" -> {
-      val sums = (0 until 16)
+      val sums = (0 until Dedup.SimhashBits)
         .map(i => s"sum(CASE WHEN (hm // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
         .mkString(", ")
-      val fp = (0 until 16)
+      val fp = (0 until Dedup.SimhashBits)
         .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
         .mkString(" + ")
       s"""WITH $tok,
           tk2 AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM tok),
-          hm AS (SELECT doc_id, CAST(${h60("tok")} % 65536 AS BIGINT) AS hm FROM tk2),
+          hm AS (SELECT doc_id, CAST(${h60("tok")} AS BIGINT) AS hm FROM tk2),
           bits AS (SELECT doc_id, $sums FROM hm GROUP BY 1),
           fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM bits)
           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                  CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
           FROM fp x JOIN fp y ON x.doc_id < y.doc_id
-          WHERE bit_count(xor(x.fp, y.fp)) <= 2"""
+          WHERE bit_count(xor(x.fp, y.fp)) <= 3"""
     },
 
-    "dedup_embedding" -> s"""WITH $nrm
+    // banded-LSH blocking (4 bands × 2 sign bits) mirrors
+    // Similarity.embeddingDedup: only pairs sharing a band are compared
+    "dedup_embedding" -> s"""WITH $nrm, $sigs,
+         bands AS (SELECT s.vec_id, b.band, (s.sig >> (2 * b.band)) & 3 AS key
+                   FROM sigs s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+         cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
                 floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          FROM embeddings a
          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         JOIN cand ON cand.vec_a = a.vec_id AND cand.vec_b = b.vec_id
          JOIN nrm na ON na.vec_id = a.vec_id
          JOIN nrm nb ON nb.vec_id = b.vec_id
          WHERE floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 >= 0.4""",
+
+    // deterministic centroids: fixed-point integer sums (floor(v·1e7+0.5))
+    // replayed bit-for-bit from Similarity.ivfTopK
+    "ann_ivf_topk" -> s"""WITH $nrm,
+         flat AS (SELECT label, i.pos, embedding[i.pos]::DOUBLE AS v
+                  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         cent AS (SELECT label, pos,
+                         CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 10000000.0 / count(*) AS cv
+                  FROM flat GROUP BY 1, 2),
+         cvecs AS (SELECT label, list(CAST(cv AS REAL) ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+         cn AS (SELECT label, cvec, sqrt(${dot64("cvec", "cvec")}) AS cnrm FROM cvecs),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         pr AS (SELECT query_id, cn.label,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY ${dot64("qv", "cvec")} / (nq.nrm * cn.cnrm) DESC, cn.label) AS crnk
+                FROM q JOIN nrm nq ON nq.vec_id = query_id CROSS JOIN cn),
+         probes AS (SELECT query_id, label FROM pr WHERE crnk <= 2),
+         sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                       ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                FROM probes p JOIN q ON q.query_id = p.query_id
+                JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+                JOIN nrm nq ON nq.vec_id = p.query_id
+                JOIN nrm nc ON nc.vec_id = c.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                       cos FROM sc)
+         SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
+         FROM rk WHERE rnk <= 5""",
 
     "ann_bruteforce_topk" -> s"""WITH $nrm,
          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -132,17 +199,7 @@ object PipelineOracles {
          SELECT query_id, neighbor_id, rnk, floor((cos) * 10000.0 + 0.5) / 10000.0 AS score FROM rk WHERE rnk <= 5""",
 
     "ann_lsh_topk" -> {
-      val planeSign =
-        s"(CASE WHEN ${h60("'plane' || p || '_' || i")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
-      s"""WITH $nrm,
-          dps AS (SELECT e.vec_id, ps.p,
-                         list_sum(list_transform(generate_series(1, 64),
-                           i -> e.embedding[i]::DOUBLE * $planeSign)) AS dp
-                  FROM embeddings e
-                  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.NumPlanes - 1})) AS p) ps),
-          sigs AS (SELECT vec_id,
-                          CAST(sum(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
-                   FROM dps GROUP BY 1),
+      s"""WITH $nrm, $sigs,
           q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, s.sig
                 FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id WHERE e.vec_id < 10),
           sc AS (SELECT query_id, c.vec_id AS neighbor_id,

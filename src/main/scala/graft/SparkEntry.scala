@@ -33,6 +33,11 @@ object SparkEntry {
     "q13_order_distribution" -> (Analytics.q13 _),
     "q19_disjunctive" -> (Analytics.q19 _),
     "q22_idle_customers" -> (Analytics.q22 _),
+    "q2_min_cost_supplier" -> (Analytics.q2 _),
+    "q7_nation_volume" -> (Analytics.q7 _),
+    "q8_market_share" -> (Analytics.q8 _),
+    "q15_top_supplier" -> (Analytics.q15 _),
+    "q21_late_supplier" -> (Analytics.q21 _),
 
     // ---- A. tsdb core -------------------------------------------------
     "ts_track_rollup" -> ((s, dir) => Tsdb.trackRollup(t(s, dir, "events"))),
@@ -66,6 +71,9 @@ object SparkEntry {
     "ts_funnel" -> ((s, dir) => Tsdb.funnel(t(s, dir, "events"))),
     "ts_histogram" -> ((s, dir) => Tsdb.histogram(t(s, dir, "events"), 50.0)),
     "ts_zscore" -> ((s, dir) => Tsdb.zscore(Tsdb.points1(t(s, dir, "events")))),
+    "ts_fetch_dense" -> ((s, dir) =>
+      Tsdb.fetchDense(t(s, dir, "events"),
+        "2024-01-05", "2024-01-08", Seq(Some("purchase"), None))),
     "ts_retention_cohorts" -> ((s, dir) => Tsdb.retentionCohorts(t(s, dir, "events"))),
     "ts_heatmap" -> ((s, dir) => Tsdb.heatmap(t(s, dir, "events"))),
 
@@ -73,7 +81,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), 0.6)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), 0.5)),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 2)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
     "dedup_survivors" -> ((s, dir) => Dedup.survivors(t(s, dir, "documents"), 0.5)),
     "contamination_check" -> ((s, dir) =>
@@ -191,8 +199,8 @@ object SparkEntry {
 
     "q12_priority_split" ->
       """SELECT l_linestatus,
-         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY l_linestatus""",
@@ -233,6 +241,99 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY c_nationkey""",
+
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (SELECT l_partkey, l_suppkey,
+                min(l_extendedprice / l_quantity) AS cost
+              FROM lineitem GROUP BY 1, 2),
+         mc AS (SELECT l_partkey, min(cost) AS min_cost FROM supply GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                floor(cost * 10000.0 + 0.5) / 10000.0 AS cost
+         FROM supply
+         JOIN mc USING (l_partkey)
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE cost = min_cost AND p_size <= 5 AND p_type = 'STANDARD'
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                extract(year FROM l_shipdate) AS l_year,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+
+    "q8_market_share" ->
+      """SELECT extract(year FROM o_orderdate) AS o_year,
+                floor((sum(CASE WHEN n1.n_name = 'NATION_5'
+                           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                      / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0
+                  AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region ON n2.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+
+    "q21_late_supplier" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+                  (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         l1 AS (SELECT * FROM l WHERE late)
+         SELECT s_name, count(*) AS numwait
+         FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM l l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l1 l3
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY 1
+         ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "ts_fetch_dense" ->
+      """WITH m AS (SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,
+                date_trunc('hour', ts) AS bucket,
+                round(sum(value),2) AS total, count(*) AS cnt
+              FROM events
+              WHERE event_type = 'purchase'
+                AND date_trunc('hour', ts) >= TIMESTAMP '2024-01-05'
+                AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-08'
+              GROUP BY 1, 2, 3),
+         srs AS (SELECT DISTINCT f1, f2 FROM m),
+         ax AS (SELECT f1, f2, unnest(generate_series(TIMESTAMP '2024-01-05',
+                  TIMESTAMP '2024-01-08' - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS bucket
+                FROM srs)
+         SELECT ax.f1, ax.f2, ax.bucket,
+                coalesce(m.total, 0.0) AS total,
+                CAST(coalesce(m.cnt, 0) AS BIGINT) AS cnt, 2 AS depth
+         FROM ax LEFT JOIN m
+           ON m.f1 = ax.f1 AND m.f2 = ax.f2 AND m.bucket = ax.bucket""",
 
     "ts_percentile" ->
       """SELECT event_type AS f1,
@@ -277,10 +378,10 @@ object SparkEntry {
                 min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
                 min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
               FROM events GROUP BY 1)
-         SELECT sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-                sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase,
-                sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
-                         AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+         SELECT CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                         AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
          FROM u""",
 
     "ts_histogram" ->
@@ -290,15 +391,15 @@ object SparkEntry {
 
     "ts_zscore" -> s"""$store1
          SELECT f1, bucket,
-                round((total - avg(total) OVER (PARTITION BY f1))
-                      / stddev_samp(total) OVER (PARTITION BY f1), 2) AS z
+                floor(((total - avg(total) OVER (PARTITION BY f1))
+                      / stddev_samp(total) OVER (PARTITION BY f1)) * 100.0 + 0.5) / 100.0 AS z
          FROM store""",
 
     "ts_props_extract" ->
       """SELECT event_type AS f1,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-         sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_high
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         floor(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+         CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
          FROM events GROUP BY 1""",
 
     "ts_track_rollup" ->

@@ -16,7 +16,33 @@ final case class StoreParams(
     resolution: String = "hour",
     epochDuration: String = "day",
     retentionEpochs: Int = 30,
-    fields: Seq[String] = Seq("f1", "f2"))
+    fields: Seq[String] = Seq("f1", "f2")) {
+
+  // Validation parity with kadiyadb's Open (/root/reference/database.go:128-137):
+  // the epoch duration must hold a whole number of resolution buckets, and the
+  // retention window a whole (positive) number of epochs — otherwise fetch
+  // ranges silently misalign with bucket boundaries.
+  private val resSec = StoreParams.unitSeconds(resolution)
+  private val durSec = StoreParams.unitSeconds(epochDuration)
+  require(durSec % resSec == 0 && durSec >= resSec,
+    s"epochDuration '$epochDuration' must be a whole multiple of resolution '$resolution'")
+  require(retentionEpochs >= 1, s"retentionEpochs must be >= 1, got $retentionEpochs")
+}
+
+object StoreParams {
+  /** Fixed-length time units accepted for resolution/epochDuration (the
+    * reference's params are integer seconds, so variable-length units like
+    * month would break its duration%resolution check too).
+    */
+  private val Units: Map[String, Long] = Map(
+    "second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+    "day" -> 86400L, "week" -> 604800L)
+
+  private def unitSeconds(u: String): Long =
+    Units.getOrElse(u.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unsupported time unit '$u' (expected one of ${Units.keys.toSeq.sorted.mkString(", ")})"))
+}
 
 /** Parquet-backed metric store with kadiyadb's DB API surface
   * (Track / Fetch / Expire / Sync — /root/reference/database.go:153-264),
@@ -122,12 +148,18 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
   def sync(): Unit = ()
 
   /** Compact one epoch partition: merge its accumulated append segments
-    * back to one pre-aggregated file set. Bounds per-epoch file counts the
-    * way kadiyadb's epoch close/snapshot does for its append logs
-    * (/root/reference/index/index.go:24-65). Only the named partition is
-    * rewritten (dynamic partition overwrite).
+    * back to a bounded pre-aggregated file set. Bounds per-epoch file
+    * counts the way kadiyadb's epoch close/snapshot does for its append
+    * logs (/root/reference/index/index.go:24-65). Only the named partition
+    * is rewritten (dynamic partition overwrite).
+    *
+    * The rewrite is range-partitioned on bucket into `targetFiles` files —
+    * NOT coalesce(1): at scale an epoch partition is TBs, and a single
+    * rewrite task would both run for hours and produce one unsplittable
+    * giant file. Range (vs hash) keeps each output file a contiguous time
+    * slice, so bucket-range fetches prune at the row-group level.
     */
-  def compact(epoch: String): Unit = {
+  def compact(epoch: String, targetFiles: Int = 8): Unit = {
     val merged = spark.read.parquet(dataDir)
       .filter(col("epoch") === epoch)
       .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
@@ -137,7 +169,8 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
         col("depth"), col("epoch"))): _*)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(dataDir)
+    try merged.repartitionByRange(targetFiles, col("bucket"))
+      .write.mode("overwrite").partitionBy("epoch").parquet(dataDir)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -205,12 +238,17 @@ object MetricStore {
     def arr(key: String) =
       s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-    for {
+    val parsed = for {
       res <- str("resolution")
       dur <- str("epochDuration")
       ret <- num("retentionEpochs")
       fs <- arr("fields")
       if fs.nonEmpty && fs.forall(_.nonEmpty)
-    } yield StoreParams(res, dur, ret, fs)
+    } yield (res, dur, ret, fs)
+    // invalid unit/divisibility combos are treated like unparseable params
+    // (loadAll's tolerant skip, like the reference's LoadAll error path)
+    parsed.flatMap { case (res, dur, ret, fs) =>
+      scala.util.Try(StoreParams(res, dur, ret, fs)).toOption
+    }
   }
 }

@@ -123,6 +123,39 @@ object Tsdb {
           col("total"), col("cnt"), lit(2).as("depth"))
   }
 
+  /** Dense fetch — kadiyadb parity: one point for EVERY resolution slot in
+    * [from, to) for every matched series, zero-filled where no data exists
+    * (epoch.Fetch returns dense per-position point arrays,
+    * /root/reference/epoch/epoch.go:86-101, assembled into protocol.Chunk
+    * results in /root/reference/database.go:226-247 — a client porting
+    * from the reference sees no missing buckets). Sparse fetch + a
+    * per-series time-axis left join; the axis (|series| × |slots| rows) is
+    * generated distributed via explode-of-sequence, never on the driver.
+    */
+  def fetchDense(events: DataFrame, from: String, to: String,
+      pattern: Seq[Option[String]], resolution: String = "hour"): DataFrame = {
+    val pts = fetchEvents(events, from, to, pattern, resolution)
+    val step = expr(s"INTERVAL 1 $resolution")
+    val axis = pts.select(col("f1"), col("f2")).distinct()
+      .select(col("f1"), col("f2"), explode(sequence(
+        lit(from).cast("timestamp_ntz"),
+        lit(to).cast("timestamp_ntz") - step, step)).as("bucket"))
+      .filter(col("bucket") < lit(to).cast("timestamp_ntz"))
+    val joined =
+      if (pattern.length == 1)
+        // depth-1 rows carry a NULL f2, which never equi-joins: key on f1
+        axis.drop("f2").join(pts.drop("f2", "depth"), Seq("f1", "bucket"), "left")
+          .select(col("f1"), lit(null).cast("string").as("f2"), col("bucket"),
+            col("total"), col("cnt"))
+      else
+        axis.join(pts.drop("depth"), Seq("f1", "f2", "bucket"), "left")
+          .select(col("f1"), col("f2"), col("bucket"), col("total"), col("cnt"))
+    joined.select(col("f1"), col("f2"), col("bucket"),
+      coalesce(col("total"), lit(0.0)).as("total"),
+      coalesce(col("cnt"), lit(0L)).as("cnt"),
+      lit(pattern.length).as("depth"))
+  }
+
   /** Depth-2 series points only (no rollup expand): one row per
     * (f1, f2, bucket). Cheaper than trackRollup when a single depth is
     * queried — no Expand node, one map-side-partial aggregation.
@@ -290,8 +323,8 @@ object Tsdb {
   def zscore(pts1: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("f1"))
     pts1.select(col("f1"), col("bucket"),
-      round((col("total") - avg(col("total")).over(w)) /
-        stddev_samp(col("total")).over(w), 2).as("z"))
+      graft.functions.Hashing.rd2((col("total") - avg(col("total")).over(w)) /
+        stddev_samp(col("total")).over(w)).as("z"))
   }
 
   /** Occupancy heatmap: activity grid over day-of-week x hour-of-day
@@ -331,6 +364,6 @@ object Tsdb {
       .groupBy(col("event_type").as("f1"))
       .agg(
         sum(col("k")).as("sum_k"),
-        round(avg(col("k")), 4).as("avg_k"),
+        graft.functions.Hashing.rd4(avg(col("k"))).as("avg_k"),
         sum(when(col("k") > 50, 1).otherwise(0)).as("n_high"))
 }

@@ -36,6 +36,9 @@ object Hashing {
     */
   def rd4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
+  /** 2-decimal variant of rd4 (DuckDB twin: floor(x * 100.0 + 0.5) / 100.0). */
+  def rd2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
+
   /** Same hash computed driver-side (for deriving small constant tables
     * like LSH hyperplanes that are then broadcast as literals).
     */

@@ -189,6 +189,125 @@ object Analytics {
       .groupBy(col("n_orders"))
       .agg(count(lit(1)).as("n_customers"))
 
+  /** TPC-H Q2 (adapted — no partsupp table in this schema): cheapest
+    * supplier per part. Supply cost of (part, supplier) = min observed
+    * unit price over their lineitems; keep the suppliers hitting the
+    * per-part minimum (the correlated-min subquery shape, decorrelated
+    * into an aggregate + self-join that Catalyst plans as two shuffles on
+    * l_partkey — no per-row subquery execution).
+    */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val supply = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val minCost = supply.groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
+    supply
+      .join(minCost, Seq("l_partkey"))
+      .filter(col("cost") === col("min_cost"))
+      .join(t(s, dir, "part").filter(col("p_size") <= 5 && col("p_type") === "STANDARD"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_name"), graft.functions.Hashing.rd4(col("cost")).as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q7 (adapted): bilateral shipping volume between two nations by
+    * ship year — double nation-role join (supplier nation × customer
+    * nation) with a symmetric OR predicate.
+    */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** TPC-H Q8 (adapted): one nation's market share of a region's part-type
+    * market per order year — conditional aggregation over a 6-way join.
+    */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val custRegion = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(graft.functions.Hashing.rd4(
+        sum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(0.0))
+          / sum(col("volume"))).as("mkt_share"))
+  }
+
+  /** TPC-H Q15 (adapted): top supplier(s) by quarterly revenue — the
+    * view/CTE-with-scalar-max shape; the 1-row max is broadcast into the
+    * filter, never a global sort.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q21 (adapted — no commit/receipt dates in this schema):
+    * suppliers who were the ONLY late shipper (>60 days after the order
+    * date) on a multi-supplier finalized order. The EXISTS becomes a
+    * left-semi join and the NOT EXISTS a left-anti join, both equi-keyed
+    * on l_orderkey with the supplier-inequality as a residual condition.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val late = lines.filter(col("late"))
+    late
+      .join(lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")),
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** TPC-H Q18 (adapted): large-volume orders (HAVING subquery join). */
   def q18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")

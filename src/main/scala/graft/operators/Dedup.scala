@@ -13,8 +13,10 @@ import graft.functions.Hashing
   * verifies ONLY band-bucket candidate pairs; SimHash joins only docs
   * sharing one of 3 fingerprint bands (complete for hamming ≤ 2 by
   * pigeonhole). The tokenization/shingling projection is computed once and
-  * cached per operator invocation (it feeds 2-4 joins); doc-size side
-  * tables are broadcast. AQE skew-join handles hot shingle buckets.
+  * cached per operator invocation (it feeds 2-4 joins); corpus-sized side
+  * tables (candidate pairs, per-doc sizes) stay shuffle-joined — AQE
+  * broadcasts them only when actually small. AQE skew-join handles hot
+  * shingle buckets.
   */
 object Dedup {
 
@@ -45,6 +47,21 @@ object Dedup {
                                   i -> array_join(slice(tk, i, $n), ' '))
                    ELSE slice(tk, 1, 0) END)""")).as("shingle"))
 
+  /** Restrict a shingle table to shingles whose document frequency is at
+    * most `maxDf` (shingles are distinct per doc, so count = doc freq).
+    * Standard near-dup practice: a boilerplate shingle shared by a large
+    * fraction of the corpus creates a near-quadratic hot bucket in the
+    * pair join (one 3-gram in 1M docs = 5·10^11 candidate pairs) while
+    * carrying almost no similarity signal. Jaccard is then computed over
+    * the capped shingle sets on both engines.
+    */
+  def capShingles(sh: DataFrame, maxDf: Long): DataFrame = {
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    sh.join(rare, Seq("shingle")).select(col("doc_id"), col("shingle"))
+  }
+
   /** Exact dedup: md5 hash-groupBy; keeper = min doc_id per content hash. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
@@ -55,10 +72,14 @@ object Dedup {
     * path) so the shingle join only touches candidate pairs.
     */
   private def pairJaccard(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+    // No broadcast() hints here: `candidates` and `sizes` are corpus-sized
+    // (one row per candidate pair / per document), so forcing a broadcast
+    // would OOM the driver at real scale. The tables are equi-keyed on
+    // doc ids — a shuffle join is the scalable plan, and AQE still
+    // downgrades to broadcast when a side is genuinely small.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = candidates match {
-      case Some(c) =>
-        val cand = broadcast(c)
+      case Some(cand) =>
         cand
           .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
           .join(sh.as("b"),
@@ -72,15 +93,18 @@ object Dedup {
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     }
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         Hashing.rd4(col("inter") / (col("na") + col("nb") - col("inter"))))
   }
 
-  /** N-gram Jaccard near-dup pairs (shingle-join candidates, no cross join). */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+  /** N-gram Jaccard near-dup pairs (shingle-join candidates, no cross
+    * join). `maxDf` caps shingle document frequency before the self-join —
+    * the skew guard that keeps hot buckets bounded at corpus scale.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 50L): DataFrame = {
+    val sh = capShingles(shingles(docs), maxDf).persist(StorageLevel.MEMORY_AND_DISK)
     pairJaccard(sh, None)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -132,8 +156,9 @@ object Dedup {
     * like the dedup shingle join — candidates only where text genuinely
     * overlaps, never O(train × test).
     */
-  def contamination(docs: DataFrame, isTest: Column, n: Int = 8): DataFrame = {
-    val sh = shingles(docs, n)
+  def contamination(docs: DataFrame, isTest: Column, n: Int = 8,
+      maxDf: Long = 50L): DataFrame = {
+    val sh = capShingles(shingles(docs, n), maxDf)
       .join(docs.select(col("doc_id"), isTest.as("__is_test")), "doc_id")
     val test = sh.filter(col("__is_test")).select(col("doc_id").as("test_id"), col("shingle"))
     val train = sh.filter(!col("__is_test")).select(col("doc_id").as("train_id"), col("shingle"))
@@ -153,36 +178,58 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
-  /** 16-bit SimHash fingerprint per doc over distinct tokens. */
+  val SimhashBits = 60  // full width of the engine-portable md5 hash (h60)
+  val SimhashBands = 4  // 4 x 15-bit bands: pigeonhole-complete for hamming ≤ 3
+
+  /** 60-bit SimHash fingerprint per doc over distinct tokens. 60 bits is
+    * the full width of Hashing.h60, so band keys below have 2^15 values —
+    * band buckets stay tiny on a billion-doc corpus, where a 16-bit
+    * fingerprint's ~64-value band keys would collapse the corpus into
+    * O(n²/64) candidate pairs.
+    */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
       .select(col("doc_id"), explode(expr("array_distinct(tk)")).as("tok"))
-      .withColumn("hm", Hashing.h60mod(col("tok"), 65536L))
-    val bitSums = (0 until 16).map { i =>
+      .withColumn("hm", Hashing.h60(col("tok")))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(expr(s"(hm div ${1L << i}) % 2") === 1, 1).otherwise(-1)).as(s"s$i")
     }
-    val fp = (0 until 16)
+    val fp = (0 until SimhashBits)
       .map(i => when(col(s"s$i") > 0, 1L << i).otherwise(0L))
       .reduce(_ + _)
     toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("fp"))
   }
 
-  /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ 2 here).
-    * Banded join on 3 fingerprint bands (6+5+5 bits): any pair at hamming
-    * ≤ 2 shares at least one intact band (pigeonhole), so this equals the
-    * brute-force O(n²) scan the oracle runs — without the cross join.
+  /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ SimhashBands-1).
+    * Banded join on SimhashBands 15-bit fingerprint bands: any pair at
+    * hamming ≤ SimhashBands-1 shares at least one intact band (pigeonhole),
+    * so this equals the brute-force O(n²) scan the oracle runs — without
+    * the cross join. `bucketCap` is the scale guard: a band bucket larger
+    * than the cap (degenerate near-identical content flooding one key) is
+    * excluded from candidate generation instead of joined quadratically.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = 100000L): DataFrame = {
+    require(maxHamming <= SimhashBands - 1,
+      s"banding is only pigeonhole-complete for hamming <= ${SimhashBands - 1}")
     val fps = simhashFingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = fps.select(col("doc_id"), col("fp"), explode(array(
-      struct(lit(0).as("band"), expr("fp % 64").as("key")),
-      struct(lit(1).as("band"), expr("(fp div 64) % 32").as("key")),
-      struct(lit(2).as("band"), expr("(fp div 2048) % 32").as("key")))).as("bk"))
+    val width = SimhashBits / SimhashBands
+    val bandStructs = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(fp div ${1L << (b * width)}) % ${1L << width}").as("key"))
+    }
+    val banded = fps
+      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x")
-      .join(banded.as("y"),
+    val smallBuckets = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= bucketCap)
+      .select(col("band"), col("key"))
+    val capped = banded.join(smallBuckets, Seq("band", "key"))
+    capped.as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

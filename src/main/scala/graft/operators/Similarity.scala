@@ -26,17 +26,45 @@ object Similarity {
   private def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", V.normF(col("embedding")))
 
-  /** Embedding near-dup pairs within a blocking key (label), cos ≥ threshold. */
-  def embeddingDedup(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-dup pairs, cos ≥ threshold, blocked by
+    * (label, LSH band): a pair is compared only if it shares one of
+    * `bands` hyperplane-signature bands of `rowsPerBand` sign bits each —
+    * the banded-LSH candidate scheme, which kills the intra-label O(n²)
+    * pair join (a single huge label no longer implies all-pairs within
+    * it). Recall < 1 by construction; the oracle replicates the identical
+    * banding, so results still match exactly. At production thresholds
+    * (cos ≥ 0.9) raise rowsPerBand for selectivity — band match
+    * probability is p^rowsPerBand with p = 1 - θ/π per plane.
+    */
+  def embeddingDedup(emb: DataFrame, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= NumPlanes, s"needs <= $NumPlanes planes")
     val e = withNorm(emb)
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        Hashing.rd4(V.dotF(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+    // candidate-first: band only the narrow (vec_id, label, sig) projection
+    // so the explode never duplicates the 64-float vectors through a shuffle
+    val sig = emb.select(col("vec_id"), col("label"),
+      lshSignature(col("embedding")).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(sig div ${1L << (b * rowsPerBand)}) % ${1L << rowsPerBand}").as("key"))
+    }
+    val banded = sig
+      .select(col("vec_id"), col("label"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("label"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.label").as("label"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        Hashing.rd4(V.dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -79,14 +107,23 @@ object Similarity {
     * mean vectors); each query probes the nProbe nearest centroids and runs
     * exact cosine only within those partitions. The scale path when buckets
     * must be balanced: |candidates| ≈ nProbe/|centroids| of the corpus.
-    * Declared rows-only (centroid means are float-sum order dependent, so
-    * no bit-exact SQL oracle).
+    *
+    * Centroids are DETERMINISTIC: each component is averaged via a
+    * fixed-point integer sum (floor(v·10^7 + 0.5) as long) — integer
+    * addition commutes, so the result is independent of partition/merge
+    * order, unlike a float sum. The 10^-7 quantization is far below any
+    * meaningful centroid resolution, and the DuckDB oracle replays the
+    * identical arithmetic bit-for-bit.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
     val e = withNorm(emb)
     val cent = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(floor(col("v").cast("double") * 1e7 + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("cv", col("sq").cast("double") / 1e7 / col("n"))
       .groupBy(col("label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> CAST(x.cv AS FLOAT))")
         .as("cvec"))

@@ -81,29 +81,44 @@ object StreamingTracker {
   }
 
   /** Exactly-once micro-batch commit: stage → move → marker.
-    * A replayed batchId is skipped (marker exists), and a crash between
-    * stage and marker leaves only staging files (invisible to the store)
-    * or fully-moved files + no marker, in which case the replay re-moves
-    * over the same deterministic file names — never double data.
+    * A replayed batchId is skipped (marker exists). A crash between stage
+    * and marker leaves either staging files (invisible to the store) or
+    * partially-moved `batch-<id>-*.parquet` files + no marker — the replay
+    * first clears this batch's files from each epoch it touches (the
+    * touched-epoch set is deterministic: same checkpointed batch data),
+    * then re-moves, so data is never doubled and never lost.
+    *
+    * The batch is written with its natural partitioning — NOT coalesce(1):
+    * a large micro-batch would otherwise serialize through one task and
+    * one giant file. Deterministic `batch-<id>-<part>` names keep the
+    * replay idempotent with any number of part files.
     */
   def commitBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     val marker = Paths.get(storePath, "_commits", batchId.toString)
     if (Files.exists(marker)) return // replay of a committed batch
     val stagingDir = Paths.get(storePath, "_staging", batchId.toString)
-    // one file per epoch: the move target `batch-<id>.parquet` is then
-    // fully deterministic, so a re-move after a crash overwrites rather
-    // than duplicates (Spark part names contain fresh UUIDs on replay)
-    batch.coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(stagingDir.toString)
-    Files.list(stagingDir).forEach { epochDir =>
+    batch.write.mode("overwrite").partitionBy("epoch").parquet(stagingDir.toString)
+    def ls(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    ls(stagingDir).foreach { epochDir =>
       val name = epochDir.getFileName.toString
       if (name.startsWith("epoch=")) {
         val target = Paths.get(storePath, "points", name)
         Files.createDirectories(target)
-        Files.list(epochDir).forEach { f =>
-          if (f.getFileName.toString.endsWith(".parquet"))
-            Files.move(f, target.resolve(s"batch-$batchId.parquet"),
-              StandardCopyOption.REPLACE_EXISTING)
+        // clear any partial move from a crashed earlier attempt of THIS batch
+        ls(target)
+          .filter(_.getFileName.toString.matches(s"batch-$batchId-\\d+\\.parquet"))
+          .foreach(Files.delete(_))
+        val parts = ls(epochDir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          Files.move(f, target.resolve(s"batch-$batchId-$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
         }
       }
     }
