@@ -75,8 +75,29 @@ class DedupSpec extends SparkSpec {
     val fps = Dedup.simhashFingerprints(docs).collect()
     def fp(id: Long) = fps.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("fp")
     assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L)) // 60-bit fingerprints discriminate unrelated docs
     val pairs = Dedup.simhashPairs(docs, 2).collect()
     assert(pairs.exists(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L &&
       x.getAs[Int]("hamming") == 0))
+  }
+
+  test("simhash band-bucket cap excludes hot buckets from candidate generation") {
+    // docs 1,2 share all band keys; cap=1 makes every shared bucket "hot",
+    // so no candidates survive — the O(n²)-bucket guard is effective
+    assert(Dedup.simhashPairs(docs, 2, bucketCap = 1L).collect().isEmpty)
+    // banding is only pigeonhole-complete through SimhashBands-1
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, Dedup.SimhashBands))
+  }
+
+  test("capShingles drops boilerplate above the doc-frequency cap") {
+    val sh = Dedup.shingles(docs)
+    // "the quick brown" occurs in docs 1,2,3 -> df=3 > cap=2 -> dropped
+    val capped = Dedup.capShingles(sh, 2L)
+    assert(capped.filter(col("shingle") === "the quick brown").count() == 0)
+    assert(capped.filter(col("shingle") === "over the lazy").count() == 2) // df=2 kept
+    // identical docs still dedup at jaccard 1.0 over the capped sets
+    val pairs = Dedup.ngramJaccard(docs, 0.9, maxDf = 2L).collect()
+    assert(pairs.exists(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L &&
+      x.getAs[Double]("jaccard") == 1.0))
   }
 }

@@ -94,6 +94,46 @@ class MetricStoreSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getAs[Double]("total") == 17.0 && r.head.getAs[Long]("cnt") == 2L)
   }
 
+  test("StoreParams rejects non-dividing unit combos (database.go Open parity)") {
+    intercept[IllegalArgumentException](StoreParams(resolution = "week", epochDuration = "day"))
+    intercept[IllegalArgumentException](StoreParams(resolution = "hour", epochDuration = "minute"))
+    intercept[IllegalArgumentException](StoreParams(retentionEpochs = 0))
+    intercept[IllegalArgumentException](StoreParams(resolution = "fortnight"))
+    // valid combos construct fine
+    StoreParams()
+    StoreParams(resolution = "minute", epochDuration = "hour", retentionEpochs = 5)
+  }
+
+  test("loadAll skips a store whose params.json has invalid units") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graftroot2").toString
+    val good = new MetricStore(spark, s"$root/good")
+    good.track(mkEvents(Seq(("2024-01-01 00:00:00", "cpu", "h", 1.0))))
+    val badDir = java.nio.file.Paths.get(s"$root/bad")
+    Files.createDirectories(badDir)
+    Files.writeString(badDir.resolve(MetricStore.ParamFile),
+      """{"resolution":"week","epochDuration":"day","retentionEpochs":3,"fields":["f1"]}""")
+    assert(MetricStore.loadAll(spark, root).keySet == Set("good"))
+  }
+
+  test("compact range-partitions an epoch into bounded multi-file output") {
+    val dir = Files.createTempDirectory("graftstore").toString
+    val store = new MetricStore(spark, dir)
+    // three separate appends, three buckets -> >=3 segment files in the epoch
+    store.track(mkEvents(Seq(("2024-01-01 08:05:00", "cpu", "h1", 1.0))))
+    store.track(mkEvents(Seq(("2024-01-01 12:05:00", "cpu", "h1", 2.0))))
+    store.track(mkEvents(Seq(("2024-01-01 20:05:00", "cpu", "h1", 4.0))))
+    def files() = {
+      val d = java.nio.file.Paths.get(dir, "points", "epoch=2024-01-01")
+      Files.list(d).filter(_.toString.endsWith(".parquet")).count()
+    }
+    assert(files() >= 3)
+    store.compact("2024-01-01", targetFiles = 2)
+    assert(files() <= 2) // bounded, but NOT forced through one task/file
+    val r = store.fetch("2024-01-01", "2024-01-02", Seq(Some("cpu"), Some("h1"))).collect()
+    assert(r.map(_.getAs[Double]("total")).sum == 7.0)
+  }
+
   test("expire drops epoch partitions beyond retention (cache.Expire)") {
     val dir = Files.createTempDirectory("graftstore").toString
     val store = new MetricStore(spark, dir, StoreParams(retentionEpochs = 2))

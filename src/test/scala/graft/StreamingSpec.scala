@@ -73,6 +73,28 @@ class StreamingSpec extends SparkSpec {
       && r.head.getAs[Long]("cnt") == 2L) // not doubled
   }
 
+  test("commitBatch writes multiple part files; partial-move replay stays exactly-once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("commitstore2").toString
+    val batch = (0 until 8).map(h => ("cpu", s"h$h", f"2024-01-01 $h%02d:00:00", 1.0, 1L, 2))
+      .toDF("f1", "f2", "bucket", "total", "cnt", "depth")
+      .withColumn("bucket", org.apache.spark.sql.functions.col("bucket").cast("timestamp_ntz"))
+      .withColumn("epoch", org.apache.spark.sql.functions.lit("2024-01-01"))
+      .repartition(3) // a large micro-batch is NOT squeezed through one task
+    StreamingTracker.commitBatch(root)(batch, 9L)
+    val epochDir = java.nio.file.Paths.get(root, "points", "epoch=2024-01-01")
+    def parts() = java.nio.file.Files.list(epochDir).filter(
+      _.getFileName.toString.matches("batch-9-\\d+\\.parquet")).count()
+    assert(parts() > 1)
+    // simulate a crash after the move but before the marker: replay must
+    // clear this batch's files and re-move, never double the data
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_commits", "9"))
+    StreamingTracker.commitBatch(root)(batch, 9L)
+    val store = new graft.core.MetricStore(spark, root)
+    val r = store.fetch("2024-01-01", "2024-01-02", Seq(Some("cpu"), None)).collect()
+    assert(r.length == 8 && r.map(_.getAs[Long]("cnt")).sum == 8L)
+  }
+
   test("latestPerSeries keeps the newest point via mapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
