@@ -38,6 +38,11 @@ object SparkEntry {
     "q8_market_share" -> (Analytics.q8 _),
     "q15_top_supplier" -> (Analytics.q15 _),
     "q21_late_supplier" -> (Analytics.q21 _),
+    "q9_product_profit" -> (Analytics.q9 _),
+    "q11_important_value" -> (Analytics.q11 _),
+    "q16_supplier_diversity" -> (Analytics.q16 _),
+    "q17_small_qty_revenue" -> (Analytics.q17 _),
+    "q20_excess_shippers" -> (Analytics.q20 _),
 
     // ---- A. tsdb core -------------------------------------------------
     "ts_track_rollup" -> ((s, dir) => Tsdb.trackRollup(t(s, dir, "events"))),
@@ -315,6 +320,64 @@ object SparkEntry {
                            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
          GROUP BY 1
          ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                          - CAST(0.5 AS DECIMAL(2,1))
+                            * CAST(p_retailprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(4,1))), 2) AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2""",
+
+    "q11_important_value" ->
+      """WITH v AS (SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY 1)
+         SELECT l_partkey, value FROM v
+         WHERE value > (SELECT round(sum(value) * 0.002, 2) FROM v)""",
+
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY 1, 2, 3""",
+
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (SELECT l_partkey AS pa_partkey, 0.2 * avg(l_quantity) AS qty_lim
+              FROM lineitem GROUP BY 1)
+         SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN pa ON l_partkey = pa_partkey
+         WHERE p_brand = 'Brand#5' AND l_quantity < qty_lim""",
+
+    "q20_excess_shippers" ->
+      """WITH shipped AS (
+           SELECT l_suppkey,
+                  sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                            AND l_shipdate < TIMESTAMP '1997-01-01'
+                           THEN l_quantity ELSE 0.0 END) AS q96,
+                  sum(l_quantity) AS qall
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red%'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE q96 > 0.3 * qall)""",
 
     "ts_fetch_dense" ->
       """WITH m AS (SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,

@@ -308,6 +308,104 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q9 (adapted — cost proxy 0.5·p_retailprice·l_quantity replaces
+    * the absent partsupp.ps_supplycost): product-line profit by supplier
+    * nation and order year.
+    *
+    * Profit is summed in exact DECIMAL: the inputs are 2-decimal money
+    * values, so the per-row term is exact on a 1e-4 grid and group sums
+    * are order-independent — double sums here straddle round-half
+    * boundaries differently per engine (observed at sf0.01).
+    */
+  def q9(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_name").contains("gear")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(
+        col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1) - col("l_discount").cast("decimal(3,2)"))
+          - lit(0.5).cast("decimal(2,1)")
+            * col("p_retailprice").cast("decimal(12,2)")
+            * col("l_quantity").cast("decimal(4,1)")), 2)
+        .cast("double").as("profit"))
+
+  /** TPC-H Q11 (adapted — shipped value replaces partsupp stock value):
+    * parts whose value supplied by one nation exceeds a fraction of that
+    * nation's grand total. The grand total is a 1-row aggregate broadcast
+    * into the filter; comparisons use the same 2-decimal grid as the
+    * output so both engines make identical keep/drop decisions.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("value"))
+    val total = v.agg(round(sum(col("value")) * 0.002, 2).as("threshold"))
+    v.crossJoin(broadcast(total))
+      .filter(col("value") > col("threshold"))
+      .select(col("l_partkey"), col("value"))
+  }
+
+  /** TPC-H Q16 (adapted): supplier diversity per part attribute triple,
+    * excluding a supplier blacklist — the NOT-IN subquery becomes a
+    * left-anti join.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(
+          col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)),
+        col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17: small-quantity-order revenue — the per-part avg-quantity
+    * correlated subquery, decorrelated into an aggregate + equi-join.
+    * Quantities are integer-valued, so the 0.2·avg threshold is exact on
+    * both engines regardless of summation order.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val pa = li.groupBy(col("l_partkey").as("pa_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_lim"))
+    li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#5"),
+        col("l_partkey") === col("p_partkey"))
+      .join(pa, col("l_partkey") === col("pa_partkey"))
+      .filter(col("l_quantity") < col("qty_lim"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** TPC-H Q20 (adapted — shipped-share replaces partsupp availqty):
+    * suppliers who shipped over 30% of their all-time quantity of one
+    * part family inside a single year (the nested IN subquery becomes a
+    * left-semi join; integer-valued quantity sums are exact).
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val shipped = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_name").startsWith("red")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(when(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"), col("l_quantity")).otherwise(0.0)).as("q96"),
+        sum(col("l_quantity")).as("qall"))
+      .filter(col("q96") > lit(0.3) * col("qall"))
+    t(s, dir, "supplier")
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   /** TPC-H Q18 (adapted): large-volume orders (HAVING subquery join). */
   def q18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
