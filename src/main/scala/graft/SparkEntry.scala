@@ -81,6 +81,17 @@ object SparkEntry {
         "2024-01-05", "2024-01-08", Seq(Some("purchase"), None))),
     "ts_retention_cohorts" -> ((s, dir) => Tsdb.retentionCohorts(t(s, dir, "events"))),
     "ts_heatmap" -> ((s, dir) => Tsdb.heatmap(t(s, dir, "events"))),
+    "ts_asof_join" -> ((s, dir) =>
+      Tsdb.asofJoin(Tsdb.points(t(s, dir, "events")), "purchase", "error")),
+    "ts_interpolate" -> ((s, dir) =>
+      Tsdb.interpolate(Tsdb.points1(t(s, dir, "events")),
+        lit("2024-01-05"), lit("2024-01-08"), Seq("purchase", "error"))),
+    "ts_approx_distinct" -> ((s, dir) => Tsdb.approxDistinctKMV(t(s, dir, "events"))),
+    "ts_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Tsdb.intervalJoin(ev,
+        Tsdb.activityWindows(Tsdb.points1(ev), "purchase", 1.5), "error")
+    }),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -378,6 +389,68 @@ object SparkEntry {
          SELECT s_suppkey, s_name
          FROM supplier
          WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE q96 > 0.3 * qall)""",
+
+    "ts_asof_join" ->
+      """WITH p AS (SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,
+                date_trunc('hour', ts) AS bucket, round(sum(value),2) AS total
+              FROM events WHERE event_type IN ('purchase','error') GROUP BY 1,2,3),
+         a AS (SELECT f2, bucket, total AS a_total FROM p WHERE f1 = 'purchase'),
+         b AS (SELECT f2, bucket AS b_bucket, total AS b_total FROM p WHERE f1 = 'error')
+         SELECT a.f2, a.bucket, a.a_total, b.b_bucket, b.b_total
+         FROM a ASOF LEFT JOIN b ON a.f2 = b.f2 AND a.bucket >= b.b_bucket""",
+
+    "ts_interpolate" -> s"""$store1,
+         ax AS (SELECT f1, unnest(generate_series(TIMESTAMP '2024-01-05',
+                  TIMESTAMP '2024-01-08' - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS bucket
+                FROM (SELECT DISTINCT f1 FROM store WHERE f1 IN ('purchase','error'))),
+         j AS (SELECT ax.f1, ax.bucket, s.total FROM ax LEFT JOIN store s
+               ON s.f1 = ax.f1 AND s.bucket = ax.bucket
+              AND s.bucket >= TIMESTAMP '2024-01-05' AND s.bucket < TIMESTAMP '2024-01-08'),
+         w AS (SELECT f1, bucket, total,
+           last_value(total IGNORE NULLS) OVER (PARTITION BY f1 ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN total IS NOT NULL THEN bucket END IGNORE NULLS)
+             OVER (PARTITION BY f1 ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+           first_value(total IGNORE NULLS) OVER (PARTITION BY f1 ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN total IS NOT NULL THEN bucket END IGNORE NULLS)
+             OVER (PARTITION BY f1 ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+          FROM j)
+         SELECT f1, bucket,
+           floor((CASE WHEN total IS NOT NULL THEN total
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv)
+                   * (CAST(CAST(epoch(bucket) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS DOUBLE)
+                      / CAST(CAST(epoch(nb) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS DOUBLE))
+                 END) * 10000.0 + 0.5) / 10000.0 AS value,
+           CAST(total IS NOT NULL AS INT) AS observed
+         FROM w""",
+
+    "ts_approx_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type AS f1,
+                ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::UBIGINT AS hv
+              FROM events),
+         r AS (SELECT f1, hv, row_number() OVER (PARTITION BY f1 ORDER BY hv) AS rn FROM h)
+         SELECT f1, count(*) AS k_used,
+           floor((CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END)
+                 * 10000.0 + 0.5) / 10000.0 AS est
+         FROM r WHERE rn <= 64 GROUP BY 1""",
+
+    "ts_interval_join" -> s"""$store1,
+         q AS (SELECT bucket FROM store WHERE f1 = 'purchase'
+               AND total > 1.5 * (SELECT avg(total) FROM store WHERE f1 = 'purchase')),
+         r AS (SELECT bucket, row_number() OVER (ORDER BY bucket) AS rn FROM q),
+         w AS (SELECT min(bucket) AS win_start, max(bucket) + INTERVAL 1 HOUR AS win_end
+               FROM (SELECT bucket, CAST(epoch(bucket) AS BIGINT)//3600 - rn AS island
+                     FROM r) GROUP BY island)
+         SELECT win_start, win_end, count(*) AS n_events, round(sum(value),2) AS value_total
+         FROM w JOIN events e
+           ON e.event_type = 'error' AND e.ts >= win_start AND e.ts < win_end
+         GROUP BY 1, 2""",
 
     "ts_fetch_dense" ->
       """WITH m AS (SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,

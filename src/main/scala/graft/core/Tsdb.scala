@@ -78,6 +78,11 @@ object Tsdb {
     points.filter(fieldMatch && col("bucket") >= from && col("bucket") < to)
   }
 
+  /** ntz bucket → epoch seconds (session tz is UTC in every entrypoint,
+    * so the ntz→ltz hop is identity; ntz has no direct long cast).
+    */
+  private def epochSec(c: Column): Column = c.cast("timestamp").cast("long")
+
   /** Epoch id for a bucket: duration-floor (database.go:267 split()). */
   def epochOf(bucket: Column, duration: String = "day"): Column =
     date_trunc(duration, bucket).cast("timestamp_ntz")
@@ -229,6 +234,145 @@ object Tsdb {
       .select(col("f1"), col("bucket"),
         coalesce(col("total"), lit(0.0)).as("total"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** As-of join: align each point of the `probeF1` series with the most
+    * recent (bucket ≤ probe bucket, inclusive) point of the `buildF1`
+    * series for the same f2 key — the canonical "last known value"
+    * alignment of two metric streams sampled on different/sparse grids.
+    *
+    * Spark has no native as-of join; the scalable re-expression is a
+    * union-merge: tag both sides, ONE shuffle partitioned by series key,
+    * sort by (bucket, side) within partitions, and carry the build side
+    * forward with `last(_, ignoreNulls)`. No per-key explosion, no range
+    * self-join — at 100 TB this is a single keyed sort-merge pass, the
+    * same shape as a stream-stream merge. Build rows sort before probe
+    * rows in the same bucket, making the match inclusive (≥), matching
+    * DuckDB's ASOF JOIN.
+    */
+  def asofJoin(pts: DataFrame, probeF1: String, buildF1: String): DataFrame = {
+    val tagged = pts
+      .filter(col("f1") === probeF1 || col("f1") === buildF1)
+      .select(
+        col("f2"), col("bucket"),
+        (col("f1") === probeF1).cast("int").as("side"),
+        when(col("f1") === probeF1, col("total")).as("a_val"),
+        when(col("f1") === buildF1, col("total")).as("b_val"),
+        when(col("f1") === buildF1, col("bucket")).as("b_bkt"))
+    val w = Window.partitionBy(col("f2")).orderBy(col("bucket"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("b_total", last(col("b_val"), ignoreNulls = true).over(w))
+      .withColumn("b_bucket", last(col("b_bkt"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("f2"), col("bucket"), col("a_val").as("a_total"),
+        col("b_bucket"), col("b_total"))
+  }
+
+  /** Linear-interpolation gapfill: dense hourly axis like [[gapfill]],
+    * but missing buckets take the line between the neighboring observed
+    * points (fraction of the time gap); leading/trailing gaps fall back
+    * to the nearest observed value. Windows are partitioned per series —
+    * the per-partition work is |series axis|, not |events|.
+    */
+  def interpolate(pts1: DataFrame, from: Column, to: Column, series: Seq[String]): DataFrame = {
+    val inRange = pts1.filter(col("f1").isin(series: _*) &&
+      col("bucket") >= from && col("bucket") < to)
+    val axis = pts1
+      .filter(col("f1").isin(series: _*))
+      .select(col("f1")).distinct()
+      .select(col("f1"), explode(sequence(
+        from.cast("timestamp_ntz"),
+        to.cast("timestamp_ntz") - expr("INTERVAL 1 HOUR"),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val joined = axis.join(inRange.select(col("f1"), col("bucket"), col("total")),
+      Seq("f1", "bucket"), "left")
+    val ord = Window.partitionBy(col("f1")).orderBy(col("bucket"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(col("total"), ignoreNulls = true).over(wPrev)
+    val prevB = last(when(col("total").isNotNull, col("bucket")), ignoreNulls = true).over(wPrev)
+    val nextV = first(col("total"), ignoreNulls = true).over(wNext)
+    val nextB = first(when(col("total").isNotNull, col("bucket")), ignoreNulls = true).over(wNext)
+    val frac = (epochSec(col("bucket")) - epochSec(prevB)).cast("double") /
+      (epochSec(nextB) - epochSec(prevB)).cast("double")
+    val interp = when(col("total").isNotNull, col("total"))
+      .when(prevV.isNull, nextV)
+      .when(nextV.isNull, prevV)
+      .otherwise(prevV + (nextV - prevV) * frac)
+    joined.select(col("f1"), col("bucket"),
+      graft.functions.Hashing.rd4(interp).as("value"),
+      col("total").isNotNull.cast("int").as("observed"))
+  }
+
+  /** Approximate distinct users per series via a K-Minimum-Values sketch:
+    * keep the k smallest h60 hashes per group; estimate = (k−1)·2⁶⁰/kth.
+    * Unlike HLL (`approx_count_distinct`), KMV over the shared
+    * [[graft.functions.Hashing.h60]] hash is fully deterministic — any
+    * engine computing the same hash produces the bit-identical estimate,
+    * so the sketch is mergeable AND oracle-checkable. At 100 TB this is
+    * one distinct-shuffle of (group, hash) followed by a per-group top-k;
+    * state per group is k longs, independent of cardinality.
+    */
+  def approxDistinctKMV(events: DataFrame, k: Int = 64): DataFrame = {
+    val hashed = events
+      .select(col("event_type").as("f1"),
+        graft.functions.Hashing.h60(col("user_id").cast("string")).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col("f1")).orderBy(col("hv"))
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("f1"))
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth"))
+      .select(col("f1"), col("k_used"),
+        graft.functions.Hashing.rd4(
+          when(col("k_used") < k, col("k_used").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / col("kth").cast("double"))).as("est"))
+  }
+
+  /** Contiguous runs of hourly buckets whose series total exceeds
+    * `mult`×(series mean), merged into [win_start, win_end) intervals via
+    * islands-and-gaps. The threshold is a 1-row broadcast; the global
+    * window runs over qualifying *buckets* of one rolled-up series —
+    * bounded metadata, not raw events.
+    */
+  def activityWindows(pts1: DataFrame, f1: String, mult: Double): DataFrame = {
+    val ser = pts1.filter(col("f1") === f1)
+    val thr = ser.agg((lit(mult) * avg(col("total"))).as("thr"))
+    val qualifying = ser.crossJoin(broadcast(thr))
+      .filter(col("total") > col("thr"))
+      .select(col("bucket"))
+    val w = Window.orderBy(col("bucket"))
+    qualifying
+      .withColumn("rn", row_number().over(w))
+      .withColumn("island", (epochSec(col("bucket")) / 3600L).cast("long") - col("rn"))
+      .groupBy(col("island"))
+      .agg(min(col("bucket")).as("win_start"), max(col("bucket")).as("win_max"))
+      .select(col("win_start"),
+        (col("win_max") + expr("INTERVAL 1 HOUR")).cast("timestamp_ntz").as("win_end"))
+  }
+
+  /** Interval join: aggregate raw probe events inside each [start, end)
+    * window WITHOUT a nested-loop/cartesian plan: intervals explode to
+    * the days they cover, events carry their day — an equi-join on `day`
+    * plus a residual range filter. The huge probe side shuffles (or
+    * stays put under an AQE broadcast of the small interval side) on an
+    * equi-key, so the plan survives a 100 TB probe table.
+    */
+  def intervalJoin(events: DataFrame, windows: DataFrame, probeType: String): DataFrame = {
+    val win = windows.withColumn("day",
+      explode(sequence(
+        date_trunc("day", col("win_start")).cast("timestamp_ntz"),
+        date_trunc("day", col("win_end") - expr("INTERVAL 1 SECOND")).cast("timestamp_ntz"),
+        expr("INTERVAL 1 DAY"))))
+    val ev = events.filter(col("event_type") === probeType)
+      .select(col("ts"), col("value"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+    win.join(ev, Seq("day"))
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy(col("win_start"), col("win_end"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_total"))
   }
 
   /** Latest point per series (arg-max on bucket). */

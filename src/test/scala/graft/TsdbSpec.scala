@@ -113,4 +113,74 @@ class TsdbSpec extends SparkSpec {
     val mavg = Tsdb.movingAvg(pts, 3).collect()
     assert(mavg.nonEmpty)
   }
+
+  test("asofJoin: last build value at or before each probe bucket, per key") {
+    val pts = Tsdb.points(eventsDf(Seq(
+      ("2024-01-01 00:05:00", "error", 1L, 2.0),
+      ("2024-01-01 01:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 02:15:00", "error", 1L, 3.0),
+      ("2024-01-01 02:40:00", "purchase", 1L, 4.0),
+      ("2024-01-01 00:30:00", "purchase", 2L, 1.0))))
+    val r = Tsdb.asofJoin(pts, "purchase", "error").collect()
+    assert(r.length == 3)
+    val u1h1 = r.find(x => x.getAs[String]("f2") == "1" &&
+      x.getAs[java.time.LocalDateTime]("bucket").getHour == 1).get
+    assert(u1h1.getAs[Double]("b_total") == 2.0 &&
+      u1h1.getAs[java.time.LocalDateTime]("b_bucket").getHour == 0)
+    // build row in the SAME bucket as the probe matches (inclusive ≥)
+    val u1h2 = r.find(x => x.getAs[String]("f2") == "1" &&
+      x.getAs[java.time.LocalDateTime]("bucket").getHour == 2).get
+    assert(u1h2.getAs[Double]("b_total") == 3.0 &&
+      u1h2.getAs[java.time.LocalDateTime]("b_bucket").getHour == 2)
+    // probe with no prior build → left semantics, nulls
+    val u2 = r.find(_.getAs[String]("f2") == "2").get
+    assert(u2.isNullAt(u2.fieldIndex("b_total")))
+  }
+
+  test("interpolate: line between observed points, nearest-value at edges") {
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 03:20:00", "purchase", 1L, 4.0),
+      ("2024-01-01 01:30:00", "error", 1L, 2.0))))
+    val r = Tsdb.interpolate(pts1,
+      lit("2024-01-01"), lit("2024-01-01 04:00:00"), Seq("purchase", "error"))
+      .collect()
+    def at(f1: String, h: Int) = r.find(x => x.getAs[String]("f1") == f1 &&
+      x.getAs[java.time.LocalDateTime]("bucket").getHour == h).get
+    assert(at("purchase", 1).getAs[Double]("value") == 8.0) // 10 + (4-10)/3
+    assert(at("purchase", 2).getAs[Double]("value") == 6.0)
+    assert(at("purchase", 0).getAs[Int]("observed") == 1 &&
+      at("purchase", 1).getAs[Int]("observed") == 0)
+    assert(at("error", 0).getAs[Double]("value") == 2.0) // leading → next
+    assert(at("error", 3).getAs[Double]("value") == 2.0) // trailing → prev
+  }
+
+  test("approxDistinctKMV: exact below k, deterministic estimate above") {
+    val r = Tsdb.approxDistinctKMV(ev, k = 64).collect()
+    // 2 distinct users per series here — below k, estimate is exact
+    assert(r.forall(_.getAs[Double]("est") == r.head.getAs[Long]("k_used").toDouble))
+    val r2 = Tsdb.approxDistinctKMV(ev, k = 1).collect()
+    assert(r2.forall(x => x.getAs[Long]("k_used") == 1L)) // capped at k
+  }
+
+  test("activityWindows + intervalJoin: islands merge, events counted in range") {
+    val evs = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 01:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 02:10:00", "purchase", 1L, 1.0),
+      ("2024-01-01 04:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 00:30:00", "error", 1L, 5.0),
+      ("2024-01-01 01:15:00", "error", 2L, 7.0),
+      ("2024-01-01 03:00:00", "error", 1L, 100.0),
+      ("2024-01-01 04:30:00", "error", 2L, 1.0)))
+    val win = Tsdb.activityWindows(Tsdb.points1(evs), "purchase", 1.0)
+    val w = win.collect().sortBy(_.getAs[java.time.LocalDateTime]("win_start").getHour)
+    assert(w.length == 2) // [00,02) merged from two hours; [04,05)
+    assert(w(0).getAs[java.time.LocalDateTime]("win_end").getHour == 2)
+    val j = Tsdb.intervalJoin(evs, win, "error").collect()
+      .sortBy(_.getAs[java.time.LocalDateTime]("win_start").getHour)
+    assert(j.length == 2)
+    assert(j(0).getAs[Long]("n_events") == 2L && j(0).getAs[Double]("value_total") == 12.0)
+    assert(j(1).getAs[Long]("n_events") == 1L && j(1).getAs[Double]("value_total") == 1.0)
+  }
 }
