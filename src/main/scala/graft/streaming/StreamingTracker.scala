@@ -126,6 +126,20 @@ object StreamingTracker {
     Files.createFile(marker)
   }
 
+  /** Streaming exact dedup for continuous document ingestion: drop any
+    * document whose content hash was already seen within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keeps per-hash state only
+    * until the watermark passes it — bounded state at any input scale,
+    * unlike a plain streaming `dropDuplicates` whose state grows with the
+    * corpus forever. Batch twin: Dedup.exact (same md5 identity), so a
+    * backfill and a live tail agree on what is a duplicate.
+    */
+  def dedupStream(docs: DataFrame, watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
   final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
 

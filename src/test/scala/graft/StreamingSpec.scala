@@ -113,4 +113,26 @@ class StreamingSpec extends SparkSpec {
       assert(last.value == 1.0 && last.ts == ts("2024-01-01 10:00:00"))
     } finally q.stop()
   }
+
+  test("dedupStream drops repeated content within the watermark horizon") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = StreamingTracker.dedupStream(
+      input.toDS().toDF("doc_id", "text", "ts"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "alpha", ts("2024-01-01 10:00:00")),
+        (2L, "beta", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // same content again in a later micro-batch, inside the horizon
+      input.addData((3L, "alpha", ts("2024-01-01 10:30:00")),
+        (4L, "gamma", ts("2024-01-01 10:31:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L)) // doc 3 ("alpha" again) dropped
+    } finally q.stop()
+  }
 }
