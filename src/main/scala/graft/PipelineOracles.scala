@@ -255,6 +255,43 @@ object PipelineOracles {
          WHERE ${h60("CAST(doc_id AS VARCHAR) || 'r1'")} % 100 <
                (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END)""",
 
+    "ann_range_search" -> s"""WITH $nrm,
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       floor((${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm))
+                             * 10000.0 + 0.5) / 10000.0 AS score
+                FROM q JOIN embeddings c ON c.vec_id <> query_id
+                JOIN nrm nq ON nq.vec_id = query_id
+                JOIN nrm nc ON nc.vec_id = c.vec_id)
+         SELECT query_id, neighbor_id, score FROM sc WHERE score >= 0.35""",
+
+    "pipeline_materialize" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops,
+                       len(list_filter(tk, x -> x = 'the')) AS c_en,
+                       len(list_filter(tk, x -> x = 'der')) AS c_de,
+                       len(list_filter(tk, x -> x = 'el')) AS c_es,
+                       len(list_filter(tk, x -> x = 'le')) AS c_fr
+                FROM tok),
+         scored AS (SELECT doc_id, n_tokens,
+                floor((least(1.0, n_tokens / 100.0) * 0.4
+                      + (1.0 - punct * 1.0 / nchars) * 0.3
+                      + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality,
+                CASE WHEN c_en > 0 AND c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+                     WHEN c_de > 0 AND c_de >= greatest(c_es, c_fr) THEN 'de'
+                     WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+                     WHEN c_fr > 0 THEN 'fr'
+                     ELSE 'und' END AS pred_lang
+                FROM t2),
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT d.doc_id, d.source, s.n_tokens, s.quality
+         FROM documents d
+         JOIN keep USING (doc_id)
+         JOIN scored s ON s.doc_id = d.doc_id
+         WHERE s.pred_lang = 'en' AND s.quality >= 0.55""",
+
     "text_top_bigrams" -> s"""WITH $tok,
          bg AS (SELECT doc_id, unnest(
                   CASE WHEN len(tk) >= 2

@@ -25,6 +25,12 @@ object Profile {
     time("full jaccard")(println("res=" + Dedup.ngramJaccard(docs, 0.6).count()))
     time("minhash sigs")(println("sigs=" + Dedup.minhashSignatures(docs).count()))
     time("full minhashLsh")(println("res=" + Dedup.minhashLsh(docs, 0.5).count()))
+    time("simhash fingerprints")(println("fps=" + Dedup.simhashFingerprints(docs).count()))
+    time("simhash fingerprints 2nd")(println("fps=" + Dedup.simhashFingerprints(docs).count()))
+    time("full simhashPairs")(println("pairs=" + Dedup.simhashPairs(docs, 3).count()))
+    time("full simhashPairs 2nd")(println("pairs=" + Dedup.simhashPairs(docs, 3).count()))
+    time("contamination")(println("rows=" + Dedup.contamination(docs, col("doc_id") < 50, 8).count()))
+    time("contamination 2nd")(println("rows=" + Dedup.contamination(docs, col("doc_id") < 50, 8).count()))
     spark.stop()
   }
 }

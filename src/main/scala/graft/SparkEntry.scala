@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, Tsdb}
-import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory. */
 object SparkEntry {
@@ -115,6 +115,9 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(t(s, dir, "documents"), 2)),
+    "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(t(s, dir, "embeddings"), 10, 0.35)),
+    "pipeline_materialize" -> ((s, dir) =>
+      Curation.materialize(t(s, dir, "documents"), 0.55, "en")),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

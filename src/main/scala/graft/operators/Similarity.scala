@@ -86,6 +86,25 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** Cosine range search: every corpus vector with cos ≥ minCos of each
+    * query — the radius-based retrieval twin of [[bruteForceTopK]].
+    * Embarrassingly parallel: queries broadcast, one scan, per-pair
+    * codegen dot, and (unlike top-k) no window/shuffle at all — the
+    * filter commutes with partitioning, so 100 TB of vectors stream
+    * through map tasks.
+    */
+  def rangeSearch(emb: DataFrame, nQueries: Int, minCos: Double): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    e.as("c")
+      .join(broadcast(q), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        Hashing.rd4(V.dotF(col("qv"), col("c.embedding")) / (col("qnrm") * col("c.nrm")))
+          .as("score"))
+      .filter(col("score") >= minCos)
+  }
+
   val NumPlanes = 8
 
   /** ±1 hyperplane matrix, md5-derived (same literals in the oracle SQL).

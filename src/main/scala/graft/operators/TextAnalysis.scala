@@ -20,11 +20,13 @@ object TextAnalysis {
       size(tokens(col("text"))).as("n_ws_tokens"),
       regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).as("n_bpe_tokens"))
 
-  /** Quality scoring: length, punctuation ratio, stopword ratio composite.
+  /** Add quality columns (n_tokens, punct_ratio, stop_ratio, quality) to
+    * a frame with a `text` column — a pure projection, so pipelines can
+    * fuse it with other per-doc transforms in a single scan.
     * All inputs are integer counts, so the double math is bit-identical
     * across engines.
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def withQuality(docs: DataFrame): DataFrame = {
     val tk = tokens(col("text"))
     val nTok = size(tk).cast("double")
     val nChars = length(col("text")).cast("double")
@@ -32,24 +34,29 @@ object TextAnalysis {
     val stops = expr(
       "size(filter(split(text, '\\\\s+'), x -> x IN ('the','a','of','and','to','in','is')))")
       .cast("double")
-    docs.select(
-      col("doc_id"),
-      size(tk).as("n_tokens"),
-      graft.functions.Hashing.rd4(punct / nChars).as("punct_ratio"),
-      graft.functions.Hashing.rd4(stops / nTok).as("stop_ratio"),
-      graft.functions.Hashing.rd4(
+    docs
+      .withColumn("n_tokens", size(tk))
+      .withColumn("punct_ratio", graft.functions.Hashing.rd4(punct / nChars))
+      .withColumn("stop_ratio", graft.functions.Hashing.rd4(stops / nTok))
+      .withColumn("quality", graft.functions.Hashing.rd4(
         least(lit(1.0), nTok / 100.0) * 0.4 +
           (lit(1.0) - punct / nChars) * 0.3 +
-          least(lit(1.0), stops * 5.0 / nTok) * 0.3).as("quality"))
+          least(lit(1.0), stops * 5.0 / nTok) * 0.3))
   }
 
-  /** Language ID: marker-word voting with a deterministic priority order. */
-  def langId(docs: DataFrame): DataFrame = {
+  /** Quality scoring: length, punctuation ratio, stopword ratio composite. */
+  def quality(docs: DataFrame): DataFrame =
+    withQuality(docs).select(col("doc_id"), col("n_tokens"),
+      col("punct_ratio"), col("stop_ratio"), col("quality"))
+
+  /** Add marker-word counts + `pred_lang` — pure projection twin of
+    * [[langId]], fusable into a single scan.
+    */
+  def withLangId(docs: DataFrame): DataFrame = {
     def cnt(w: String) = expr(s"size(filter(split(text, '\\\\s+'), x -> x = '$w'))")
-    docs.select(
-        col("doc_id"),
-        cnt("the").as("c_en"), cnt("der").as("c_de"),
-        cnt("el").as("c_es"), cnt("le").as("c_fr"))
+    docs
+      .withColumn("c_en", cnt("the")).withColumn("c_de", cnt("der"))
+      .withColumn("c_es", cnt("el")).withColumn("c_fr", cnt("le"))
       .withColumn("pred_lang",
         when(col("c_en") > 0 && col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
           .when(col("c_de") > 0 && col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
@@ -57,6 +64,11 @@ object TextAnalysis {
           .when(col("c_fr") > 0, "fr")
           .otherwise("und"))
   }
+
+  /** Language ID: marker-word voting with a deterministic priority order. */
+  def langId(docs: DataFrame): DataFrame =
+    withLangId(docs).select(col("doc_id"), col("c_en"), col("c_de"),
+      col("c_es"), col("c_fr"), col("pred_lang"))
 
   /** Corpus bigram statistics: top word pairs across the corpus (document
     * frequency + total occurrences) — the distributional profile used for

@@ -53,4 +53,11 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.lshTopK(emb, 1, 3).collect()
     assert(r.exists(_.getAs[Long]("neighbor_id") == 1L)) // bucket-mate found
   }
+
+  test("rangeSearch returns exactly the neighbors above the radius") {
+    val r = Similarity.rangeSearch(emb, 1, 0.5).collect()
+    // query 0: cos(1)=1.0, cos(3)≈0.9939 ≥ 0.5; cos(2)=0 excluded
+    assert(r.map(_.getAs[Long]("neighbor_id")).sorted.toSeq == Seq(1L, 3L))
+    assert(r.forall(_.getAs[Double]("score") >= 0.5))
+  }
 }

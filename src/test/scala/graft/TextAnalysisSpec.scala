@@ -68,4 +68,18 @@ class TextAnalysisSpec extends SparkSpec {
       .map(d => (d.doc_id, d.byte_len, d.width, d.height, d.n_frames)).toSet
     assert(declarative == batched)
   }
+
+  test("curation: dedup keeper + language + quality filters compose") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat at the end of a story", "web"),
+      (2L, "the cat sat on the mat at the end of a story", "web"), // exact dup
+      (3L, "der hund und der mann und der wagen", "web"), // not 'en'
+      (4L, "!!!! ???? ....", "web")) // low quality
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Curation.materialize(corpus, 0.3, "en").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(r.head.getAs[String]("source") == "web")
+    assert(r.head.getAs[Double]("quality") >= 0.3)
+  }
 }
