@@ -92,6 +92,11 @@ object SparkEntry {
       Tsdb.intervalJoin(ev,
         Tsdb.activityWindows(Tsdb.points1(ev), "purchase", 1.5), "error")
     }),
+    "ts_anomaly_mad" -> ((s, dir) => Tsdb.anomalyMad(Tsdb.points1(t(s, dir, "events")))),
+    "ts_seasonal_baseline" -> ((s, dir) =>
+      Tsdb.seasonalBaseline(Tsdb.points1(t(s, dir, "events")))),
+    "ts_correlation" -> ((s, dir) =>
+      Tsdb.correlation(Tsdb.points1(t(s, dir, "events")), "purchase", "error")),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -454,6 +459,37 @@ object SparkEntry {
          FROM w JOIN events e
            ON e.event_type = 'error' AND e.ts >= win_start AND e.ts < win_end
          GROUP BY 1, 2""",
+
+    "ts_anomaly_mad" -> s"""$store1,
+         med AS (SELECT f1, quantile_cont(total, 0.5) AS med FROM store GROUP BY 1),
+         dev AS (SELECT s.f1, s.bucket, s.total, abs(s.total - med.med) AS absdev
+                 FROM store s JOIN med USING (f1)),
+         mad AS (SELECT f1, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+         SELECT dev.f1, bucket, total,
+                floor((absdev / mad) * 10000.0 + 0.5) / 10000.0 AS mad_score
+         FROM dev JOIN mad USING (f1)
+         WHERE mad > 0 AND absdev > 3.0 * mad""",
+
+    "ts_seasonal_baseline" -> s"""$store1,
+         sl AS (SELECT f1, bucket, total, dayofweek(bucket) AS dow, hour(bucket) AS hod
+                FROM store),
+         base AS (SELECT f1, dow, hod, avg(total) AS baseline FROM sl GROUP BY 1, 2, 3)
+         SELECT sl.f1, sl.bucket, sl.total,
+                floor((sl.total / baseline) * 10000.0 + 0.5) / 10000.0 AS ratio
+         FROM sl JOIN base USING (f1, dow, hod)
+         WHERE baseline > 0 AND sl.total >= 2.0 * baseline""",
+
+    "ts_correlation" -> s"""$store1,
+         a AS (SELECT bucket, total AS x FROM store WHERE f1 = 'purchase'),
+         b AS (SELECT bucket, total AS y FROM store WHERE f1 = 'error'),
+         j AS (SELECT x, y FROM a JOIN b USING (bucket)),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM j)
+         SELECT CAST(n AS BIGINT) AS n_buckets,
+                floor(((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+                      * 10000.0 + 0.5) / 10000.0 AS pearson
+         FROM s""",
 
     "ts_fetch_dense" ->
       """WITH m AS (SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,

@@ -375,6 +375,64 @@ object Tsdb {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_total"))
   }
 
+  /** Robust anomaly detection via Median Absolute Deviation: flag points
+    * whose |total − median| exceeds k·MAD of their series. Unlike the
+    * mean/stddev z-score (ts_zscore), a few huge outliers cannot inflate
+    * the threshold and mask each other. Two per-series aggregations
+    * (median, then MAD) joined back — the per-series stats rows are tiny
+    * relative to the points, so both joins AQE-broadcast; exact
+    * `percentile` matches DuckDB's quantile_cont interpolation.
+    */
+  def anomalyMad(pts1: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = pts1.groupBy(col("f1"))
+      .agg(expr("percentile(total, 0.5)").as("med"))
+    val dev = pts1.join(med, "f1")
+      .withColumn("absdev", abs(col("total") - col("med")))
+    val mad = dev.groupBy(col("f1"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(mad, "f1")
+      .filter(col("mad") > 0 && col("absdev") > lit(k) * col("mad"))
+      .select(col("f1"), col("bucket"), col("total"),
+        graft.functions.Hashing.rd4(col("absdev") / col("mad")).as("mad_score"))
+  }
+
+  /** Seasonal-baseline deviation: expected value per (series, day-of-week,
+    * hour-of-day) slot learned from the whole window, then points at
+    * ratio ≥ `minRatio` of their slot baseline. The baseline table is
+    * |series|×168 rows — broadcast — and spark dayofweek (Sun=1) is
+    * shifted to DuckDB's Sun=0 convention.
+    */
+  def seasonalBaseline(pts1: DataFrame, minRatio: Double = 2.0): DataFrame = {
+    val slotted = pts1.withColumn("dow", dayofweek(col("bucket")) - 1)
+      .withColumn("hod", hour(col("bucket")))
+    val base = slotted.groupBy(col("f1"), col("dow"), col("hod"))
+      .agg(avg(col("total")).as("baseline"))
+    slotted.join(base, Seq("f1", "dow", "hod"))
+      .filter(col("baseline") > 0 && col("total") >= lit(minRatio) * col("baseline"))
+      .select(col("f1"), col("bucket"), col("total"),
+        graft.functions.Hashing.rd4(col("total") / col("baseline")).as("ratio"))
+  }
+
+  /** Pearson correlation between two depth-1 series on their common
+    * buckets, from explicit sums (n, Σx, Σy, Σxy, Σx², Σy²) so the
+    * arithmetic shape is identical on any engine — a built-in corr()
+    * differs per implementation in co-moment accumulation. One bucket
+    * equi-join + one 1-row aggregate: no window, no second pass.
+    */
+  def correlation(pts1: DataFrame, f1a: String, f1b: String): DataFrame = {
+    val a = pts1.filter(col("f1") === f1a).select(col("bucket"), col("total").as("x"))
+    val b = pts1.filter(col("f1") === f1b).select(col("bucket"), col("total").as("y"))
+    a.join(b, "bucket")
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_buckets"),
+        graft.functions.Hashing.rd4(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson"))
+  }
+
   /** Latest point per series (arg-max on bucket). */
   def latest(pts: DataFrame): DataFrame =
     pts.groupBy(col("f1"), col("f2"))

@@ -183,4 +183,42 @@ class TsdbSpec extends SparkSpec {
     assert(j(0).getAs[Long]("n_events") == 2L && j(0).getAs[Double]("value_total") == 12.0)
     assert(j(1).getAs[Long]("n_events") == 1L && j(1).getAs[Double]("value_total") == 1.0)
   }
+
+  test("anomalyMad flags the outlier a variance-based score would dilute") {
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 01:10:00", "purchase", 1L, 12.0),
+      ("2024-01-01 02:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 03:10:00", "purchase", 1L, 12.0),
+      ("2024-01-01 04:10:00", "purchase", 1L, 100.0))))
+    val r = Tsdb.anomalyMad(pts1, 3.0).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("total") == 100.0)
+    assert(r.head.getAs[Double]("mad_score") == 44.0) // |100-12| / mad(2)
+  }
+
+  test("seasonalBaseline compares each point to its (dow,hour) slot") {
+    // three Mondays, same hour slot: 5, 5, 30 → baseline 13.33, only the
+    // 30 exceeds 2x
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 5.0),
+      ("2024-01-08 00:10:00", "purchase", 1L, 5.0),
+      ("2024-01-15 00:10:00", "purchase", 1L, 30.0))))
+    val r = Tsdb.seasonalBaseline(pts1, 2.0).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("total") == 30.0)
+    assert(r.head.getAs[Double]("ratio") == 2.25)
+  }
+
+  test("correlation: perfectly linear series → pearson 1") {
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
+      ("2024-01-01 01:10:00", "purchase", 1L, 2.0),
+      ("2024-01-01 02:10:00", "purchase", 1L, 3.0),
+      ("2024-01-01 00:20:00", "error", 1L, 2.0),
+      ("2024-01-01 01:20:00", "error", 1L, 4.0),
+      ("2024-01-01 02:20:00", "error", 1L, 6.0))))
+    val r = Tsdb.correlation(pts1, "purchase", "error").head()
+    assert(r.getAs[Long]("n_buckets") == 3L)
+    assert(r.getAs[Double]("pearson") == 1.0)
+  }
 }
