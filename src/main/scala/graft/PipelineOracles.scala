@@ -325,5 +325,21 @@ object PipelineOracles {
                 CAST(64 + (hm // 512) % 512 AS INT) AS height,
                 CAST(1 + hm % 8 AS INT) AS n_frames
          FROM h""",
+
+    "mm_feature_extract" -> s"""
+         SELECT doc_id, i AS feature_idx,
+                CAST(CAST((CAST(${h60("text || '_e' || i")} % 2000 AS BIGINT) - 1000)
+                          / 1000.0 AS REAL) AS DOUBLE) AS feature_val
+         FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g""",
+
+    "mm_resize" -> s"""WITH h AS (
+           SELECT doc_id, CAST(${h60("text")} AS BIGINT) AS hm FROM documents),
+         m AS (SELECT doc_id,
+                CAST(64 + hm % 512 AS INT) AS width,
+                CAST(64 + (hm // 512) % 512 AS INT) AS height FROM h)
+         SELECT doc_id, width, height,
+                CAST(floor(width * least(128.0 / width, 128.0 / height, 1.0)) AS INT) AS out_w,
+                CAST(floor(height * least(128.0 / width, 128.0 / height, 1.0)) AS INT) AS out_h
+         FROM m""",
   )
 }

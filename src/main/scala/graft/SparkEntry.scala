@@ -121,6 +121,12 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(t(s, dir, "documents"), 2)),
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(t(s, dir, "embeddings"), 10, 0.35)),
+    "mm_feature_extract" -> ((s, dir) => Multimodal.featureExtract(t(s, dir, "documents"))
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("feature_idx", "fv")))
+      .select(col("doc_id"), col("feature_idx"), col("fv").cast("double").as("feature_val"))),
+    "mm_resize" -> ((s, dir) => Multimodal.resize(
+        Multimodal.binaryMeta(t(s, dir, "documents")), 128, 128)
+      .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"))),
     "pipeline_materialize" -> ((s, dir) =>
       Curation.materialize(t(s, dir, "documents"), 0.55, "en")),
   )
