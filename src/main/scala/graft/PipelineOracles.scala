@@ -77,6 +77,26 @@ object PipelineOracles {
                   WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= $threshold)"""
   }
 
+  /** (label, LSH-band)-blocked embedding near-dup pairs at cos ≥ 0.4 —
+    * the DuckDB twin of Similarity.embeddingDedup, shared by the pair and
+    * survivor queries. Requires the `nrm` and `sigs` CTEs in scope.
+    */
+  private val embPairs = s"""
+       bands AS (SELECT s.vec_id, b.band, (s.sig >> (2 * b.band)) & 3 AS key
+                 FROM sigs s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+       cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       epairs AS (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+         FROM embeddings a
+         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         JOIN cand ON cand.vec_a = a.vec_id AND cand.vec_b = b.vec_id
+         JOIN nrm na ON na.vec_id = a.vec_id
+         JOIN nrm nb ON nb.vec_id = b.vec_id
+         WHERE floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 >= 0.4)"""
+
   private val sh8 =
     """sh8 AS (SELECT doc_id, unnest(list_distinct(
          CASE WHEN len(tk) >= 8
@@ -142,20 +162,12 @@ object PipelineOracles {
 
     // banded-LSH blocking (4 bands × 2 sign bits) mirrors
     // Similarity.embeddingDedup: only pairs sharing a band are compared
-    "dedup_embedding" -> s"""WITH $nrm, $sigs,
-         bands AS (SELECT s.vec_id, b.band, (s.sig >> (2 * b.band)) & 3 AS key
-                   FROM sigs s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
-         cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-                  FROM bands x JOIN bands y
-                    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
-         FROM embeddings a
-         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         JOIN cand ON cand.vec_a = a.vec_id AND cand.vec_b = b.vec_id
-         JOIN nrm na ON na.vec_id = a.vec_id
-         JOIN nrm nb ON nb.vec_id = b.vec_id
-         WHERE floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 >= 0.4""",
+    "dedup_embedding" -> s"""WITH $nrm, $sigs, $embPairs
+         SELECT vec_a, vec_b, label, cos_sim FROM epairs""",
+
+    "embedding_survivors" -> s"""WITH $nrm, $sigs, $embPairs
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id NOT IN (SELECT DISTINCT vec_b FROM epairs)""",
 
     // deterministic centroids: fixed-point integer sums (floor(v·1e7+0.5))
     // replayed bit-for-bit from Similarity.ivfTopK
@@ -331,6 +343,21 @@ object PipelineOracles {
                 CAST(CAST((CAST(${h60("text || '_e' || i")} % 2000 AS BIGINT) - 1000)
                           / 1000.0 AS REAL) AS DOUBLE) AS feature_val
          FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g""",
+
+    "sample_weighted" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok),
+         q AS (SELECT doc_id,
+                floor((least(1.0, n_tokens / 100.0) * 0.4
+                      + (1.0 - punct * 1.0 / nchars) * 0.3
+                      + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+               FROM t2)
+         SELECT d.doc_id, d.lang, d.source, q.quality
+         FROM documents d JOIN q USING (doc_id)
+         WHERE ${h60("CAST(doc_id AS VARCHAR) || 'w1'")} % 10000 < q.quality * 10000.0""",
 
     "mm_resize" -> s"""WITH h AS (
            SELECT doc_id, CAST(${h60("text")} AS BIGINT) AS hm FROM documents),

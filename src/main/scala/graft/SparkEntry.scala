@@ -97,6 +97,8 @@ object SparkEntry {
       Tsdb.seasonalBaseline(Tsdb.points1(t(s, dir, "events")))),
     "ts_correlation" -> ((s, dir) =>
       Tsdb.correlation(Tsdb.points1(t(s, dir, "events")), "purchase", "error")),
+    "ts_topk_movers" -> ((s, dir) =>
+      Tsdb.topkMovers(Tsdb.points(t(s, dir, "events")), "2024-01-15", 10)),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -121,6 +123,10 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(t(s, dir, "documents"), 2)),
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(t(s, dir, "embeddings"), 10, 0.35)),
+    "embedding_survivors" -> ((s, dir) =>
+      Similarity.embeddingSurvivors(t(s, dir, "embeddings"), 0.4)),
+    "sample_weighted" -> ((s, dir) =>
+      TextAnalysis.sampleWeighted(t(s, dir, "documents"), "w1")),
     "mm_feature_extract" -> ((s, dir) => Multimodal.featureExtract(t(s, dir, "documents"))
       .select(col("doc_id"), posexplode(col("features")).as(Seq("feature_idx", "fv")))
       .select(col("doc_id"), col("feature_idx"), col("fv").cast("double").as("feature_val"))),
@@ -496,6 +502,19 @@ object SparkEntry {
                        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
                       * 10000.0 + 0.5) / 10000.0 AS pearson
          FROM s""",
+
+    "ts_topk_movers" -> s"""$store2,
+         m AS (SELECT f1, f2,
+                round(sum(CASE WHEN bucket < TIMESTAMP '2024-01-15'
+                          THEN total ELSE 0.0 END), 2) AS p1_total,
+                round(sum(CASE WHEN bucket >= TIMESTAMP '2024-01-15'
+                          THEN total ELSE 0.0 END), 2) AS p2_total
+               FROM store GROUP BY 1, 2)
+         SELECT f1, f2, p1_total, p2_total,
+                floor((p2_total - p1_total) * 100.0 + 0.5) / 100.0 AS delta
+         FROM m
+         ORDER BY abs(floor((p2_total - p1_total) * 100.0 + 0.5) / 100.0) DESC, f1, f2
+         LIMIT 10""",
 
     "ts_fetch_dense" ->
       """WITH m AS (SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,

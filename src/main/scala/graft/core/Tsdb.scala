@@ -433,6 +433,23 @@ object Tsdb {
              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson"))
   }
 
+  /** Top-k movers: the series whose total changed most between the two
+    * halves of the range split at `split`. One map-side-combinable
+    * aggregation, then TakeOrdered(k) — no global sort materialization.
+    * Period sums are rounded to the 2-dec grid BEFORE ordering so the
+    * ranking compares exact grid values, not ulp-noisy raw sums.
+    */
+  def topkMovers(pts: DataFrame, split: String, k: Int): DataFrame =
+    pts.groupBy(col("f1"), col("f2"))
+      .agg(
+        round(sum(when(col("bucket") < lit(split), col("total")).otherwise(0.0)), 2)
+          .as("p1_total"),
+        round(sum(when(col("bucket") >= lit(split), col("total")).otherwise(0.0)), 2)
+          .as("p2_total"))
+      .withColumn("delta", graft.functions.Hashing.rd2(col("p2_total") - col("p1_total")))
+      .orderBy(abs(col("delta")).desc, col("f1"), col("f2"))
+      .limit(k)
+
   /** Latest point per series (arg-max on bucket). */
   def latest(pts: DataFrame): DataFrame =
     pts.groupBy(col("f1"), col("f2"))

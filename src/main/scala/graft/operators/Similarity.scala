@@ -86,6 +86,15 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** End-to-end embedding dedup: the corpus minus the higher-id member of
+    * every near-dup pair (keep-first policy, one anti-join — the
+    * embedding twin of Dedup.survivors).
+    */
+  def embeddingSurvivors(emb: DataFrame, threshold: Double): DataFrame = {
+    val drop = embeddingDedup(emb, threshold).select(col("vec_b").as("vec_id")).distinct()
+    emb.join(drop, Seq("vec_id"), "left_anti").select(col("vec_id"), col("label"))
+  }
+
   /** Cosine range search: every corpus vector with cos ≥ minCos of each
     * query — the radius-based retrieval twin of [[bruteForceTopK]].
     * Embarrassingly parallel: queries broadcast, one scan, per-pair

@@ -103,6 +103,19 @@ object TextAnalysis {
       .drop("__bucket")
   }
 
+  /** Quality-weighted deterministic sampling: each doc is kept with
+    * probability equal to its quality score — higher-quality docs
+    * over-represented, selection by content-independent hash so the
+    * sample is reproducible across runs, engines and cluster layouts
+    * (same property as [[sampleStratified]], continuous rates).
+    */
+  def sampleWeighted(docs: DataFrame, salt: String): DataFrame =
+    withQuality(docs)
+      .filter(graft.functions.Hashing.h60mod(
+          concat(col("doc_id").cast("string"), lit(salt)), 10000L)
+        < col("quality") * 10000.0)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+
   /** Document fingerprint: rolling polynomial hash over the token stream
     * (order-sensitive, multiplicity-sensitive).
     */

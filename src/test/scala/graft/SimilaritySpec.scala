@@ -54,6 +54,12 @@ class SimilaritySpec extends SparkSpec {
     assert(r.exists(_.getAs[Long]("neighbor_id") == 1L)) // bucket-mate found
   }
 
+  test("embeddingSurvivors drops only the higher-id near-dup member") {
+    val r = Similarity.embeddingSurvivors(emb, 0.95).collect()
+    // pair (0,1) is the only near-dup → 1 dropped, 0/2/3 survive
+    assert(r.map(_.getAs[Long]("vec_id")).sorted.toSeq == Seq(0L, 2L, 3L))
+  }
+
   test("rangeSearch returns exactly the neighbors above the radius") {
     val r = Similarity.rangeSearch(emb, 1, 0.5).collect()
     // query 0: cos(1)=1.0, cos(3)≈0.9939 ≥ 0.5; cos(2)=0 excluded

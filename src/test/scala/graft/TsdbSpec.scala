@@ -209,6 +209,17 @@ class TsdbSpec extends SparkSpec {
     assert(r.head.getAs[Double]("ratio") == 2.25)
   }
 
+  test("topkMovers ranks series by period-over-period change") {
+    val pts = Tsdb.points(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 10.0), // u1: 10 → 50, delta +40
+      ("2024-01-20 00:10:00", "purchase", 1L, 50.0),
+      ("2024-01-01 01:10:00", "purchase", 2L, 30.0), // u2: 30 → 25, delta -5
+      ("2024-01-20 01:10:00", "purchase", 2L, 25.0))))
+    val r = Tsdb.topkMovers(pts, "2024-01-15", 1).collect()
+    assert(r.length == 1 && r.head.getAs[String]("f2") == "1")
+    assert(r.head.getAs[Double]("delta") == 40.0)
+  }
+
   test("correlation: perfectly linear series → pearson 1") {
     val pts1 = Tsdb.points1(eventsDf(Seq(
       ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
