@@ -97,6 +97,26 @@ object PipelineOracles {
          JOIN nrm nb ON nb.vec_id = b.vec_id
          WHERE floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 >= 0.4)"""
 
+  /** One Lloyd iteration as CTEs: assignment `asn$i` against centroid
+    * table `$prev`, fixed-point mean update ending in `c$i` — the DuckDB
+    * twin of Similarity.assignToCentroids + updateCentroids.
+    */
+  private def kmeansIterSql(i: Int, prev: String): String = s"""
+       a$i AS (SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+               FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN $prev c),
+       asn$i AS (SELECT vec_id, cid FROM a$i WHERE r = 1),
+       flat$i AS (SELECT s.cid, i.pos, e.embedding[i.pos]::DOUBLE AS v
+                  FROM asn$i s JOIN embeddings e ON e.vec_id = s.vec_id
+                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+       cm$i AS (SELECT cid, pos,
+                       CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 10000000.0 / count(*) AS cv
+                FROM flat$i GROUP BY 1, 2),
+       cl$i AS (SELECT cid, list(CAST(cv AS REAL) ORDER BY pos) AS cvec FROM cm$i GROUP BY 1),
+       c$i AS (SELECT cid, cvec, sqrt(${dot64("cvec", "cvec")}) AS cnrm FROM cl$i)"""
+
   private val sh8 =
     """sh8 AS (SELECT doc_id, unnest(list_distinct(
          CASE WHEN len(tk) >= 8
@@ -329,6 +349,43 @@ object PipelineOracles {
          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
                 CAST(${h60("content_hash || '_f' || frame_idx")} AS BIGINT) AS frame_hash
          FROM fr""",
+
+    // full k-means training loop replayed: hash-chosen seeds, 2 Lloyd
+    // iterations with fixed-point centroid means, probe-2 search
+    "ann_kmeans_topk" -> s"""WITH $nrm,
+         sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv
+                FROM embeddings),
+         seeds AS (SELECT vec_id, embedding, hv,
+                   row_number() OVER (ORDER BY hv, vec_id) AS cid
+                   FROM sd QUALIFY cid <= 8),
+         c0 AS (SELECT s.cid, s.embedding AS cvec, n.nrm AS cnrm
+                FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         af AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
+         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         pr AS (SELECT query_id, c.cid,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY ${dot64("qv", "c.cvec")} / (nq.nrm * c.cnrm) DESC, c.cid) AS crnk
+                FROM q JOIN nrm nq ON nq.vec_id = query_id CROSS JOIN c2 c),
+         probes AS (SELECT query_id, cid FROM pr WHERE crnk <= 2),
+         sc AS (SELECT p.query_id, s.vec_id AS neighbor_id,
+                       ${dot64("qv", "e.embedding")} / (nq.nrm * nc.nrm) AS cos
+                FROM probes p
+                JOIN asnf s ON s.cid = p.cid
+                JOIN q ON q.query_id = p.query_id
+                JOIN embeddings e ON e.vec_id = s.vec_id AND e.vec_id <> p.query_id
+                JOIN nrm nq ON nq.vec_id = p.query_id
+                JOIN nrm nc ON nc.vec_id = s.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                       cos FROM sc)
+         SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
+         FROM rk WHERE rnk <= 5""",
 
     "mm_binary_meta" -> s"""WITH h AS (
            SELECT doc_id, text, CAST(${h60("text")} AS BIGINT) AS hm FROM documents)

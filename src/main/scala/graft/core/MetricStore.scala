@@ -80,13 +80,25 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     * to the epoch-partitioned store. Input schema: (ts, fields..., value).
     * One grouping-sets aggregation covers all prefix depths.
     */
-  def track(events: DataFrame): Unit = {
+  def track(events: DataFrame): Unit =
+    trackIncrements(events
+      .withColumn("total", col("value"))
+      .withColumn("cnt", lit(1L)))
+
+  /** Track pre-aggregated increments: kadiyadb's Track takes an arbitrary
+    * (total, count) delta per call, not just single observations
+    * (/root/reference/database.go:153-171) — e.g. a client that already
+    * rolled up a second of data pushes (total=5.0, count=3). Input
+    * schema: (ts, fields..., total, cnt); deltas sum into the same
+    * store layout raw events do.
+    */
+  def trackIncrements(incs: DataFrame): Unit = {
     writeParamsIfAbsent()
-    val base = events.withColumn("bucket", Tsdb.bucket(col("ts"), params.resolution))
+    val base = incs.withColumn("bucket", Tsdb.bucket(col("ts"), params.resolution))
     val sets = (1 to nFields).map(i => fieldCols.take(i) :+ col("bucket"))
     val pts = base
       .groupingSets(sets, (fieldCols :+ col("bucket")): _*)
-      .agg(sum(col("value")).as("total"), count(lit(1)).as("cnt"))
+      .agg(sum(col("total")).as("total"), sum(col("cnt")).as("cnt"))
       .withColumn("depth", depthCol)
       .withColumn("epoch",
         date_format(Tsdb.epochOf(col("bucket"), params.epochDuration), "yyyy-MM-dd"))

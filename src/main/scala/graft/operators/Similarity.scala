@@ -86,6 +86,74 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** Nearest-centroid assignment (max cosine, tie-break centroid id). */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wa = Window.partitionBy(col("vec_id")).orderBy(
+      (V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** Deterministic centroid update: per-component fixed-point integer
+    * mean (order-independent — see ivfTopK). Empty clusters drop out.
+    */
+  private def updateCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * 1e7 + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("cv", col("sq").cast("double") / 1e7 / col("n"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> CAST(x.cv AS FLOAT))")
+        .as("cvec"))
+      .withColumn("cnrm", V.normF(col("cvec")))
+
+  /** IVF with UNSUPERVISED k-means coarse quantization — no label column
+    * needed (ivfTopK's label partitions are a luxury real corpora lack).
+    * Seeds are the `nCent` vectors with the smallest md5-hash of their id
+    * (deterministic, spread independently of insertion order), refined by
+    * `iters` Lloyd iterations. Every step is the classic distributed
+    * k-means shape: broadcast centroids → map-side nearest-centroid
+    * assignment → one aggregation for the update; the fixed-point integer
+    * component sums make the learned centroids bit-identical regardless
+    * of partitioning, so the DuckDB oracle replays the whole training
+    * loop exactly.
+    */
+  def kmeansIvfTopK(emb: DataFrame, nQueries: Int, k: Int, nCent: Int = 8,
+      iters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    // TakeOrdered(nCent) — no global sort; the window numbering only the
+    // nCent seed rows
+    val seeds = e
+      .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
+      .orderBy(col("hv"), col("vec_id")).limit(nCent)
+    val cent0 = seeds
+      .withColumn("cid", row_number().over(Window.orderBy(col("hv"), col("vec_id"))))
+      .select(col("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    val cent = (1 to iters).foldLeft(cent0)((c, _) => updateCentroids(assignToCentroids(e, c)))
+    val asn = assignToCentroids(e, cent).select(col("vec_id"), col("cid"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy((V.dotF(col("qv"), col("cvec")) / (col("qnrm") * col("cnrm"))).desc, col("cid"))
+    val probes = broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"))
+    val scored = e.as("c").join(asn.as("a"), col("c.vec_id") === col("a.vec_id"))
+      .join(broadcast(probes),
+        col("a.cid") === probes("cid") && col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (V.dotF(col("qv"), col("c.embedding")) / (col("qnrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        Hashing.rd4(col("cos")).as("score"))
+  }
+
   /** End-to-end embedding dedup: the corpus minus the higher-id member of
     * every near-dup pair (keep-first policy, one anti-join — the
     * embedding twin of Dedup.survivors).

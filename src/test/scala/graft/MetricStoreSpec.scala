@@ -35,6 +35,20 @@ class MetricStoreSpec extends SparkSpec {
     assert(wild.length == 2)
   }
 
+  test("trackIncrements merges pre-aggregated (total, count) deltas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftstore_inc").toString
+    val store = new MetricStore(spark, dir)
+    store.track(mkEvents(Seq(("2024-01-01 10:05:00", "cpu", "host1", 10.0))))
+    // a client pushes an already-rolled-up delta: total 5.0 over 3 samples
+    store.trackIncrements(Seq(("2024-01-01 10:30:00", "cpu", "host1", 5.0, 3L))
+      .toDF("ts", "f1", "f2", "total", "cnt")
+      .withColumn("ts", col("ts").cast("timestamp_ntz")))
+    val r = store.fetch("2024-01-01", "2024-01-02", Seq(Some("cpu"), Some("host1"))).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("total") == 15.0 && r.head.getAs[Long]("cnt") == 4L)
+  }
+
   test("arbitrary-depth hierarchies: 3-level fields, fetch at every depth") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftstore").toString

@@ -54,6 +54,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.exists(_.getAs[Long]("neighbor_id") == 1L)) // bucket-mate found
   }
 
+  test("kmeansIvfTopK finds the identical vector without using labels") {
+    import spark.implicits._
+    // 12 vectors in two tight clusters; no informative label column
+    val vecs = (0L until 6L).map(i => (i, Array(1.0f, 0.01f * i, 0.0f), 0)) ++
+      (6L until 12L).map(i => (i, Array(0.0f, 0.01f * i, 1.0f), 0))
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val r = Similarity.kmeansIvfTopK(e, 1, 3, nCent = 2, iters = 2, nProbe = 1)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+    // query 0 lives in the first cluster; all its top-3 must come from it
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("neighbor_id") < 6L))
+  }
+
   test("embeddingSurvivors drops only the higher-id near-dup member") {
     val r = Similarity.embeddingSurvivors(emb, 0.95).collect()
     // pair (0,1) is the only near-dup → 1 dropped, 0/2/3 survive
