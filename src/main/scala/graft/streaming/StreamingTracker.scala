@@ -140,6 +140,42 @@ object StreamingTracker {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  final case class TaggedPoint(f2: String, side: Int, ts: java.sql.Timestamp, value: Double)
+  final case class AsofMatch(f2: String, ts: java.sql.Timestamp, value: Double,
+      b_ts: Option[java.sql.Timestamp], b_value: Option[Double])
+
+  /** Streaming as-of join — the live twin of Tsdb.asofJoin. Both streams
+    * arrive union-tagged (side 0 = build, 1 = probe) and keyed by series;
+    * per-key state is ONLY the latest build point, so state size is
+    * O(|keys|) regardless of throughput. Within a micro-batch events are
+    * replayed in (ts, side) order — build before probe on ties, the same
+    * inclusive ≥ semantics as the batch operator. A probe with no prior
+    * build emits an unmatched row (left semantics).
+    */
+  def asofStream(spark: SparkSession,
+      points: Dataset[TaggedPoint]): Dataset[AsofMatch] = {
+    import spark.implicits._
+    points
+      .groupByKey(_.f2)
+      .flatMapGroupsWithState[(java.sql.Timestamp, Double), AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (f2, it, state: GroupState[(java.sql.Timestamp, Double)]) =>
+          val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.side))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsofMatch]
+          ordered.foreach { e =>
+            if (e.side == 0) {
+              if (cur.forall(_._1.getTime <= e.ts.getTime)) cur = Some((e.ts, e.value))
+            } else {
+              val m = cur.filter(_._1.getTime <= e.ts.getTime)
+              out += AsofMatch(f2, e.ts, e.value, m.map(_._1), m.map(_._2))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
   final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
 

@@ -114,6 +114,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofStream joins each probe to the latest prior build value per key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.{AsofMatch, TaggedPoint}
+    val input = MemoryStream[TaggedPoint]
+    val joined = StreamingTracker.asofStream(spark, input.toDS())
+    val q = joined.writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        TaggedPoint("u1", 0, ts("2024-01-01 10:00:00"), 2.0), // build
+        TaggedPoint("u1", 1, ts("2024-01-01 10:30:00"), 9.0), // probe → 2.0
+        TaggedPoint("u2", 1, ts("2024-01-01 10:10:00"), 5.0)) // probe, no build
+      q.processAllAvailable()
+      // next micro-batch: state carries the build point forward
+      input.addData(
+        TaggedPoint("u1", 0, ts("2024-01-01 11:00:00"), 3.0),
+        TaggedPoint("u1", 1, ts("2024-01-01 11:05:00"), 7.0)) // probe → 3.0
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").as[AsofMatch].collect()
+      assert(rows.length == 3)
+      assert(rows.find(r => r.f2 == "u1" && r.value == 9.0).get.b_value.contains(2.0))
+      assert(rows.find(r => r.f2 == "u1" && r.value == 7.0).get.b_value.contains(3.0))
+      assert(rows.find(_.f2 == "u2").get.b_value.isEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated content within the watermark horizon") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
