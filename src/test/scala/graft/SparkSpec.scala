@@ -10,6 +10,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // plan-guard specs assert on full PushedFilters/ReadSchema lists
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .getOrCreate()
 
   /** Tiny events frame with the production schema (ts/event_type/user_id/value). */
