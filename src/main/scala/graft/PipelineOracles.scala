@@ -16,11 +16,12 @@ object PipelineOracles {
     """tok AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tk FROM documents)"""
 
   private val sh =
-    """sh AS (SELECT doc_id, unnest(list_distinct(
-         CASE WHEN len(tk) >= 3
-              THEN list_transform(generate_series(1, len(tk)-2),
-                                  i -> array_to_string(tk[i:i+2], ' '))
-              ELSE []::VARCHAR[] END)) AS shingle FROM tok)"""
+    s"""sh AS (SELECT doc_id, CAST(${h60("sg")} AS BIGINT) AS shingle
+         FROM (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                                    i -> array_to_string(tk[i:i+2], ' '))
+                ELSE []::VARCHAR[] END)) AS sg FROM tok))"""
 
   private val jaccardTail =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -64,7 +65,7 @@ object PipelineOracles {
       s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH $tok, $sh,
-        hm AS (SELECT doc_id, CAST(${h60("shingle")} % ${Dedup.P} AS BIGINT) AS hm FROM sh),
+        hm AS (SELECT doc_id, shingle % ${Dedup.P} AS hm FROM sh),
         sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY 1),
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -118,11 +119,12 @@ object PipelineOracles {
        c$i AS (SELECT cid, cvec, sqrt(${dot64("cvec", "cvec")}) AS cnrm FROM cl$i)"""
 
   private val sh8 =
-    """sh8 AS (SELECT doc_id, unnest(list_distinct(
-         CASE WHEN len(tk) >= 8
-              THEN list_transform(generate_series(1, len(tk)-7),
-                                  i -> array_to_string(tk[i:i+7], ' '))
-              ELSE []::VARCHAR[] END)) AS shingle FROM tok)"""
+    s"""sh8 AS (SELECT doc_id, CAST(${h60("sg")} AS BIGINT) AS shingle
+         FROM (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(tk) >= 8
+                THEN list_transform(generate_series(1, len(tk)-7),
+                                    i -> array_to_string(tk[i:i+7], ' '))
+                ELSE []::VARCHAR[] END)) AS sg FROM tok))"""
 
   def all: Map[String, String] = Map(
     "contamination_check" -> s"""WITH $tok, $sh8,

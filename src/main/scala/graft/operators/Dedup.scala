@@ -32,10 +32,16 @@ object Dedup {
       (Hashing.h60jvm(s"mh_a_$j") % (P - 1) + 1, Hashing.h60jvm(s"mh_b_$j") % P)
     }
 
-  /** Distinct word-n-gram shingles per doc, exploded to (doc_id, shingle).
+  /** Distinct word-n-gram shingles per doc, exploded to (doc_id, shingle)
+    * where `shingle` is the 60-bit h60 HASH of the n-gram, not the string:
+    * every downstream consumer (df-cap, self-join, minhash) only needs
+    * equality, so shuffling 8-byte longs instead of n-gram strings cuts
+    * shuffle/cache volume ~10× at corpus scale. The string exists only
+    * inside this projection (never shuffled); the oracle hashes the same
+    * way, so results stay bit-identical (h60 collisions: ~n²/2⁶¹).
     * Tokenizes once into a projected column (the regex split is the
-    * expensive part), then shingles from it. slice(tk,1,0) is the
-    * typed-empty-array fallback for short docs.
+    * expensive part). slice(tk,1,0) is the typed-empty-array fallback for
+    * short docs.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
@@ -45,7 +51,8 @@ object Dedup {
               CASE WHEN size(tk) >= $n
                    THEN transform(sequence(1, size(tk) - ${n - 1}),
                                   i -> array_join(slice(tk, i, $n), ' '))
-                   ELSE slice(tk, 1, 0) END)""")).as("shingle"))
+                   ELSE slice(tk, 1, 0) END)""")).as("sg"))
+      .select(col("doc_id"), Hashing.h60(col("sg")).as("shingle"))
 
   /** Restrict a shingle table to shingles whose document frequency is at
     * most `maxDf` (shingles are distinct per doc, so count = doc freq).
@@ -115,7 +122,8 @@ object Dedup {
     minhashSignaturesFrom(shingles(docs))
 
   private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("hm", Hashing.h60mod(col("shingle"), P))
+    // shingle is already the h60 hash — reduce into the permutation field
+    val hashed = sh.withColumn("hm", col("shingle") % P)
     val aggs = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
       min((col("hm") * a + b) % P).as(s"mh$j")
     }

@@ -93,8 +93,10 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.shingles(docs)
     // "the quick brown" occurs in docs 1,2,3 -> df=3 > cap=2 -> dropped
     val capped = Dedup.capShingles(sh, 2L)
-    assert(capped.filter(col("shingle") === "the quick brown").count() == 0)
-    assert(capped.filter(col("shingle") === "over the lazy").count() == 2) // df=2 kept
+    // shingle column carries the h60 hash of the n-gram
+    val h = graft.functions.Hashing.h60jvm _
+    assert(capped.filter(col("shingle") === h("the quick brown")).count() == 0)
+    assert(capped.filter(col("shingle") === h("over the lazy")).count() == 2) // df=2 kept
     // identical docs still dedup at jaccard 1.0 over the capped sets
     val pairs = Dedup.ngramJaccard(docs, 0.9, maxDf = 2L).collect()
     assert(pairs.exists(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L &&
