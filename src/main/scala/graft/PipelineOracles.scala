@@ -160,6 +160,19 @@ object PipelineOracles {
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)""",
 
+    // transitive closure of the SAME pairs the Spark side clusters:
+    // min-reachable-label per node ≡ Spark's min-label propagation fixpoint
+    "dedup_clusters" -> s"""WITH RECURSIVE ${minhashWith(0.5).stripPrefix("WITH")},
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+          csz AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1)
+          SELECT doc_id, cluster_id, csize FROM comp JOIN csz USING (cluster_id)""",
+
     // brute-force O(n²) over the 60-bit fingerprints: equals the Spark
     // side's pigeonhole banding (complete for hamming <= SimhashBands-1)
     // as long as no band bucket exceeds the cap — the cap never binds at

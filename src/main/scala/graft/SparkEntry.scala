@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
     "dedup_survivors" -> ((s, dir) => Dedup.survivors(t(s, dir, "documents"), 0.5)),
+    "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(t(s, dir, "documents"), 0.5)),
     "contamination_check" -> ((s, dir) =>
       Dedup.contamination(t(s, dir, "documents"), col("doc_id") < 50, 8)),
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),

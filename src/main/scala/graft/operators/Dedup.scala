@@ -186,6 +186,56 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Duplicate-cluster ids via connected components over near-dup pairs:
+    * every doc in a component gets `cluster_id` = the component's min
+    * doc_id, plus the component size. This is the grouping real corpus
+    * dedup uses when "A~B, B~C" must put A and C in one cluster even
+    * though they never formed a pair themselves (keep-first `survivors`
+    * is the cheaper single-anti-join policy when transitivity is not
+    * required).
+    */
+  def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame =
+    clustersFromPairs(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components by iterative min-label propagation. Each round
+    * is one shuffle join keyed on doc ids (fully distributed — no
+    * driver-side graph); a node adopts the smallest label among itself
+    * and its neighbors, so labels converge to the component minimum in
+    * at most `diameter` rounds. Near-dup components are shallow (an LSH
+    * bucket yields a clique), so 2-3 rounds is typical; `maxIters` only
+    * guards degenerate chains. Each round's label table is persisted and
+    * the previous round's dropped, so lineage never re-executes earlier
+    * rounds; the per-round `count` action that materializes it doubles
+    * as the convergence check.
+    */
+  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val offers = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nb"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.join(offers, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
+          (coalesce(col("nb"), col("lbl")) < col("lbl")).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("chg")).count()
+      labels.unpersist()
+      labels = next.select(col("doc_id"), col("lbl"))
+      iters += 1
+    }
+    val comp = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    val sz = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    comp.join(sz, "cluster_id").select(col("doc_id"), col("cluster_id"), col("csize"))
+  }
+
   val SimhashBits = 60  // full width of the engine-portable md5 hash (h60)
   val SimhashBands = 4  // 4 x 15-bit bands: pigeonhole-complete for hamming ≤ 3
 

@@ -89,6 +89,17 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simhashPairs(docs, Dedup.SimhashBands))
   }
 
+  test("clusters merge transitively: A~B, B~C puts A and C in one cluster") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (1 and 3 never paired) + separate pair 5-6: labels
+    // need a propagation round beyond the direct neighbors to converge
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val r = Dedup.clustersFromPairs(pairs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("cluster_id"), x.getAs[Long]("csize")))
+      .toSet
+    assert(r == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (5L, 5L, 2L), (6L, 5L, 2L)))
+  }
+
   test("capShingles drops boilerplate above the doc-frequency cap") {
     val sh = Dedup.shingles(docs)
     // "the quick brown" occurs in docs 1,2,3 -> df=3 > cap=2 -> dropped
