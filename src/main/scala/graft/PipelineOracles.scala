@@ -349,6 +349,56 @@ object PipelineOracles {
          FROM bg GROUP BY 1
          ORDER BY occurrences DESC, bigram LIMIT 20""",
 
+    // identical pattern literals via TextAnalysis.piiPatterns; RE2 and
+    // Java regex agree on this syntax subset (classes + quantifiers)
+    "text_pii_scrub" -> {
+      import graft.operators.TextAnalysis.piiPatterns
+      val counts = piiPatterns.map { case (name, pat) =>
+        s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+      }.mkString(", ")
+      val redacted = piiPatterns.foldLeft("text") { case (c, (name, pat)) =>
+        s"regexp_replace($c, '$pat', '<${name.toUpperCase}>', 'g')"
+      }
+      s"SELECT doc_id, $counts, md5($redacted) AS redacted_hash FROM documents"
+    },
+
+    // same integer counts as TextAnalysis.repetition's sorted-run passes,
+    // derived here by explode + groupBy (implementation-independent)
+    "text_repetition" -> s"""WITH $tok,
+         base AS (SELECT doc_id, tk, len(tk) AS n, length(text) AS nchars FROM tok),
+         bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+                  THEN list_transform(generate_series(1, len(tk)-1),
+                                      i -> array_to_string(tk[i:i+1], ' '))
+                  ELSE []::VARCHAR[] END) AS g FROM tok),
+         tg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+                  THEN list_transform(generate_series(1, len(tk)-2),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+                  ELSE []::VARCHAR[] END) AS g FROM tok),
+         bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         top2 AS (SELECT doc_id, max(cnt * length(g)) AS mass FROM bgc GROUP BY 1),
+         tgc AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY 1, 2),
+         dup3 AS (SELECT doc_id, sum(cnt) FILTER (WHERE cnt >= 2) AS dup,
+                         sum(cnt) AS tot FROM tgc GROUP BY 1),
+         tks AS (SELECT doc_id, pos, tk[pos] AS tok FROM
+                 (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk FROM tok)),
+         brk AS (SELECT doc_id, pos, tok,
+                 CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+                      THEN 0 ELSE 1 END AS b FROM tks),
+         isl AS (SELECT doc_id, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+         rl AS (SELECT doc_id, island, count(*) AS rl FROM isl GROUP BY 1, 2),
+         mr AS (SELECT doc_id, max(rl) AS max_run FROM rl GROUP BY 1)
+         SELECT base.doc_id, base.n AS n_tokens,
+                floor((len(list_distinct(base.tk)) * 1.0 / base.n) * 10000.0 + 0.5) / 10000.0 AS ttr,
+                floor((coalesce(top2.mass, 0) * 1.0 / base.nchars) * 10000.0 + 0.5) / 10000.0 AS top2_char_frac,
+                CASE WHEN coalesce(dup3.tot, 0) > 0
+                     THEN floor((coalesce(dup3.dup, 0) * 1.0 / dup3.tot) * 10000.0 + 0.5) / 10000.0
+                     ELSE 0.0 END AS dup3_frac,
+                mr.max_run
+         FROM base
+         LEFT JOIN top2 USING (doc_id)
+         LEFT JOIN dup3 USING (doc_id)
+         LEFT JOIN mr USING (doc_id)""",
+
     "text_fingerprint" -> s"""WITH $tok
          SELECT doc_id,
                 list_reduce(list_prepend(0, list_transform(tk,

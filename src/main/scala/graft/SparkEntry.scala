@@ -118,6 +118,8 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
+    "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(t(s, dir, "documents"))),
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(t(s, dir, "documents"), 20)),
     "sample_stratified" -> ((s, dir) => TextAnalysis.sampleStratified(
       t(s, dir, "documents"), col("lang"), Map("en" -> 50, "zh" -> 10), 25, "r1")

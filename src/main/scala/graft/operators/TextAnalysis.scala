@@ -116,6 +116,104 @@ object TextAnalysis {
         < col("quality") * 10000.0)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
 
+  /** Gopher-style repetition metrics per document: type-token ratio,
+    * character mass of the most-repeated bigram, fraction of trigram
+    * occurrences that are duplicated, and the longest consecutive
+    * same-token run. The standard screens for auto-generated / looping
+    * text in training-data curation.
+    *
+    * Scale design: the metrics are per-document, so they are computed
+    * entirely inside array expressions over the token array — a map-only
+    * projection with ZERO shuffle. (The explode → groupBy(doc_id, gram)
+    * formulation would shuffle every n-gram occurrence in the corpus just
+    * to bring per-doc counts back together.) Frequencies come from a
+    * single run-length pass over the array_sorted n-gram list, O(n log n)
+    * per doc, so long documents stay linear-ish, never O(n·distinct).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    def grams(k: Int) =
+      s"""CASE WHEN size(tk) >= $k
+               THEN transform(sequence(1, size(tk) - ${k - 1}),
+                              i -> array_join(slice(tk, i, $k), ' '))
+               ELSE slice(tk, 1, 0) END"""
+    // max over distinct bigrams of (occurrences × char length): one pass
+    // over the sorted list, tracking the current run and the best mass
+    val top2Mass =
+      s"""aggregate(array_sort(${grams(2)}),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+            (acc, x) -> named_struct('prev', x,
+              'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,
+              'best', greatest(acc.best,
+                (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END) * length(x))),
+            acc -> acc.best)"""
+    // occurrences of trigrams that appear more than once = total - singletons;
+    // a new run tentatively counts as a singleton (+1), retracted (-1) the
+    // moment the run reaches length 2
+    val singles3 =
+      s"""aggregate(array_sort(${grams(3)}),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'singles', 0),
+            (acc, x) -> named_struct('prev', x,
+              'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,
+              'singles', acc.singles +
+                CASE WHEN acc.prev IS NULL OR x != acc.prev THEN 1
+                     WHEN acc.run = 1 THEN -1 ELSE 0 END),
+            acc -> acc.singles)"""
+    val maxRun =
+      """aggregate(tk,
+           named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+           (acc, x) -> named_struct('prev', x,
+             'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,
+             'best', greatest(acc.best,
+               CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),
+           acc -> acc.best)"""
+    val rd4 = graft.functions.Hashing.rd4 _
+    val n3 = expr("greatest(size(tk) - 2, 0)")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        length(col("text")).as("nchars"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        rd4(expr("size(array_distinct(tk))") / size(col("tk"))).as("ttr"),
+        rd4(expr(top2Mass) / col("nchars")).as("top2_char_frac"),
+        when(n3 > 0, rd4((n3 - expr(singles3)) / n3)).otherwise(0.0).as("dup3_frac"),
+        expr(maxRun).as("max_run"))
+  }
+
+  /** PII patterns, ordered by redaction priority (emails first so their
+    * digits can't be re-matched as phones). Restricted to regex syntax
+    * with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    * character classes + bounded quantifiers, no backrefs or lookaround.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "phone" -> "\\+?[0-9][0-9()\\- ]{7,}[0-9]")
+
+  /** Redact all PII patterns from a text column (`<EMAIL>`, `<IPV4>`,
+    * `<PHONE>` placeholders), in priority order.
+    */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, lit(pat), lit(s"<${name.toUpperCase}>"))
+    }
+
+  /** PII scrub: per-doc match counts per pattern (on the original text)
+    * plus the md5 of the redacted text — a pure projection, fusable into
+    * a single scan with the other per-doc transforms. The synthetic
+    * corpus contains no PII, so the driver oracle verifies the zero
+    * counts and that redaction is the identity there; the match/redact
+    * semantics themselves are exercised by TextAnalysisSpec on rows with
+    * real emails/phones/IPs.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat) =>
+      regexp_count(col("text"), lit(pat)).as(s"n_$name")
+    }
+    docs.select(
+      (col("doc_id") +: counts :+ md5(piiRedact(col("text"))).as("redacted_hash")): _*)
+  }
+
   /** Document fingerprint: rolling polynomial hash over the token stream
     * (order-sensitive, multiplicity-sensitive).
     */

@@ -69,6 +69,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(declarative == batched)
   }
 
+  test("repetition metrics: ttr, top-bigram mass, dup trigrams, max run") {
+    // "a a a b": tokens 4, distinct 2 -> ttr 0.5; bigrams [a a, a a, a b]
+    // -> top mass = 2·len("a a") = 6 over 7 chars; trigrams [a a a, a a b]
+    // both singletons -> dup3 0; run of three a's -> max_run 3.
+    // "x y x y x y": trigrams [x y x, y x y, x y x, y x y] all duplicated
+    // -> dup3 1.0; no consecutive repeats -> max_run 1.
+    val r = graft.operators.TextAnalysis.repetition(
+      docsDf(Seq((1L, "a a a b"), (2L, "x y x y x y")))).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Int]("n_tokens") == 4)
+    assert(r(1L).getAs[Double]("ttr") == 0.5)
+    assert(r(1L).getAs[Double]("top2_char_frac") == math.floor(6.0 / 7.0 * 10000.0 + 0.5) / 10000.0)
+    assert(r(1L).getAs[Double]("dup3_frac") == 0.0)
+    assert(r(1L).getAs[Int]("max_run") == 3)
+    assert(r(2L).getAs[Double]("dup3_frac") == 1.0)
+    assert(r(2L).getAs[Int]("max_run") == 1)
+  }
+
+  test("pii scrub counts and redacts emails, phones, and IPv4 addresses") {
+    import spark.implicits._
+    val r = graft.operators.TextAnalysis.piiScrub(Seq(
+      (1L, "contact john.doe@example.com or jane@test.org today"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "server at 192.168.0.1 and 10.0.0.255 up"),
+      (4L, "no sensitive content here")).toDF("doc_id", "text"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Int]("n_email") == 2 && r(1L).getAs[Int]("n_phone") == 0)
+    assert(r(2L).getAs[Int]("n_phone") == 1)
+    assert(r(3L).getAs[Int]("n_ipv4") == 2 && r(3L).getAs[Int]("n_phone") == 0)
+    assert(r(4L).getAs[Int]("n_email") + r(4L).getAs[Int]("n_ipv4") + r(4L).getAs[Int]("n_phone") == 0)
+    // redaction replaces the spans: hash equals md5 of the expected text
+    val red = Seq((9L, "contact john.doe@example.com or 10.0.0.1 via +1 (555) 123-4567"))
+      .toDF("doc_id", "text")
+      .select(graft.operators.TextAnalysis.piiRedact(
+        org.apache.spark.sql.functions.col("text")).as("r"))
+      .head().getAs[String]("r")
+    assert(red == "contact <EMAIL> or <IPV4> via <PHONE>")
+  }
+
   test("curation: dedup keeper + language + quality filters compose") {
     import spark.implicits._
     val corpus = Seq(
