@@ -118,6 +118,57 @@ object PipelineOracles {
        cl$i AS (SELECT cid, list(CAST(cv AS REAL) ORDER BY pos) AS cvec FROM cm$i GROUP BY 1),
        c$i AS (SELECT cid, cvec, sqrt(${dot64("cvec", "cvec")}) AS cnrm FROM cl$i)"""
 
+  /** Shared IVF search tail (final assignment against centroid CTE `cent`,
+    * probe-2, exact rerank, top-5) — ends the statement.
+    */
+  private def ivfTail(cent: String): String = s"""
+       af AS (SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+              FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN $cent c),
+       asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       pr AS (SELECT query_id, c.cid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ${dot64("qv", "c.cvec")} / (nq.nrm * c.cnrm) DESC, c.cid) AS crnk
+              FROM q JOIN nrm nq ON nq.vec_id = query_id CROSS JOIN $cent c),
+       probes AS (SELECT query_id, cid FROM pr WHERE crnk <= 2),
+       sc AS (SELECT p.query_id, s.vec_id AS neighbor_id,
+                     ${dot64("qv", "e.embedding")} / (nq.nrm * nc.nrm) AS cos
+              FROM probes p
+              JOIN asnf s ON s.cid = p.cid
+              JOIN q ON q.query_id = p.query_id
+              JOIN embeddings e ON e.vec_id = s.vec_id AND e.vec_id <> p.query_id
+              JOIN nrm nq ON nq.vec_id = p.query_id
+              JOIN nrm nc ON nc.vec_id = s.vec_id),
+       rk AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                     cos FROM sc)
+       SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
+       FROM rk WHERE rnk <= 5"""
+
+  /** Greedy farthest-point seeding chain s1..s`nCent` — the DuckDB twin of
+    * Similarity.farthestPointSeeds (same hash-min first seed, same
+    * argmin-of-max-cos step, same tie-breaks).
+    */
+  private def fpSeedSql(nCent: Int): String = {
+    val s1 = s"""s1 AS (SELECT 1 AS cid, e.embedding AS cvec, n.nrm AS cnrm
+         FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+         ORDER BY ${h60("CAST(e.vec_id AS VARCHAR)")}, e.vec_id LIMIT 1)"""
+    val steps = (2 to nCent).map { j =>
+      s"""f$j AS (SELECT e.vec_id,
+               max(${dot64("e.embedding", "s.cvec")} / (n.nrm * s.cnrm)) AS closest
+             FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN s${j - 1} s
+             GROUP BY 1),
+         p$j AS (SELECT vec_id FROM f$j ORDER BY closest ASC, vec_id LIMIT 1),
+         s$j AS (SELECT * FROM s${j - 1} UNION ALL
+                 SELECT $j AS cid, e.embedding AS cvec, n.nrm AS cnrm
+                 FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+                 JOIN p$j ON p$j.vec_id = e.vec_id)"""
+    }
+    (s1 +: steps).mkString(",\n")
+  }
+
   private val sh8 =
     s"""sh8 AS (SELECT doc_id, CAST(${h60("sg")} AS BIGINT) AS shingle
          FROM (SELECT doc_id, unnest(list_distinct(
@@ -427,30 +478,17 @@ object PipelineOracles {
                 FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
          ${kmeansIterSql(1, "c0")},
          ${kmeansIterSql(2, "c1")},
-         af AS (SELECT e.vec_id, c.cid,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
-                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
-         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
-         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         pr AS (SELECT query_id, c.cid,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY ${dot64("qv", "c.cvec")} / (nq.nrm * c.cnrm) DESC, c.cid) AS crnk
-                FROM q JOIN nrm nq ON nq.vec_id = query_id CROSS JOIN c2 c),
-         probes AS (SELECT query_id, cid FROM pr WHERE crnk <= 2),
-         sc AS (SELECT p.query_id, s.vec_id AS neighbor_id,
-                       ${dot64("qv", "e.embedding")} / (nq.nrm * nc.nrm) AS cos
-                FROM probes p
-                JOIN asnf s ON s.cid = p.cid
-                JOIN q ON q.query_id = p.query_id
-                JOIN embeddings e ON e.vec_id = s.vec_id AND e.vec_id <> p.query_id
-                JOIN nrm nq ON nq.vec_id = p.query_id
-                JOIN nrm nc ON nc.vec_id = s.vec_id),
-         rk AS (SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
-                       cos FROM sc)
-         SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
-         FROM rk WHERE rnk <= 5""",
+         ${ivfTail("c2")}""",
+
+    // farthest-point seeding + 3 unrolled Lloyd rounds. The Spark side may
+    // stop earlier on a stable assignment — updateCentroids is a fixpoint
+    // there, so the extra unrolled rounds are no-ops and results agree.
+    "ann_kmeanspp_topk" -> s"""WITH $nrm,
+         ${fpSeedSql(8)},
+         ${kmeansIterSql(1, "s8")},
+         ${kmeansIterSql(2, "c1")},
+         ${kmeansIterSql(3, "c2")},
+         ${ivfTail("c3")}""",
 
     "mm_binary_meta" -> s"""WITH h AS (
            SELECT doc_id, text, CAST(${h60("text")} AS BIGINT) AS hm FROM documents)

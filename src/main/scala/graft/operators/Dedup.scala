@@ -203,10 +203,12 @@ object Dedup {
     * and its neighbors, so labels converge to the component minimum in
     * at most `diameter` rounds. Near-dup components are shallow (an LSH
     * bucket yields a clique), so 2-3 rounds is typical; `maxIters` only
-    * guards degenerate chains. Each round's label table is persisted and
-    * the previous round's dropped, so lineage never re-executes earlier
-    * rounds; the per-round `count` action that materializes it doubles
-    * as the convergence check.
+    * guards degenerate chains. Each round's label table is eagerly
+    * localCheckpoint'ed: the next round references it twice (directly and
+    * through the neighbor offers), so truncating the *logical* plan keeps
+    * per-round planning O(1) instead of doubling the analyzed tree every
+    * round; it also bounds lineage for the convergence-check action. On a
+    * multi-executor cluster prefer reliable `checkpoint()` for long runs.
     */
   def clustersFromPairs(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -214,7 +216,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -225,9 +227,8 @@ object Dedup {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
           (coalesce(col("nb"), col("lbl")) < col("lbl")).as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.filter(col("chg")).count()
-      labels.unpersist()
       labels = next.select(col("doc_id"), col("lbl"))
       iters += 1
     }

@@ -134,6 +134,14 @@ object Similarity {
       .select(col("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
     val cent = (1 to iters).foldLeft(cent0)((c, _) => updateCentroids(assignToCentroids(e, c)))
     val asn = assignToCentroids(e, cent).select(col("vec_id"), col("cid"))
+    centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
+  }
+
+  /** Shared IVF search tail: probe the nProbe nearest centroids per query,
+    * exact cosine rerank within the probed partitions only.
+    */
+  private def centroidProbeSearch(e: DataFrame, cent: DataFrame, asn: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
     val wc = Window.partitionBy(col("query_id"))
@@ -152,6 +160,74 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         Hashing.rd4(col("cos")).as("score"))
+  }
+
+  /** Greedy farthest-point seeds (the deterministic k-means++ variant:
+    * argmax of min-distance instead of D²-probability sampling, so the
+    * choice is exactly replayable by the oracle). Seed 1 is the hash-min
+    * vector; each next seed is the vector whose best cosine to the
+    * current seed set is smallest (ties → min vec_id). Each step is one
+    * pass: broadcast the tiny seed table, map-side max-cos per vector,
+    * TakeOrdered(1).
+    *
+    * Each step's seed table is eagerly localCheckpoint'ed: step j's plan
+    * references step j-1 TWICE (union branch + the broadcast inside the
+    * argmin), so without truncating the *logical* plan the analyzed tree
+    * — and with it per-step planning time — doubles every step
+    * (cache substitution only prunes execution, after analysis has been
+    * paid). The checkpoint makes every step O(1) to plan and execute.
+    * On a multi-executor cluster prefer reliable `checkpoint()` if
+    * executor loss during the short seeding phase matters.
+    */
+  private[graft] def farthestPointSeeds(e: DataFrame, nCent: Int): DataFrame = {
+    var seeds = e
+      .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
+      .orderBy(col("hv"), col("vec_id")).limit(1)
+      .select(lit(1).as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      .localCheckpoint()
+    for (j <- 2 to nCent) {
+      val far = e.crossJoin(broadcast(seeds))
+        .groupBy(col("vec_id"))
+        .agg(max(V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")))
+          .as("closest"))
+        .orderBy(col("closest").asc, col("vec_id")).limit(1)
+        .select(col("vec_id"))
+        .join(e, "vec_id")
+        .select(lit(j).as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      seeds = seeds.union(far).localCheckpoint()
+    }
+    seeds
+  }
+
+  /** k-means IVF with farthest-point (k-means++-style) seeding and
+    * convergence early-stop: Lloyd runs at most `iters` rounds but stops
+    * as soon as the assignment is stable. The early stop is bit-compatible
+    * with the oracle's fixed `iters`-round unroll — once assignments
+    * repeat, updateCentroids is a fixpoint, so extra oracle rounds are
+    * no-ops. The per-round stability check is one keyed join + isEmpty on
+    * the two cached assignment tables.
+    */
+  def kmeansPpIvfTopK(emb: DataFrame, nQueries: Int, k: Int, nCent: Int = 8,
+      iters: Int = 3, nProbe: Int = 2): DataFrame = {
+    val e = withNorm(emb).persist()
+    var cent = farthestPointSeeds(e, nCent)
+    // eager localCheckpoint per round: each round's plan references the
+    // previous round's tables multiple times, so truncating the logical
+    // plan keeps per-round planning O(1) (see farthestPointSeeds)
+    var prev = assignToCentroids(e, cent).localCheckpoint()
+    var it = 0
+    var stable = false
+    while (it < iters && !stable) {
+      cent = updateCentroids(prev).localCheckpoint()
+      val asn = assignToCentroids(e, cent).localCheckpoint()
+      stable = asn.select(col("vec_id"), col("cid"))
+        .join(prev.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
+        .filter(col("cid") =!= col("pcid")).isEmpty
+      prev = asn
+      it += 1
+    }
+    val asn = assignToCentroids(e, cent).select(col("vec_id"), col("cid"))
+    centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
   }
 
   /** End-to-end embedding dedup: the corpus minus the higher-id member of

@@ -67,6 +67,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("neighbor_id") < 6L))
   }
 
+  test("kmeansPpIvfTopK: farthest-point seeds split separated clusters") {
+    import spark.implicits._
+    val vecs = (0L until 6L).map(i => (i, Array(1.0f, 0.01f * i, 0.0f), 0)) ++
+      (6L until 12L).map(i => (i, Array(0.0f, 0.01f * i, 1.0f), 0))
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    // nCent=2: seed 2 is by construction the vector farthest from seed 1,
+    // i.e. in the opposite cluster — with nProbe=1 query 0's neighbors
+    // must all come from its own cluster, and the early-stop loop (iters
+    // generously high) must converge rather than run 10 rounds
+    val r = Similarity.kmeansPpIvfTopK(e, 1, 3, nCent = 2, iters = 10, nProbe = 1)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("neighbor_id") < 6L))
+  }
+
   test("embeddingSurvivors drops only the higher-id near-dup member") {
     val r = Similarity.embeddingSurvivors(emb, 0.95).collect()
     // pair (0,1) is the only near-dup → 1 dropped, 0/2/3 survive
