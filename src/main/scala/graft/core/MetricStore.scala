@@ -94,15 +94,8 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     */
   def trackIncrements(incs: DataFrame): Unit = {
     writeParamsIfAbsent()
-    val base = incs.withColumn("bucket", Tsdb.bucket(col("ts"), params.resolution))
-    val sets = (1 to nFields).map(i => fieldCols.take(i) :+ col("bucket"))
-    val pts = base
-      .groupingSets(sets, (fieldCols :+ col("bucket")): _*)
-      .agg(sum(col("total")).as("total"), sum(col("cnt")).as("cnt"))
-      .withColumn("depth", depthCol)
-      .withColumn("epoch",
-        date_format(Tsdb.epochOf(col("bucket"), params.epochDuration), "yyyy-MM-dd"))
-    pts.write.mode("append").partitionBy("epoch").parquet(dataDir)
+    MetricStore.aggregateIncrements(incs, params)
+      .write.mode("append").partitionBy("epoch").parquet(dataDir)
   }
 
   /** All points, segments merged (re-summed) back to one row per
@@ -216,6 +209,24 @@ object MetricStore {
     * (/root/reference/database.go:30).
     */
   val ParamFile = "params.json"
+
+  /** Shared Track aggregation: (ts, fields..., total, cnt) increments →
+    * per-(series-prefix, bucket) delta rows with depth + epoch columns
+    * (one grouping-sets pass covers every prefix depth).
+    */
+  private[core] def aggregateIncrements(incs: DataFrame, params: StoreParams): DataFrame = {
+    val fieldCols = params.fields.map(col)
+    val depthCol = params.fields.zipWithIndex
+      .foldLeft(lit(0)) { case (acc, (f, i)) => when(col(f).isNotNull, i + 1).otherwise(acc) }
+    val base = incs.withColumn("bucket", Tsdb.bucket(col("ts"), params.resolution))
+    val sets = (1 to params.fields.length).map(i => fieldCols.take(i) :+ col("bucket"))
+    base
+      .groupingSets(sets, (fieldCols :+ col("bucket")): _*)
+      .agg(sum(col("total")).as("total"), sum(col("cnt")).as("cnt"))
+      .withColumn("depth", depthCol)
+      .withColumn("epoch",
+        date_format(Tsdb.epochOf(col("bucket"), params.epochDuration), "yyyy-MM-dd"))
+  }
 
   /** LoadAll: open every store under `rootDir` that has a params.json —
     * the directory-of-databases layout of kadiyadb.LoadAll
