@@ -224,6 +224,39 @@ object PipelineOracles {
           csz AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1)
           SELECT doc_id, cluster_id, csize FROM comp JOIN csz USING (cluster_id)""",
 
+    "dedup_cluster_survivors" -> s"""WITH RECURSIVE ${minhashWith(0.5).stripPrefix("WITH")},
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""",
+
+    // fixed-point quality sum (quality is 4-decimal → ×10⁴ exact) keeps the
+    // mean independent of summation order on both engines
+    "corpus_stats" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok),
+         q AS (SELECT doc_id,
+                floor((least(1.0, n_tokens / 100.0) * 0.4
+                      + (1.0 - punct * 1.0 / nchars) * 0.3
+                      + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+               FROM t2)
+         SELECT d.source, d.lang, count(*) AS n_docs,
+                CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total,
+                floor((CAST(sum(CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_quality,
+                floor(((count(*) - count(DISTINCT md5(d.text))) * 1.0 / count(*))
+                      * 10000.0 + 0.5) / 10000.0 AS dup_rate
+         FROM documents d JOIN q ON q.doc_id = d.doc_id
+         GROUP BY 1, 2""",
+
     // brute-force O(n²) over the 60-bit fingerprints: equals the Spark
     // side's pigeonhole banding (complete for hamming <= SimhashBands-1)
     // as long as no band bucket exceeds the cap — the cap never binds at

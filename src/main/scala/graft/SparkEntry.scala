@@ -108,6 +108,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
     "dedup_survivors" -> ((s, dir) => Dedup.survivors(t(s, dir, "documents"), 0.5)),
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(t(s, dir, "documents"), 0.5)),
+    "dedup_cluster_survivors" -> ((s, dir) => Dedup.clusterSurvivors(t(s, dir, "documents"), 0.5)),
+    "corpus_stats" -> ((s, dir) => Curation.corpusStats(t(s, dir, "documents"))),
     "contamination_check" -> ((s, dir) =>
       Dedup.contamination(t(s, dir, "documents"), col("doc_id") < 50, 8)),
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),

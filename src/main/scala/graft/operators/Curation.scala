@@ -27,4 +27,27 @@ object Curation {
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
   }
+
+  /** Per-(source, lang) corpus report: doc/char volume, mean quality, and
+    * exact-duplicate rate — the health dashboard a curation pipeline
+    * publishes per ingest batch. One scan + one aggregation; the mean
+    * quality is averaged via a fixed-point integer sum (quality is
+    * 4-decimal, so ×10⁴ is exact) because a plain double sum is
+    * partition-order-dependent and would not reproduce across engines or
+    * cluster layouts.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    docs
+      .transform(TextAnalysis.withQuality)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(floor(col("quality") * 10000.0 + 0.5).cast("long")).as("q4"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars_total"),
+        rd4(col("q4") / 10000.0 / col("n_docs")).as("avg_quality"),
+        rd4((col("n_docs") - col("n_unique")) / col("n_docs")).as("dup_rate"))
+  }
 }

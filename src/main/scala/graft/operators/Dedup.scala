@@ -214,8 +214,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
+    // round-0 label = min(self, direct neighbors): clique-shaped clusters
+    // (the common LSH case) converge immediately, saving one full round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nb"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nb")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var iters = 0
@@ -235,6 +238,19 @@ object Dedup {
     val comp = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
     val sz = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
     comp.join(sz, "cluster_id").select(col("doc_id"), col("cluster_id"), col("csize"))
+  }
+
+  /** Transitive keep-first dedup: keep each cluster's min doc_id (the
+    * cluster representative) plus all unclustered docs. Stricter than the
+    * pairwise [[survivors]] policy — "A~B, B~C" also drops C even though
+    * (A, C) never formed a pair.
+    */
+  def clusterSurvivors(docs: DataFrame, threshold: Double): DataFrame = {
+    val drop = duplicateClusters(docs, threshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
   val SimhashBits = 60  // full width of the engine-portable md5 hash (h60)

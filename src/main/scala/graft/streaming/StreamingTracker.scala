@@ -140,6 +140,37 @@ object StreamingTracker {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming sessionization — the live twin of Tsdb.sessionize, using
+    * Spark's native dynamic-gap `session_window`: a session closes (and
+    * its single row emits) once the watermark passes gap beyond its last
+    * event, so state per open session is one window, merged as events
+    * extend it.
+    */
+  def sessionStream(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding-window threshold alert: per-series totals over a window of
+    * `windowLen` sliding by `slide`, emitting only windows whose total
+    * crosses `threshold` when the watermark closes them. The streaming
+    * twin of the batch interval-join trigger (Tsdb.activityWindows).
+    */
+  def slidingAlert(events: DataFrame, windowLen: String, slide: String,
+      watermark: String, threshold: Double): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("f1"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n_events"))
+      .filter(col("total") >= threshold)
+      .select(col("f1"), col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("total"), col("n_events"))
+
   final case class TaggedPoint(f2: String, side: Int, ts: java.sql.Timestamp, value: Double)
   final case class AsofMatch(f2: String, ts: java.sql.Timestamp, value: Double,
       b_ts: Option[java.sql.Timestamp], b_value: Option[Double])

@@ -100,6 +100,18 @@ class DedupSpec extends SparkSpec {
     assert(r == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (5L, 5L, 2L), (6L, 5L, 2L)))
   }
 
+  test("clusterSurvivors keeps only each cluster's min doc_id") {
+    import spark.implicits._
+    val full = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L), // dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L), // dup of 1
+      (4L, "completely different words entirely here now okay friend", "en", "s", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Dedup.clusterSurvivors(full, 0.9).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   test("capShingles drops boilerplate above the doc-frequency cap") {
     val sh = Dedup.shingles(docs)
     // "the quick brown" occurs in docs 1,2,3 -> df=3 > cap=2 -> dropped

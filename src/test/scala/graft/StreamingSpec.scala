@@ -33,6 +33,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap closes a session, watermark emits it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Point]
+    val events = input.toDF().selectExpr("f2 AS ignore", "f1", "ts", "value")
+      .withColumn("user_id", org.apache.spark.sql.functions.lit(7L))
+    val sess = StreamingTracker.sessionStream(events, "30 minutes", "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Point("e", "x", ts("2024-01-01 10:00:00"), 1.0),
+        Point("e", "x", ts("2024-01-01 10:20:00"), 2.0), // same session (gap 20m)
+        Point("e", "x", ts("2024-01-01 11:30:00"), 4.0)) // new session (gap 70m)
+      q.processAllAvailable()
+      // push the watermark far past both sessions so they emit
+      input.addData(Point("e", "x", ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      assert(rows.length == 2)
+      val first = rows.minBy(_.getAs[Timestamp]("session_start").getTime)
+      assert(first.getAs[Long]("n_events") == 2L
+        && first.getAs[Double]("total_value") == 3.0
+        && first.getAs[Timestamp]("session_end") == ts("2024-01-01 10:50:00"))
+    } finally q.stop()
+  }
+
+  test("sliding alert fires only for windows crossing the threshold") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Point]
+    val alerts = StreamingTracker.slidingAlert(input.toDF(),
+      "1 hour", "30 minutes", "0 seconds", threshold = 10.0)
+    val q = alerts.writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Point("cpu", "h1", ts("2024-01-01 10:05:00"), 8.0),
+        Point("cpu", "h1", ts("2024-01-01 10:40:00"), 4.0), // 09:30+10:00 windows reach 12
+        Point("net", "h1", ts("2024-01-01 10:10:00"), 1.0)) // never crosses
+      q.processAllAvailable()
+      input.addData(Point("cpu", "h1", ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("alerts").collect()
+      assert(rows.nonEmpty && rows.forall(_.getAs[String]("f1") == "cpu"))
+      assert(rows.forall(_.getAs[Double]("total") >= 10.0))
+      // the sliding windows covering BOTH events fired (10:05 and 10:40
+      // share the 09:45/10:00/10:15/10:30 starts only where len covers)
+      assert(rows.exists(_.getAs[Timestamp]("win_start") == ts("2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
   test("startIntoStore: streamed windows are fetchable through MetricStore") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -108,6 +108,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red == "contact <EMAIL> or <IPV4> via <PHONE>")
   }
 
+  test("corpusStats reports volume, mean quality, and dup rate per stratum") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat at the end of a story", "en", "web", 44L),
+      (2L, "the cat sat on the mat at the end of a story", "en", "web", 44L), // dup
+      (3L, "the dog ran to the park in a big happy loop", "en", "web", 43L),
+      (4L, "der hund und der mann und der wagen hier", "de", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.Curation.corpusStats(corpus).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("lang")) -> x).toMap
+    val en = r(("web", "en"))
+    assert(en.getAs[Long]("n_docs") == 3L && en.getAs[Long]("n_chars_total") == 131L)
+    assert(en.getAs[Double]("dup_rate") == math.floor(1.0 / 3.0 * 10000.0 + 0.5) / 10000.0)
+    assert(r(("web", "de")).getAs[Double]("dup_rate") == 0.0)
+    assert(en.getAs[Double]("avg_quality") > 0.0 && en.getAs[Double]("avg_quality") <= 1.0)
+  }
+
   test("curation: dedup keeper + language + quality filters compose") {
     import spark.implicits._
     val corpus = Seq(
