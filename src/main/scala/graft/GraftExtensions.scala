@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, Hashing}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available to pure-SQL users.
@@ -16,13 +16,38 @@ import graft.functions.FloatDotProduct
   * and does not require the extension.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def register(ext: SparkSessionExtensions, name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+      new FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
       (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_dot(arrayFloat, arrayFloat) takes 2 arguments")
-        FloatDotProduct(args.head, args(1))
+        require(args.length == arity, s"$name takes $arity argument(s)")
+        build(args)
       }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "graft_dot", 2)(args => FloatDotProduct(args.head, args(1)))
+    // the engine-portable primitives every graft operator builds on, for
+    // pure-SQL users (catalyst trees mirroring graft.functions.Hashing;
+    // DuckDB twins documented there)
+    register(ext, "graft_h60", 1)(args => GraftExtensions.h60Expr(args.head))
+    register(ext, "graft_rd4", 1)(args => GraftExtensions.rdExpr(args.head, 10000.0))
+    register(ext, "graft_rd2", 1)(args => GraftExtensions.rdExpr(args.head, 100.0))
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.LongType
+
+  /** Catalyst twin of Hashing.h60: conv(substr(md5(x),1,15),16,10)::long. */
+  private[graft] def h60Expr(arg: Expression): Expression =
+    Cast(Conv(Substring(Md5(arg), Literal(1), Literal(15)),
+      Literal(16), Literal(10)), LongType)
+
+  /** Catalyst twin of Hashing.rd4/rd2: floor(x*scale + 0.5)/scale. */
+  private[graft] def rdExpr(arg: Expression, scale: Double): Expression =
+    Divide(Floor(Add(Multiply(arg, Literal(scale)), Literal(0.5))), Literal(scale))
 }

@@ -22,6 +22,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("graft_h60 / graft_rd4 / graft_rd2 are callable from SQL") {
+    import spark.implicits._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // exercises the injection wiring
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_h60", args => GraftExtensions.h60Expr(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rd4", args => GraftExtensions.rdExpr(args.head, 10000.0), "built-in")
+    Seq(("abc", 0.123456)).toDF("s", "x").createOrReplaceTempView("hv")
+    val row = spark.sql("SELECT graft_h60(s) AS h, graft_rd4(x) AS r FROM hv").head()
+    assert(row.getLong(0) == graft.functions.Hashing.h60jvm("abc"))
+    assert(row.getDouble(1) == 0.1235)
+  }
+
   test("saltedJoin equals the plain join on a skewed key") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
