@@ -99,6 +99,7 @@ object SparkEntry {
       Tsdb.correlation(Tsdb.points1(t(s, dir, "events")), "purchase", "error")),
     "ts_topk_movers" -> ((s, dir) =>
       Tsdb.topkMovers(Tsdb.points(t(s, dir, "events")), "2024-01-15", 10)),
+    "ts_rollup_cascade" -> ((s, dir) => Tsdb.rollupCascade(Tsdb.points(t(s, dir, "events")))),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -671,6 +672,21 @@ object SparkEntry {
                   + to_hours(CAST(floor(extract(hour FROM bucket)/6)*6 AS BIGINT)) AS bucket6,
                 round(sum(total),2) AS total, CAST(sum(cnt) AS BIGINT) AS cnt
          FROM store GROUP BY 1,2,3""",
+
+    // hierarchical rollup replay: l24 aggregates l6 (not the store), the
+    // same cascade the Spark side runs
+    "ts_rollup_cascade" -> s"""$store2,
+         l6 AS (SELECT f1, f2,
+                  date_trunc('day', bucket)
+                    + to_hours(CAST(floor(extract(hour FROM bucket)/6)*6 AS BIGINT)) AS bucket,
+                  round(sum(total),2) AS total, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM store GROUP BY 1,2,3),
+         l24 AS (SELECT f1, f2, date_trunc('day', bucket) AS bucket,
+                  round(sum(total),2) AS total, CAST(sum(cnt) AS BIGINT) AS cnt
+                 FROM l6 GROUP BY 1,2,3)
+         SELECT f1, f2, 1 AS res_hours, bucket, total, cnt FROM store
+         UNION ALL SELECT f1, f2, 6, bucket, total, cnt FROM l6
+         UNION ALL SELECT f1, f2, 24, bucket, total, cnt FROM l24""",
 
     "ts_gapfill" -> s"""$store1,
          ax AS (SELECT f1, unnest(generate_series(TIMESTAMP '2024-01-05',

@@ -218,6 +218,32 @@ object Tsdb {
       .groupBy(col("f1"), col("f2"), col("bucket6"))
       .agg(round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
 
+  /** Multi-resolution continuous aggregate (hour → 6h → day), the TSDB
+    * rollup-cascade pattern: each coarser level aggregates THE PREVIOUS
+    * LEVEL, so the day rollup reads 4 six-hour rows per series-day
+    * instead of 24 hourly ones — at scale each level's input is the
+    * previous (already reduced) level, and Spark's exchange reuse
+    * evaluates the shared 6-hour aggregation once for both its union
+    * branch and the day level. Totals stay on the 0.01 grid at every
+    * level, so per-level round(…, 2) is engine-stable.
+    */
+  def rollupCascade(pts: DataFrame): DataFrame = {
+    def slot(hrs: Int) = expr(
+      s"timestampadd(HOUR, CAST(floor(hour(bucket) / $hrs) * $hrs AS INT), date_trunc('DAY', bucket))")
+      .cast("timestamp_ntz")
+    val l1 = pts.select(col("f1"), col("f2"), lit(1).as("res_hours"),
+      col("bucket"), col("total"), col("cnt"))
+    val l6 = pts
+      .groupBy(col("f1"), col("f2"), slot(6).as("bucket"))
+      .agg(round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+    val l24 = l6
+      .groupBy(col("f1"), col("f2"), date_trunc("DAY", col("bucket")).cast("timestamp_ntz").as("bucket"))
+      .agg(round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+    def tag(df: DataFrame, res: Int) = df.select(col("f1"), col("f2"),
+      lit(res).as("res_hours"), col("bucket"), col("total"), col("cnt"))
+    l1.union(tag(l6, 6)).union(tag(l24, 24))
+  }
+
   /** Dense time axis per series with zero-filled gaps. */
   def gapfill(pts1: DataFrame, from: Column, to: Column, series: Seq[String]): DataFrame = {
     val axis = pts1

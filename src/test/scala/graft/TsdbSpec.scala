@@ -220,6 +220,22 @@ class TsdbSpec extends SparkSpec {
     assert(r.head.getAs[Double]("delta") == 40.0)
   }
 
+  test("rollupCascade: 6h level sums hours, day level sums 6h slots") {
+    val pts = Tsdb.points(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
+      ("2024-01-01 05:10:00", "purchase", 1L, 2.0),  // same 0-6h slot
+      ("2024-01-01 07:10:00", "purchase", 1L, 4.0),  // 6-12h slot
+      ("2024-01-02 00:10:00", "purchase", 1L, 8.0)))) // next day
+    val r = Tsdb.rollupCascade(pts).collect()
+    def level(res: Int) = r.filter(_.getAs[Int]("res_hours") == res)
+    assert(level(1).length == 4)
+    assert(level(6).map(_.getAs[Double]("total")).sorted.toSeq == Seq(3.0, 4.0, 8.0))
+    val days = level(24).map(x =>
+      x.getAs[java.time.LocalDateTime]("bucket").toString -> x.getAs[Double]("total")).toMap
+    assert(days == Map("2024-01-01T00:00" -> 7.0, "2024-01-02T00:00" -> 8.0))
+    assert(level(24).map(_.getAs[Long]("cnt")).sum == 4L)
+  }
+
   test("correlation: perfectly linear series → pearson 1") {
     val pts1 = Tsdb.points1(eventsDf(Seq(
       ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
