@@ -317,6 +317,27 @@ object PipelineOracles {
          SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
          FROM rk WHERE rnk <= 5""",
 
+    // int8 quantization replayed exactly: the integer dot is exact on both
+    // engines, the dequant multiplies are single IEEE ops in the same order
+    "ann_quantized_topk" -> s"""WITH $nrm,
+         q8 AS (SELECT vec_id,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+                  list_transform(embedding,
+                    x -> CAST(floor(x::DOUBLE / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0) + 0.5) AS INT)) AS qvec
+                FROM embeddings),
+         q AS (SELECT q8.vec_id AS query_id, q8.qvec AS qv, q8.scale AS qs, n.nrm AS qn
+               FROM q8 JOIN nrm n ON n.vec_id = q8.vec_id WHERE q8.vec_id < 10),
+         sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                  ((qs * c.scale) * list_sum(list_transform(generate_series(1, 64),
+                      i -> qv[i]::BIGINT * c.qvec[i]::BIGINT))) / (qn * nc.nrm) AS cos
+                FROM q JOIN q8 c ON c.vec_id <> query_id
+                JOIN nrm nc ON nc.vec_id = c.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                       cos FROM sc)
+         SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
+         FROM rk WHERE rnk <= 5""",
+
     "ann_bruteforce_topk" -> s"""WITH $nrm,
          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          sc AS (SELECT query_id, c.vec_id AS neighbor_id,

@@ -230,6 +230,46 @@ object Similarity {
     centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
   }
 
+  /** Symmetric int8 scalar quantization: per-vector scale = max|v|/127,
+    * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]. One map-only projection;
+    * all arithmetic is single IEEE ops, so the DuckDB oracle replays it
+    * exactly. (Stored as array<int> here — a production sink would pack
+    * 4× tighter as binary, but the SEARCH math below is already the
+    * int-domain version.)
+    */
+  private def withQuantized(emb: DataFrame): DataFrame =
+    withNorm(emb)
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0)
+      .withColumn("qvec",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))"))
+
+  /** ANN over int8-quantized vectors: score = (scaleA·scaleB·⟨qA,qB⟩) /
+    * (‖a‖·‖b‖) — the integer dot is EXACT (codegen'd IntDotProduct, long
+    * accumulator), so the approximate cosine is deterministic and
+    * oracle-replayable. The pair join moves only (id, qvec, scale, nrm) —
+    * the float vectors never leave the initial projection, which is the
+    * point of quantized search at 100 TB: ~4× less through broadcast and
+    * scan, one multiply to dequantize per pair.
+    */
+  def quantizedTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = withQuantized(emb)
+      .select(col("vec_id"), col("qvec"), col("scale"), col("nrm"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qvec").as("qv"),
+        col("scale").as("qs"), col("nrm").as("qnrm"))
+    val scored = base.as("c")
+      .join(broadcast(q), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        ((col("qs") * col("c.scale")) * V.dotI(col("qv"), col("c.qvec"))
+          / (col("qnrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        Hashing.rd4(col("cos")).as("score"))
+  }
+
   /** End-to-end embedding dedup: the corpus minus the higher-id member of
     * every near-dup pair (keep-first policy, one anti-join — the
     * embedding twin of Dedup.survivors).

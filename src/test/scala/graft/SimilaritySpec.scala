@@ -82,6 +82,17 @@ class SimilaritySpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("neighbor_id") < 6L))
   }
 
+  test("quantizedTopK: exact int dot, identical vector still ranks first") {
+    import spark.implicits._
+    val d = Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dotI(col("a"), col("b")).as("d"))
+      .head().getLong(0)
+    assert(d == 32L)
+    val r = Similarity.quantizedTopK(emb, 1, 3).collect().sortBy(_.getAs[Int]("rnk"))
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(r.head.getAs[Double]("score") == 1.0) // dequant error < rd4 grid
+  }
+
   test("embeddingSurvivors drops only the higher-id near-dup member") {
     val r = Similarity.embeddingSurvivors(emb, 0.95).collect()
     // pair (0,1) is the only near-dup → 1 dropped, 0/2/3 survive
