@@ -87,6 +87,8 @@ object SparkEntry {
       Tsdb.interpolate(Tsdb.points1(t(s, dir, "events")),
         lit("2024-01-05"), lit("2024-01-08"), Seq("purchase", "error"))),
     "ts_approx_distinct" -> ((s, dir) => Tsdb.approxDistinctKMV(t(s, dir, "events"))),
+    "ts_distinct_overlap" -> ((s, dir) =>
+      Tsdb.distinctOverlapKMV(t(s, dir, "events"), "purchase", "error")),
     "ts_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Tsdb.intervalJoin(ev,
@@ -468,6 +470,30 @@ object SparkEntry {
                  ELSE 63.0 * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END)
                  * 10000.0 + 0.5) / 10000.0 AS est
          FROM r WHERE rn <= 64 GROUP BY 1""",
+
+    // KMV sketch algebra: union sketch = k smallest of merged hash sets;
+    // intersect via inclusion-exclusion on the raw (pre-rounding) estimates
+    "ts_distinct_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type AS f1,
+                ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::UBIGINT AS hv
+              FROM events WHERE event_type IN ('purchase','error')),
+         r AS (SELECT f1, hv, row_number() OVER (PARTITION BY f1 ORDER BY hv) AS rn FROM h),
+         pt AS (SELECT f1, count(*) AS k_used, max(hv) AS kth FROM r WHERE rn <= 64 GROUP BY 1),
+         est AS (SELECT f1, CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END AS est FROM pt),
+         ru AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (SELECT DISTINCT hv FROM h)),
+         pu AS (SELECT count(*) AS k_used, max(hv) AS kth FROM ru WHERE rn <= 64),
+         eu AS (SELECT CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END AS est_union FROM pu),
+         ab AS (SELECT (SELECT est FROM est WHERE f1 = 'purchase') AS est_a,
+                       (SELECT est FROM est WHERE f1 = 'error') AS est_b,
+                       est_union FROM eu)
+         SELECT floor(est_a * 10000.0 + 0.5) / 10000.0 AS est_a,
+                floor(est_b * 10000.0 + 0.5) / 10000.0 AS est_b,
+                floor(est_union * 10000.0 + 0.5) / 10000.0 AS est_union,
+                floor(greatest(est_a + est_b - est_union, 0.0) * 10000.0 + 0.5) / 10000.0 AS est_intersect,
+                floor((greatest(est_a + est_b - est_union, 0.0) / est_union) * 10000.0 + 0.5) / 10000.0 AS jaccard_est
+         FROM ab""",
 
     "ts_interval_join" -> s"""$store1,
          q AS (SELECT bucket FROM store WHERE f1 = 'purchase'

@@ -357,6 +357,51 @@ object Tsdb {
               / col("kth").cast("double"))).as("est"))
   }
 
+  /** Distinct-set OVERLAP estimation between two event types via KMV
+    * sketch algebra: |A∩B| ≈ est(A) + est(B) − est(A∪B) (inclusion–
+    * exclusion), where the union sketch is just the k smallest hashes of
+    * the merged hash sets — the mergeability that makes KMV sketches
+    * composable across partitions, epochs, or stores at any scale. All
+    * estimates come from h60 order statistics, so the DuckDB oracle
+    * replays them exactly; each sketch is ≤ k rows of metadata.
+    */
+  def distinctOverlapKMV(events: DataFrame, typeA: String, typeB: String,
+      k: Int = 64): DataFrame = {
+    val kmvEst = (kUsed: Column, kth: Column) =>
+      when(kUsed < k, kUsed.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+          / kth.cast("double"))
+    val hashed = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("f1"),
+        graft.functions.Hashing.h60(col("user_id").cast("string")).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col("f1")).orderBy(col("hv"))
+    val perType = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("f1"))
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth"))
+      .select(col("f1"), kmvEst(col("k_used"), col("kth")).as("est"))
+    val wu = Window.orderBy(col("hv"))
+    val union = hashed.select(col("hv")).distinct()
+      .withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= k)
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth"))
+      .select(kmvEst(col("k_used"), col("kth")).as("est_union"))
+    val a = perType.filter(col("f1") === typeA).select(col("est").as("est_a"))
+    val b = perType.filter(col("f1") === typeB).select(col("est").as("est_b"))
+    val rd4 = graft.functions.Hashing.rd4 _
+    a.crossJoin(b).crossJoin(union)
+      .select(
+        rd4(col("est_a")).as("est_a"),
+        rd4(col("est_b")).as("est_b"),
+        rd4(col("est_union")).as("est_union"),
+        rd4(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+          .as("est_intersect"),
+        rd4(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))
+          / col("est_union")).as("jaccard_est"))
+  }
+
   /** Contiguous runs of hourly buckets whose series total exceeds
     * `mult`×(series mean), merged into [win_start, win_end) intervals via
     * islands-and-gaps. The threshold is a 1-row broadcast; the global

@@ -236,6 +236,25 @@ class TsdbSpec extends SparkSpec {
     assert(level(24).map(_.getAs[Long]("cnt")).sum == 4L)
   }
 
+  test("distinctOverlapKMV: exact below k, inclusion-exclusion intersect") {
+    // purchase users {1,2,3}, error users {2,3,4}: all sketches exact
+    // (< k hashes) → est_a=3, est_b=3, union=4, intersect=2, jaccard=0.5
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
+      ("2024-01-01 00:11:00", "purchase", 2L, 1.0),
+      ("2024-01-01 00:12:00", "purchase", 3L, 1.0),
+      ("2024-01-01 00:13:00", "purchase", 3L, 1.0), // dup user
+      ("2024-01-01 00:14:00", "error", 2L, 1.0),
+      ("2024-01-01 00:15:00", "error", 3L, 1.0),
+      ("2024-01-01 00:16:00", "error", 4L, 1.0),
+      ("2024-01-01 00:17:00", "signup", 9L, 1.0))) // other type ignored
+    val r = Tsdb.distinctOverlapKMV(ev, "purchase", "error").head()
+    assert(r.getAs[Double]("est_a") == 3.0 && r.getAs[Double]("est_b") == 3.0)
+    assert(r.getAs[Double]("est_union") == 4.0)
+    assert(r.getAs[Double]("est_intersect") == 2.0)
+    assert(r.getAs[Double]("jaccard_est") == 0.5)
+  }
+
   test("correlation: perfectly linear series → pearson 1") {
     val pts1 = Tsdb.points1(eventsDf(Seq(
       ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
