@@ -169,6 +169,33 @@ object PipelineOracles {
     (s1 +: steps).mkString(",\n")
   }
 
+  /** Per-doc quality + language scoring CTEs (t2 → scored), the DuckDB
+    * twin of TextAnalysis.withQuality + withLangId. Requires `tok`.
+    */
+  // NOTE: plain (non-interpolated) string — backslashes stay literal, so
+  // '\s' here equals the '\\s' written in the s-interpolated oracles
+  // (the s interpolator processes escapes even in triple quotes)
+  private val scoredCtes = """
+       t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                     len(regexp_extract_all(text, '[^a-z0-9\s]')) AS punct,
+                     length(text) AS nchars,
+                     len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops,
+                     len(list_filter(tk, x -> x = 'the')) AS c_en,
+                     len(list_filter(tk, x -> x = 'der')) AS c_de,
+                     len(list_filter(tk, x -> x = 'el')) AS c_es,
+                     len(list_filter(tk, x -> x = 'le')) AS c_fr
+              FROM tok),
+       scored AS (SELECT doc_id, n_tokens,
+              floor((least(1.0, n_tokens / 100.0) * 0.4
+                    + (1.0 - punct * 1.0 / nchars) * 0.3
+                    + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality,
+              CASE WHEN c_en > 0 AND c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+                   WHEN c_de > 0 AND c_de >= greatest(c_es, c_fr) THEN 'de'
+                   WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+                   WHEN c_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS pred_lang
+              FROM t2)"""
+
   private val sh8 =
     s"""sh8 AS (SELECT doc_id, CAST(${h60("sg")} AS BIGINT) AS shingle
          FROM (SELECT doc_id, unnest(list_distinct(
@@ -418,31 +445,26 @@ object PipelineOracles {
          SELECT query_id, neighbor_id, score FROM sc WHERE score >= 0.35""",
 
     "pipeline_materialize" -> s"""WITH $tok,
-         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
-                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
-                       length(text) AS nchars,
-                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops,
-                       len(list_filter(tk, x -> x = 'the')) AS c_en,
-                       len(list_filter(tk, x -> x = 'der')) AS c_de,
-                       len(list_filter(tk, x -> x = 'el')) AS c_es,
-                       len(list_filter(tk, x -> x = 'le')) AS c_fr
-                FROM tok),
-         scored AS (SELECT doc_id, n_tokens,
-                floor((least(1.0, n_tokens / 100.0) * 0.4
-                      + (1.0 - punct * 1.0 / nchars) * 0.3
-                      + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality,
-                CASE WHEN c_en > 0 AND c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
-                     WHEN c_de > 0 AND c_de >= greatest(c_es, c_fr) THEN 'de'
-                     WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
-                     WHEN c_fr > 0 THEN 'fr'
-                     ELSE 'und' END AS pred_lang
-                FROM t2),
+         $scoredCtes,
          keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          SELECT d.doc_id, d.source, s.n_tokens, s.quality
          FROM documents d
          JOIN keep USING (doc_id)
          JOIN scored s ON s.doc_id = d.doc_id
          WHERE s.pred_lang = 'en' AND s.quality >= 0.55""",
+
+    // full pipeline: exact keepers + LSH near-dup survivors + lang/quality
+    // gates; `pairs` comes from the same MinHash chain as dedup_minhash_lsh
+    "pipeline_materialize_full" -> s"""${minhashWith(0.5)},
+         $scoredCtes,
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         ndrop AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         SELECT d.doc_id, d.source, s.n_tokens, s.quality
+         FROM documents d
+         JOIN keep USING (doc_id)
+         LEFT JOIN ndrop ON ndrop.doc_id = d.doc_id
+         JOIN scored s ON s.doc_id = d.doc_id
+         WHERE ndrop.doc_id IS NULL AND s.pred_lang = 'en' AND s.quality >= 0.55""",
 
     "text_top_bigrams" -> s"""WITH $tok,
          bg AS (SELECT doc_id, unnest(

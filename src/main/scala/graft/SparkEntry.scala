@@ -146,6 +146,8 @@ object SparkEntry {
       .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"))),
     "pipeline_materialize" -> ((s, dir) =>
       Curation.materialize(t(s, dir, "documents"), 0.55, "en")),
+    "pipeline_materialize_full" -> ((s, dir) =>
+      Curation.materializeFull(t(s, dir, "documents"), 0.55, "en", 0.5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

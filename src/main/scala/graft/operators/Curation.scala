@@ -28,6 +28,27 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
   }
 
+  /** The full curation pipeline a training run actually ships: exact-dup
+    * keepers → near-dup (MinHash-LSH) survivor filter → language +
+    * quality gates, with all per-doc enrichment still fused into one
+    * scan. Join order matters for scale: both dedup stages reduce to
+    * doc_id sets (semi/anti joins) BEFORE the enrichment projection, so
+    * the quality/langid expressions run once per surviving doc only.
+    */
+  def materializeFull(docs: DataFrame, minQuality: Double, lang: String,
+      nearThreshold: Double): DataFrame = {
+    val keepers = Dedup.exact(docs).select(col("keeper").as("doc_id"))
+    val nearDrop = Dedup.minhashLsh(docs, nearThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .transform(TextAnalysis.withQuality)
+      .transform(TextAnalysis.withLangId)
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+  }
+
   /** Per-(source, lang) corpus report: doc/char volume, mean quality, and
     * exact-duplicate rate — the health dashboard a curation pipeline
     * publishes per ingest batch. One scan + one aggregation; the mean

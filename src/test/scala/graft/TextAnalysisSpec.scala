@@ -125,6 +125,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(en.getAs[Double]("avg_quality") > 0.0 && en.getAs[Double]("avg_quality") <= 1.0)
   }
 
+  test("materializeFull also drops near-duplicates, not just exact ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat at the end of a big story", "web"),
+      (2L, "the cat sat on the mat at the end of a big tale", "web"), // near-dup of 1
+      (3L, "the dog ran along the path to the park in a loop today", "web"))
+      .toDF("doc_id", "text", "source")
+    val strict = graft.operators.Curation.materializeFull(corpus, 0.3, "en", 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    // exact dedup alone would keep all three; the LSH stage drops doc 2
+    assert(strict.toSeq == Seq(1L, 3L))
+  }
+
   test("curation: dedup keeper + language + quality filters compose") {
     import spark.implicits._
     val corpus = Seq(
