@@ -533,6 +533,20 @@ object PipelineOracles {
                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
          FROM tok""",
 
+    "mm_audio_chunks" -> s"""WITH h AS (
+           SELECT doc_id, md5(text) AS content_hash, ${h60("text")} AS hm FROM documents),
+         m AS (SELECT doc_id, content_hash,
+                      CAST(CASE WHEN hm % 3 = 0 THEN 16000
+                                WHEN hm % 3 = 1 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+                      CAST(1 + (hm // 8) % 120 AS INT) AS duration_s FROM h),
+         ch AS (SELECT doc_id, content_hash, sample_rate, duration_s,
+                       unnest(generate_series(0, duration_s - 1, 10)) AS chunk_start_s FROM m)
+         SELECT doc_id, sample_rate, duration_s,
+                CAST(chunk_start_s AS INT) AS chunk_start_s,
+                CAST(least(chunk_start_s + 10, duration_s) AS INT) AS chunk_end_s,
+                CAST(${h60("content_hash || '_c' || chunk_start_s")} AS BIGINT) AS chunk_hash
+         FROM ch""",
+
     "mm_frame_sample" -> s"""WITH h AS (
            SELECT doc_id, md5(text) AS content_hash,
                   CAST(1 + ${h60("text")} % 8 AS INT) AS n_frames FROM documents),

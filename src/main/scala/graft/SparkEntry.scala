@@ -133,6 +133,7 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "mm_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(t(s, dir, "documents"), 2)),
+    "mm_audio_chunks" -> ((s, dir) => Multimodal.audioChunks(t(s, dir, "documents"), 10)),
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(t(s, dir, "embeddings"), 10, 0.35)),
     "embedding_survivors" -> ((s, dir) =>
       Similarity.embeddingSurvivors(t(s, dir, "embeddings"), 0.4)),

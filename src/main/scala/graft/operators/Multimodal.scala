@@ -62,6 +62,32 @@ object Multimodal {
                 CAST((CAST(conv(substring(md5(concat(text, '_e', i)), 1, 15), 16, 10) AS BIGINT)
                       % 2000 - 1000) / 1000.0 AS FLOAT))""").as("features"))
 
+  /** Audio metadata + fixed-duration chunking: the audio twin of
+    * binaryMeta + frameSample. "Decode" derives sample_rate/duration from
+    * the content hash (STUB codec, as above); the chunking — one row per
+    * `chunkSecs` window with [start, end) clipped to the clip length and a
+    * deterministic per-chunk hash — is the real Spark plumbing an ASR /
+    * audio-embedding pipeline feeds from. Explode of ≤ duration/chunkSecs
+    * ints per clip; no shuffle.
+    */
+  def audioChunks(docs: DataFrame, chunkSecs: Int): DataFrame =
+    docs
+      .withColumn("hm", Hashing.h60(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        expr("CAST(CASE WHEN hm % 3 = 0 THEN 16000 WHEN hm % 3 = 1 THEN 22050 ELSE 44100 END AS INT)")
+          .as("sample_rate"),
+        expr("CAST(1 + (hm div 8) % 120 AS INT)").as("duration_s"))
+      .select(col("doc_id"), col("content_hash"), col("sample_rate"), col("duration_s"),
+        explode(expr(s"sequence(0, duration_s - 1, $chunkSecs)")).as("chunk_start_s"))
+      .withColumn("chunk_end_s",
+        least(col("chunk_start_s") + chunkSecs, col("duration_s")))
+      .withColumn("chunk_hash",
+        Hashing.h60(concat(col("content_hash"), lit("_c"), col("chunk_start_s"))))
+      .select(col("doc_id"), col("sample_rate"), col("duration_s"),
+        col("chunk_start_s"), col("chunk_end_s"), col("chunk_hash"))
+
   final case class MediaBatch(doc_id: Long, payload: Array[Byte])
   final case class DecodedMedia(
       doc_id: Long, byte_len: Int, width: Int, height: Int, n_frames: Int)

@@ -125,6 +125,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(en.getAs[Double]("avg_quality") > 0.0 && en.getAs[Double]("avg_quality") <= 1.0)
   }
 
+  test("audioChunks: windows tile the clip, last chunk clipped to duration") {
+    val r = Multimodal.audioChunks(docs, 10).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, chunks) =>
+      val dur = chunks.head.getAs[Int]("duration_s")
+      assert(chunks.length == (dur + 9) / 10) // ceil(duration / chunk)
+      val sorted = chunks.sortBy(_.getAs[Int]("chunk_start_s"))
+      assert(sorted.head.getAs[Int]("chunk_start_s") == 0)
+      assert(sorted.last.getAs[Int]("chunk_end_s") == dur)
+      assert(sorted.forall(c => c.getAs[Int]("chunk_end_s") - c.getAs[Int]("chunk_start_s") <= 10))
+      assert(Set(16000, 22050, 44100).contains(chunks.head.getAs[Int]("sample_rate")))
+    }
+  }
+
   test("materializeFull also drops near-duplicates, not just exact ones") {
     import spark.implicits._
     val corpus = Seq(
