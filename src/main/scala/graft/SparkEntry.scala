@@ -74,6 +74,8 @@ object SparkEntry {
     "ts_props_extract" -> ((s, dir) => Tsdb.propsExtract(t(s, dir, "events"))),
     "ts_sessionize" -> ((s, dir) => Tsdb.sessionize(t(s, dir, "events"), 30)),
     "ts_funnel" -> ((s, dir) => Tsdb.funnel(t(s, dir, "events"))),
+    "ts_funnel_windowed" -> ((s, dir) =>
+      Tsdb.funnelOrdered(t(s, dir, "events"), "view", "click", "purchase", 72)),
     "ts_histogram" -> ((s, dir) => Tsdb.histogram(t(s, dir, "events"), 50.0)),
     "ts_zscore" -> ((s, dir) => Tsdb.zscore(Tsdb.points1(t(s, dir, "events")))),
     "ts_fetch_dense" -> ((s, dir) =>
@@ -621,6 +623,25 @@ object SparkEntry {
                 CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
                          AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
          FROM u""",
+
+    // 72h window = 259200000000 us; step times chain strictly-after
+    "ts_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         u1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+                FROM e GROUP BY 1),
+         f1 AS (SELECT * FROM u1 WHERE t1 IS NOT NULL),
+         u2 AS (SELECT e.user_id, f1.t1,
+                       min(CASE WHEN e.event_type = 'click' AND e.us > f1.t1 THEN e.us END) AS t2
+                FROM e JOIN f1 ON e.user_id = f1.user_id GROUP BY 1, 2),
+         u3 AS (SELECT e.user_id, u2.t1, u2.t2,
+                       min(CASE WHEN e.event_type = 'purchase' AND u2.t2 IS NOT NULL
+                                 AND e.us > u2.t2 THEN e.us END) AS t3
+                FROM e JOIN u2 ON e.user_id = u2.user_id GROUP BY 1, 2, 3)
+         SELECT count(*) AS n_step1,
+                CAST(sum(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= 259200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+                CAST(sum(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= 259200000000
+                          AND t3 IS NOT NULL AND t3 - t1 <= 259200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+         FROM u3""",
 
     "ts_histogram" ->
       """SELECT event_type AS f1, CAST(floor(value / 50.0) AS BIGINT) AS bin,

@@ -607,6 +607,36 @@ object Tsdb {
         sum(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
           col("first_purchase") > col("first_signup"), 1).otherwise(0)).as("n_converted"))
 
+  /** Ordered 3-step funnel within a conversion window: first `s1`, then
+    * the first `s2` strictly after it, then the first `s3` strictly after
+    * that; steps 2/3 count only when they land within `windowHours` of
+    * the funnel start. Three keyed aggregations — after the first shuffle
+    * on user_id every later join/groupBy is co-partitioned, so the chain
+    * costs one real shuffle of the events table.
+    */
+  def funnelOrdered(events: DataFrame, s1: String, s2: String, s3: String,
+      windowHours: Int): DataFrame = {
+    val us = expr("ts_ns div 1000")
+    val winUs = windowHours * 3600L * 1000000L
+    val t1 = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === s1, us)).as("t1"))
+      .filter(col("t1").isNotNull)
+    val t2 = events.join(t1, "user_id")
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("event_type") === s2 && us > col("t1"), us)).as("t2"))
+    val t3 = events.join(t2, "user_id")
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(when(col("event_type") === s3 && col("t2").isNotNull && us > col("t2"), us))
+        .as("t3"))
+    t3.agg(
+      count(lit(1)).as("n_step1"),
+      sum(when(col("t2").isNotNull && col("t2") - col("t1") <= winUs, 1L).otherwise(0L))
+        .as("n_step2"),
+      sum(when(col("t2").isNotNull && col("t2") - col("t1") <= winUs &&
+        col("t3").isNotNull && col("t3") - col("t1") <= winUs, 1L).otherwise(0L))
+        .as("n_step3"))
+  }
+
   /** Per-series z-score anomaly signal over depth-1 points: how far each
     * bucket's total deviates from the series' mean, in sample stddevs.
     */

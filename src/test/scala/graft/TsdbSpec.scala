@@ -236,6 +236,30 @@ class TsdbSpec extends SparkSpec {
     assert(level(24).map(_.getAs[Long]("cnt")).sum == 4L)
   }
 
+  test("funnelOrdered: steps must be in order and inside the window") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view → click → purchase, all within 72h → full funnel
+      ("2024-01-01 00:00:00", "view", 1L),
+      ("2024-01-01 01:00:00", "click", 1L),
+      ("2024-01-01 02:00:00", "purchase", 1L),
+      // user 2: click BEFORE view → step 2 not reached
+      ("2024-01-02 01:00:00", "click", 2L),
+      ("2024-01-02 02:00:00", "view", 2L),
+      // user 3: click 100h after view → outside the 72h window
+      ("2024-01-03 00:00:00", "view", 3L),
+      ("2024-01-07 04:00:00", "click", 3L),
+      // user 4: never viewed → not in the funnel at all
+      ("2024-01-04 00:00:00", "purchase", 4L))
+      .toDF("ts", "event_type", "user_id")
+      .withColumn("ts_ns",
+        org.apache.spark.sql.functions.expr("CAST(unix_timestamp(ts) AS BIGINT) * 1000000000"))
+    val r = Tsdb.funnelOrdered(ev, "view", "click", "purchase", 72).head()
+    assert(r.getAs[Long]("n_step1") == 3L) // users 1, 2, 3 viewed
+    assert(r.getAs[Long]("n_step2") == 1L) // only user 1
+    assert(r.getAs[Long]("n_step3") == 1L)
+  }
+
   test("distinctOverlapKMV: exact below k, inclusion-exclusion intersect") {
     // purchase users {1,2,3}, error users {2,3,4}: all sketches exact
     // (< k hashes) → est_a=3, est_b=3, union=4, intersect=2, jaccard=0.5
