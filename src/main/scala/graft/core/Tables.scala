@@ -24,4 +24,42 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     else df
   }
+
+  import org.apache.spark.sql.types._
+
+  /** Source schema for text-format event feeds (`ts` as an ISO-8601
+    * wall-clock string). Explicit — schema inference would both scan the
+    * data twice and guess types non-deterministically.
+    */
+  val eventsTextSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Load an events feed from CSV or JSON-lines with the SAME output
+    * schema the parquet path produces (ts as timestamp_ntz + raw ts_ns) —
+    * every Tsdb operator runs unchanged on top. Text formats carry
+    * wall-clock second precision (their ts strings have no sub-second
+    * digits), so ts_ns is the exact nano equivalent.
+    */
+  def loadEventsText(spark: SparkSession, path: String, format: String): DataFrame = {
+    val reader = spark.read.schema(eventsTextSchema)
+    val raw = format.toLowerCase match {
+      // escape = '"' selects RFC-4180 doubled-quote style (Spark's default
+      // escape is backslash, which mangles quoted JSON payload columns)
+      case "csv" => reader.option("header", "true").option("escape", "\"").csv(path)
+      case "json" | "jsonl" => reader.json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported events text format '$other' (csv, json)")
+    }
+    raw
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .withColumn("ts_ns",
+        expr("CAST(ts AS TIMESTAMP)").cast("long") * 1000000000L)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts_ns"))
+  }
 }

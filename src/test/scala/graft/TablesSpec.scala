@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, Tsdb}
+
+class TablesSpec extends SparkSpec {
+
+  test("csv and jsonl event feeds produce the parquet-path schema") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "ev.csv"),
+      """event_id,ts,user_id,event_type,value,props
+        |1,2024-01-01 10:05:00,7,purchase,10.5,"{""k"": 3}"
+        |2,2024-01-01 10:50:00,7,purchase,2.5,"{""k"": 4}"
+        |3,2024-01-01 11:10:00,8,error,1.0,"{""k"": 5}"
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(dir, "ev.jsonl"),
+      """{"event_id":1,"ts":"2024-01-01 10:05:00","user_id":7,"event_type":"purchase","value":10.5,"props":"{\"k\": 3}"}
+        |{"event_id":2,"ts":"2024-01-01 10:50:00","user_id":7,"event_type":"purchase","value":2.5,"props":"{\"k\": 4}"}
+        |{"event_id":3,"ts":"2024-01-01 11:10:00","user_id":8,"event_type":"error","value":1.0,"props":"{\"k\": 5}"}
+        |""".stripMargin)
+    val csv = Tables.loadEventsText(spark, s"$dir/ev.csv", "csv")
+    val jsonl = Tables.loadEventsText(spark, s"$dir/ev.jsonl", "jsonl")
+    // identical rows from both formats
+    assert(csv.schema == jsonl.schema)
+    assert(csv.collect().map(_.toString).sorted.toSeq ==
+      jsonl.collect().map(_.toString).sorted.toSeq)
+    // downstream TSDB operators run unchanged: same rollup from either feed
+    val pts = Tsdb.points(csv).collect()
+    val p7 = pts.find(r => r.getAs[String]("f2") == "7").get
+    assert(p7.getAs[Double]("total") == 13.0 && p7.getAs[Long]("cnt") == 2L)
+    // ts_ns carries exact nanos for pushdown-style range predicates
+    assert(csv.filter(col("ts_ns") === 1704103500000000000L).count() == 1L)
+  }
+}
