@@ -41,9 +41,10 @@ object Tables {
 
   /** Load an events feed from CSV or JSON-lines with the SAME output
     * schema the parquet path produces (ts as timestamp_ntz + raw ts_ns) —
-    * every Tsdb operator runs unchanged on top. Text formats carry
-    * wall-clock second precision (their ts strings have no sub-second
-    * digits), so ts_ns is the exact nano equivalent.
+    * every Tsdb operator runs unchanged on top. ts_ns is derived at micro
+    * precision (timestamp_ntz's full resolution), so a predicate on ts_ns
+    * selects exactly the rows the same predicate on ts would, including
+    * feeds with fractional-second timestamps.
     */
   def loadEventsText(spark: SparkSession, path: String, format: String): DataFrame = {
     val reader = spark.read.schema(eventsTextSchema)
@@ -58,7 +59,7 @@ object Tables {
     raw
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .withColumn("ts_ns",
-        expr("CAST(ts AS TIMESTAMP)").cast("long") * 1000000000L)
+        expr("unix_micros(CAST(ts AS TIMESTAMP))") * 1000L)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"), col("ts_ns"))
   }

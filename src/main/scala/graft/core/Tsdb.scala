@@ -331,6 +331,15 @@ object Tsdb {
       col("total").isNotNull.cast("int").as("observed"))
   }
 
+  /** KMV estimator from a sketch's order statistics: exact count below
+    * capacity, else (k−1)·2⁶⁰/kth. Shared by every KMV-based operator so
+    * the estimator (bias form, hash width) has exactly one definition.
+    */
+  private def kmvEst(k: Int)(kUsed: Column, kth: Column): Column =
+    when(kUsed < k, kUsed.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+        / kth.cast("double"))
+
   /** Approximate distinct users per series via a K-Minimum-Values sketch:
     * keep the k smallest h60 hashes per group; estimate = (k−1)·2⁶⁰/kth.
     * Unlike HLL (`approx_count_distinct`), KMV over the shared
@@ -352,9 +361,7 @@ object Tsdb {
       .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth"))
       .select(col("f1"), col("k_used"),
         graft.functions.Hashing.rd4(
-          when(col("k_used") < k, col("k_used").cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
-              / col("kth").cast("double"))).as("est"))
+          kmvEst(k)(col("k_used"), col("kth"))).as("est"))
   }
 
   /** Distinct-set OVERLAP estimation between two event types via KMV
@@ -367,31 +374,36 @@ object Tsdb {
     */
   def distinctOverlapKMV(events: DataFrame, typeA: String, typeB: String,
       k: Int = 64): DataFrame = {
-    val kmvEst = (kUsed: Column, kth: Column) =>
-      when(kUsed < k, kUsed.cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
-          / kth.cast("double"))
     val hashed = events
       .filter(col("event_type").isin(typeA, typeB))
       .select(col("event_type").as("f1"),
         graft.functions.Hashing.h60(col("user_id").cast("string")).as("hv"))
       .distinct()
     val w = Window.partitionBy(col("f1")).orderBy(col("hv"))
-    val perType = hashed.withColumn("rn", row_number().over(w))
+    // Per-type sketches: the k smallest hashes of each type. Everything
+    // downstream derives from these ≤2k rows — never from the full hash set.
+    val topk = hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+    val perType = topk
       .groupBy(col("f1"))
       .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth"))
-      .select(col("f1"), kmvEst(col("k_used"), col("kth")).as("est"))
-    val wu = Window.orderBy(col("hv"))
-    val union = hashed.select(col("hv")).distinct()
-      .withColumn("rn", row_number().over(wu))
-      .filter(col("rn") <= k)
+      .select(col("f1"), kmvEst(k)(col("k_used"), col("kth")).as("est"))
+    // Sketch merge: the k smallest of A∪B are a subset of topk(A)∪topk(B)
+    // (any hash ranking ≤k in the union ranks ≤k within its own type), so
+    // the union sketch is computed from the ≤2k sketch rows — the
+    // mergeability that makes KMV composable at any scale; no global sort
+    // over the raw hash sets.
+    val union = topk.select(col("hv")).distinct()
+      .orderBy(col("hv")).limit(k)
       .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth"))
-      .select(kmvEst(col("k_used"), col("kth")).as("est_union"))
-    val a = perType.filter(col("f1") === typeA).select(col("est").as("est_a"))
-    val b = perType.filter(col("f1") === typeB).select(col("est").as("est_b"))
+      .select(kmvEst(k)(col("k_used"), col("kth")).as("est_union"))
+    // Conditional aggregation ⇒ always exactly one row, with NULL for an
+    // absent type — same shape as the oracle's scalar subqueries.
+    val ab = perType.agg(
+      max(when(col("f1") === typeA, col("est"))).as("est_a"),
+      max(when(col("f1") === typeB, col("est"))).as("est_b"))
     val rd4 = graft.functions.Hashing.rd4 _
-    a.crossJoin(b).crossJoin(union)
+    ab.crossJoin(union)
       .select(
         rd4(col("est_a")).as("est_a"),
         rd4(col("est_b")).as("est_b"),

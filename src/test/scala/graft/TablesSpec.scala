@@ -34,4 +34,18 @@ class TablesSpec extends SparkSpec {
     // ts_ns carries exact nanos for pushdown-style range predicates
     assert(csv.filter(col("ts_ns") === 1704103500000000000L).count() == 1L)
   }
+
+  test("loadEventsText keeps ts and ts_ns consistent for sub-second feeds") {
+    val dir = Files.createTempDirectory("graft_subsec").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "ev.csv"),
+      """event_id,ts,user_id,event_type,value,props
+        |1,2024-01-01 10:05:00.250,7,purchase,10.5,{}
+        |""".stripMargin)
+    val df = Tables.loadEventsText(spark, s"$dir/ev.csv", "csv")
+    val r = df.head()
+    // the fractional 250 ms survives in BOTH columns, so a range predicate
+    // on ts_ns selects exactly the rows the same predicate on ts would
+    assert(r.getAs[Long]("ts_ns") == 1704103500250000000L)
+    assert(df.filter(expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000 = ts_ns")).count() == 1L)
+  }
 }

@@ -279,6 +279,20 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard_est") == 0.5)
   }
 
+  test("distinctOverlapKMV: absent type → one row with NULL estimate") {
+    // Matches the oracle's scalar-subquery shape: the row always exists;
+    // a type with no events contributes NULL, never an empty result set.
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
+      ("2024-01-01 00:11:00", "purchase", 2L, 1.0)))
+    val rows = Tsdb.distinctOverlapKMV(ev, "purchase", "error").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Double]("est_a") == 2.0)
+    assert(r.isNullAt(r.fieldIndex("est_b")))
+    assert(r.getAs[Double]("est_union") == 2.0)
+  }
+
   test("correlation: perfectly linear series → pearson 1") {
     val pts1 = Tsdb.points1(eventsDf(Seq(
       ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
