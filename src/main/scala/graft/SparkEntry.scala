@@ -89,6 +89,7 @@ object SparkEntry {
       Tsdb.interpolate(Tsdb.points1(t(s, dir, "events")),
         lit("2024-01-05"), lit("2024-01-08"), Seq("purchase", "error"))),
     "ts_approx_distinct" -> ((s, dir) => Tsdb.approxDistinctKMV(t(s, dir, "events"))),
+    "ts_histogram_quantile" -> ((s, dir) => Tsdb.histogramQuantile(t(s, dir, "events"))),
     "ts_distinct_overlap" -> ((s, dir) =>
       Tsdb.distinctOverlapKMV(t(s, dir, "events"), "purchase", "error")),
     "ts_interval_join" -> ((s, dir) => {
@@ -475,6 +476,37 @@ object SparkEntry {
                  ELSE 63.0 * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END)
                  * 10000.0 + 0.5) / 10000.0 AS est
          FROM r WHERE rn <= 64 GROUP BY 1""",
+
+    // Prometheus-style histogram_quantile replayed from the same fixed
+    // le-bucket ladder: cumulative counts + linear interpolation inside
+    // the crossing bucket (first bucket interpolates from 0)
+    "ts_histogram_quantile" ->
+      """WITH le AS (SELECT event_type AS f1,
+             CASE WHEN value <= 0.25 THEN 0 WHEN value <= 0.5 THEN 1
+                  WHEN value <= 1 THEN 2 WHEN value <= 2 THEN 3
+                  WHEN value <= 4 THEN 4 WHEN value <= 8 THEN 5
+                  WHEN value <= 16 THEN 6 WHEN value <= 32 THEN 7
+                  WHEN value <= 64 THEN 8 WHEN value <= 128 THEN 9
+                  WHEN value <= 256 THEN 10 WHEN value <= 512 THEN 11
+                  ELSE 12 END AS le_idx
+           FROM events),
+         sk AS (SELECT f1, le_idx, count(*) AS cnt FROM le GROUP BY 1, 2),
+         c AS (SELECT f1, le_idx, cnt,
+                 sum(cnt) OVER (PARTITION BY f1 ORDER BY le_idx) AS cum,
+                 sum(cnt) OVER (PARTITION BY f1) AS total FROM sk),
+         qv AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q),
+         b AS (SELECT CAST([0.25, 0.5, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
+                      AS DOUBLE[]) AS arr)
+         SELECT f1, q,
+           floor((CASE WHEN le_idx >= 12 THEN 512.0
+             ELSE (CASE WHEN le_idx = 0 THEN 0.0 ELSE arr[le_idx] END)
+               + (arr[le_idx + 1]
+                  - (CASE WHEN le_idx = 0 THEN 0.0 ELSE arr[le_idx] END))
+               * (q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0 AS est
+         FROM c, qv, b
+         WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+           AND CAST(cum - cnt AS DOUBLE) < q * CAST(total AS DOUBLE)""",
 
     // KMV sketch algebra: union sketch = k smallest of merged hash sets;
     // intersect via inclusion-exclusion on the raw (pre-rounding) estimates

@@ -698,4 +698,65 @@ object Tsdb {
         sum(col("k")).as("sum_k"),
         graft.functions.Hashing.rd4(avg(col("k"))).as("avg_k"),
         sum(when(col("k") > 50, 1).otherwise(0)).as("n_high"))
+
+  /** Fixed log-spaced bound ladder for the mergeable histogram sketch.
+    * Like Prometheus classic-histogram `le` buckets: the ladder is part of
+    * the schema, so sketches from different partitions/epochs/stores are
+    * sum-mergeable by construction. Values above the top bound land in an
+    * implicit +Inf bucket (index = bounds.size).
+    */
+  val histogramBounds: Seq[Double] =
+    Seq(0.25, 0.5, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+  /** Mergeable histogram sketch: exact (series, le-bucket) counts. This is
+    * the 100-TB quantile shape — one map-side-combined shuffle produces
+    * ≤ |series|·13 rows of state regardless of event volume, and two
+    * sketches merge by summing counts (proven in TsdbSpec).
+    */
+  def histogramSketch(events: DataFrame): DataFrame = {
+    val leIdx = histogramBounds.zipWithIndex.tail
+      .foldLeft(when(col("value") <= histogramBounds.head, 0)) {
+        case (acc, (b, i)) => acc.when(col("value") <= b, i)
+      }
+      .otherwise(histogramBounds.size) // +Inf overflow bucket
+    events
+      .select(col("event_type").as("f1"), leIdx.as("le_idx"))
+      .groupBy(col("f1"), col("le_idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Prometheus-style histogram_quantile: estimate quantiles per series by
+    * linear interpolation inside the first bucket whose cumulative count
+    * crosses q·total (lower bound 0 for the first bucket; the +Inf bucket
+    * reports the highest finite bound, as Prometheus does). Runs on the
+    * sketch, never the raw events — per-series state is ≤ 13 rows, so the
+    * quantile pass is metadata-sized at any scale. All arithmetic is
+    * single IEEE ops on exact counts → bit-identical in the DuckDB oracle.
+    */
+  def histogramQuantileFromSketch(sketch: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    val wCum = Window.partitionBy(col("f1")).orderBy(col("le_idx"))
+    val wAll = Window.partitionBy(col("f1"))
+    val arr = array(histogramBounds.map(lit): _*)
+    val target = col("q") * col("total").cast("double")
+    val cumPrev = (col("cum") - col("cnt")).cast("double")
+    val hi = element_at(arr, col("le_idx") + 1)
+    val lo = when(col("le_idx") === 0, lit(0.0))
+      .otherwise(element_at(arr, col("le_idx")))
+    sketch
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum").cast("double") >= target && cumPrev < target)
+      .select(col("f1"), col("q"),
+        graft.functions.Hashing.rd4(
+          when(col("le_idx") >= histogramBounds.size, lit(histogramBounds.last))
+            .otherwise(lo + (hi - lo) * (target - cumPrev)
+              / col("cnt").cast("double"))).as("est"))
+  }
+
+  /** End-to-end quantile estimate from raw events (sketch + interpolate). */
+  def histogramQuantile(events: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+    histogramQuantileFromSketch(histogramSketch(events), qs)
 }

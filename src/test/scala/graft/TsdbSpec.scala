@@ -279,6 +279,38 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard_est") == 0.5)
   }
 
+  test("histogramQuantile: interpolated quantiles from the bucket ladder") {
+    // 8 purchase values in bucket (4,8] (idx 5) and 2 in (64,128] (idx 9):
+    // p50 target=5 falls in the first bucket → 4 + (8-4)*5/8 = 6.5;
+    // p95 target=9.5 falls in the top bucket → 64 + (128-64)*1.5/2 = 112
+    val vals = Seq.fill(8)(6.0) ++ Seq(100.0, 100.0)
+    val ev = eventsDf(vals.zipWithIndex.map { case (v, i) =>
+      (f"2024-01-01 00:${i}%02d:00", "purchase", i.toLong, v)
+    })
+    val r = Tsdb.histogramQuantile(ev, Seq(0.5, 0.95))
+      .collect().map(x => (x.getAs[Double]("q"), x.getAs[Double]("est"))).toMap
+    assert(r(0.5) == 6.5)
+    assert(r(0.95) == 112.0)
+  }
+
+  test("histogramSketch merges by summing counts") {
+    val evA = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 3.0),
+      ("2024-01-01 00:11:00", "purchase", 2L, 6.0)))
+    val evB = eventsDf(Seq(
+      ("2024-01-02 00:10:00", "purchase", 3L, 7.0),
+      ("2024-01-02 00:11:00", "error", 4L, 600.0))) // overflow bucket
+    val merged = Tsdb.histogramSketch(evA).union(Tsdb.histogramSketch(evB))
+      .groupBy("f1", "le_idx")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val whole = Tsdb.histogramSketch(evA.union(evB))
+    assert(merged.collect().map(_.toString).sorted.toSeq ==
+      whole.collect().map(_.toString).sorted.toSeq)
+    // values above the top bound land in the +Inf bucket (idx = 12)
+    assert(whole.filter(org.apache.spark.sql.functions.col("le_idx") === 12)
+      .head().getAs[Long]("cnt") == 1L)
+  }
+
   test("distinctOverlapKMV: absent type → one row with NULL estimate") {
     // Matches the oracle's scalar-subquery shape: the row always exists;
     // a type with no events contributes NULL, never an empty result set.
