@@ -55,7 +55,10 @@ object PipelineOracles {
     * candidate pairs at `threshold`), shared by the pair and survivor
     * queries.
     */
-  private def minhashWith(threshold: Double): String = {
+  /** Shared MinHash prefix: tok → shingles → per-perm signature → LSH
+    * band rows (used by both the batch self-join and incremental oracles).
+    */
+  private def bandsPrefix: String = {
     val sigCols = Dedup.minhashPerms.zipWithIndex
       .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS mh$j" }
       .mkString(", ")
@@ -67,7 +70,11 @@ object PipelineOracles {
     s"""WITH $tok, $sh,
         hm AS (SELECT doc_id, shingle % ${Dedup.P} AS hm FROM sh),
         sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY 1),
-        bands AS ($bandSelects),
+        bands AS ($bandSelects)"""
+  }
+
+  private def minhashWith(threshold: Double): String =
+    s"""$bandsPrefix,
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
@@ -76,7 +83,31 @@ object PipelineOracles {
         pairs AS (SELECT doc_a, doc_b, floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
                   FROM prc JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
                   WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= $threshold)"""
-  }
+
+  /** Incremental-dedup replay: candidates are (corpus band ⋈ batch band)
+    * plus (batch ⋈ batch); the batch is doc_id % 10 = 0. Orientation is
+    * always (doc_a = existing/lower partner, doc_b = batch doc).
+    */
+  private def incrementalWith(threshold: Double): String =
+    s"""$bandsPrefix,
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.key = y.key
+                 WHERE (x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0)
+                    OR (x.doc_id % 10 = 0 AND y.doc_id % 10 = 0
+                        AND x.doc_id < y.doc_id)),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b, floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+                  FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                  WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= $threshold),
+        best AS (SELECT doc_b AS doc_id, min(doc_a) AS dup_of,
+                        arg_min(jaccard, doc_a) AS jaccard
+                 FROM pairs GROUP BY 1)"""
 
   /** (label, LSH-band)-blocked embedding near-dup pairs at cos ≥ 0.4 —
     * the DuckDB twin of Similarity.embeddingDedup, shared by the pair and
@@ -233,6 +264,11 @@ object PipelineOracles {
 
     "dedup_minhash_lsh" -> s"""${minhashWith(0.5)}
           SELECT doc_a, doc_b, jaccard FROM pairs""",
+
+    "dedup_incremental" -> s"""${incrementalWith(0.5)}
+          SELECT d.doc_id, b.dup_of, b.jaccard
+          FROM documents d LEFT JOIN best b USING (doc_id)
+          WHERE d.doc_id % 10 = 0""",
 
     "dedup_survivors" -> s"""${minhashWith(0.5)}
           SELECT doc_id, lang, source, n_chars FROM documents

@@ -186,6 +186,58 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Persisted LSH state for a deduplicated corpus: its band rows
+    * (doc_id, band, key). This is what an ingestion pipeline keeps
+    * between batches — O(|corpus|·bands) small rows, NOT the texts.
+    */
+  def lshIndex(corpus: DataFrame): DataFrame = lshBands(minhashSignatures(corpus))
+
+  /** Incremental dedup: decide each NEW batch document against an
+    * existing corpus WITHOUT rescanning the corpus — the shape that makes
+    * continuous 100-TB ingestion affordable. Candidates come from (a) the
+    * batch's bands joined against the corpus's persisted [[lshIndex]] and
+    * (b) the batch's bands self-joined (new-vs-new); exact Jaccard
+    * verification then re-shingles only the batch plus the corpus docs
+    * that actually appear as candidates (a semi-join fetch, typically a
+    * vanishing fraction of the corpus). Returns one row per batch doc:
+    * `dup_of` = smallest near-dup partner id (NULL → survivor to append).
+    */
+  def incrementalDedupAgainst(corpus: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val index = lshIndex(corpus) // production: read back from the store
+    val shB = shingles(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsB = lshBands(minhashSignaturesFrom(shB))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candCorpus = bandsB.as("x")
+      .join(index.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
+    val candBatch = bandsB.as("x")
+      .join(bandsB.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = candCorpus.union(candBatch).distinct()
+    val touched = corpus.join(
+      cand.select(col("doc_a").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sh = shB.union(shingles(touched))
+    val best = pairJaccard(sh, Some(cand))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"),
+        min_by(col("jaccard"), col("doc_a")).as("jaccard"))
+    batch.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+  }
+
+  /** Incremental dedup demo split: every 10th doc (doc_id % 10 = 0) is the
+    * arriving batch; the rest are the standing corpus.
+    */
+  def incrementalDedup(docs: DataFrame, threshold: Double): DataFrame =
+    incrementalDedupAgainst(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), threshold)
+
   /** Duplicate-cluster ids via connected components over near-dup pairs:
     * every doc in a component gets `cluster_id` = the component's min
     * doc_id, plus the component size. This is the grouping real corpus

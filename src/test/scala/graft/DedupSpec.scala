@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(exactPair.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("incremental dedup: batch decided against corpus index + itself") {
+    val corpus = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words entirely here now okay friend")))
+    val batch = docsDf(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+      (20L, "totally novel sentence with nothing shared anywhere at all"),
+      (30L, "another fresh batch document about spark and parquet files"),
+      (40L, "another fresh batch document about spark and parquet files"))) // dup of 30
+    val r = Dedup.incrementalDedupAgainst(corpus, batch, 0.5).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (if (x.isNullAt(x.fieldIndex("dup_of"))) None
+         else Some(x.getAs[Long]("dup_of")))).toMap
+    assert(r.size == 4)
+    assert(r(10L) == Some(1L)) // rejected against the standing corpus
+    assert(r(20L) == None) // survivor
+    assert(r(30L) == None) // first of the new pair survives
+    assert(r(40L) == Some(30L)) // new-vs-new duplicate
+  }
+
   test("minhash signatures are equal for identical shingle sets") {
     val sig = Dedup.minhashSignatures(docs).collect()
     def row(id: Long) = sig.find(_.getAs[Long]("doc_id") == id).get
