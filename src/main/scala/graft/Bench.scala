@@ -2,11 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall times at the target
+/** Benchmark main: one compact JSON line with wall times at the target
   * scale factor. An untimed warmup pass first absorbs JVM/JIT/codegen and
   * filesystem-cache effects so the timed pass measures steady-state
   * throughput (the fair comparison against the reference's long-lived
   * server process).
+  *
+  * Output contract: the harness captures only the last ~2000 chars of the
+  * run and parses the final JSON line, so the printed line lists the most
+  * expensive queries only (budgeted to fit the capture window); the full
+  * per-query map is written to `bench_detail.json` alongside.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,7 +23,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -37,9 +42,27 @@ object Bench {
       }.toMap
     }
     val results = names.map(n => n -> passes.map(_(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"queries":$detail,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Printed line: costliest queries first, cut to a char budget so the
+    // final JSON line survives the harness's bounded tail capture.
+    val budget = 1400
+    val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = 0
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }
