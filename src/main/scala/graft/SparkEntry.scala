@@ -79,8 +79,10 @@ object SparkEntry {
     "ts_histogram" -> ((s, dir) => Tsdb.histogram(t(s, dir, "events"), 50.0)),
     "ts_zscore" -> ((s, dir) => Tsdb.zscore(Tsdb.points1(t(s, dir, "events")))),
     "ts_fetch_dense" -> ((s, dir) =>
+      // window deliberately NOT epoch-aligned: the series axis must come
+      // from the touched epochs (full days), not the bucket window
       Tsdb.fetchDense(t(s, dir, "events"),
-        "2024-01-05", "2024-01-08", Seq(Some("purchase"), None))),
+        "2024-01-05 06:00:00", "2024-01-07 18:00:00", Seq(Some("purchase"), None))),
     "ts_retention_cohorts" -> ((s, dir) => Tsdb.retentionCohorts(t(s, dir, "events"))),
     "ts_heatmap" -> ((s, dir) => Tsdb.heatmap(t(s, dir, "events"))),
     "ts_asof_join" -> ((s, dir) =>
@@ -595,12 +597,15 @@ object SparkEntry {
                 round(sum(value),2) AS total, count(*) AS cnt
               FROM events
               WHERE event_type = 'purchase'
-                AND date_trunc('hour', ts) >= TIMESTAMP '2024-01-05'
-                AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-08'
+                AND ts >= TIMESTAMP '2024-01-05 06:00:00'
+                AND ts <  TIMESTAMP '2024-01-07 18:00:00'
               GROUP BY 1, 2, 3),
-         srs AS (SELECT DISTINCT f1, f2 FROM m),
-         ax AS (SELECT f1, f2, unnest(generate_series(TIMESTAMP '2024-01-05',
-                  TIMESTAMP '2024-01-08' - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS bucket
+         srs AS (SELECT DISTINCT event_type AS f1, CAST(user_id AS VARCHAR) AS f2
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'),
+         ax AS (SELECT f1, f2, unnest(generate_series(TIMESTAMP '2024-01-05 06:00:00',
+                  TIMESTAMP '2024-01-07 18:00:00' - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS bucket
                 FROM srs)
          SELECT ax.f1, ax.f2, ax.bucket,
                 coalesce(m.total, 0.0) AS total,

@@ -104,17 +104,26 @@ final class BucketedMetricStore(spark: SparkSession, val table: String,
     * can't overwrite a single partition — run this on a cadence matched
     * to append volume, or stay on MetricStore when per-epoch compaction
     * dominates the write path.
+    *
+    * Durability: the merged rows are written to a staging TABLE first
+    * (durable parquet), and the main table is then rewritten FROM the
+    * staging table. A failure at any step leaves the data recoverable —
+    * either the source table is untouched (staging write failed), or the
+    * fully-written staging table still exists (swap failed). The merge
+    * never lives only in volatile executor blocks.
     */
   def compactAll(): Unit = {
-    // materialize the merged rows (executor block storage) BEFORE dropping
-    // the source table they are derived from
-    val merged = ordered(points()).localCheckpoint()
-    spark.sql(s"DROP TABLE $table")
-    merged.write.mode("overwrite")
-      .partitionBy("epoch")
-      .bucketBy(buckets, params.fields.head)
-      .sortBy(params.fields.head, (params.fields.tail :+ "bucket"): _*)
-      .format("parquet")
-      .saveAsTable(table)
+    val stage = table + "_compact_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    def writeBucketed(df: DataFrame, target: String): Unit =
+      df.write.mode("overwrite")
+        .partitionBy("epoch")
+        .bucketBy(buckets, params.fields.head)
+        .sortBy(params.fields.head, (params.fields.tail :+ "bucket"): _*)
+        .format("parquet")
+        .saveAsTable(target)
+    writeBucketed(ordered(points()), stage)
+    writeBucketed(ordered(spark.table(stage)), table)
+    spark.sql(s"DROP TABLE $stage")
   }
 }

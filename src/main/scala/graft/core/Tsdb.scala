@@ -42,6 +42,27 @@ object Tsdb {
     ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
   }
 
+  /** [floor(from), ceil(to)) over `duration`-sized epochs — the epoch span
+    * a [from, to) window touches (database.go:267 split()).
+    */
+  private[graft] def epochBounds(from: String, to: String, duration: String): (String, String) = {
+    def parse(s: String) =
+      if (s.length > 10) java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      else java.time.LocalDate.parse(s).atStartOfDay()
+    val unit = duration match {
+      case "day"  => java.time.temporal.ChronoUnit.DAYS
+      case "hour" => java.time.temporal.ChronoUnit.HOURS
+      case d      => throw new IllegalArgumentException(s"unsupported epoch duration: $d")
+    }
+    val lo = parse(from).truncatedTo(unit)
+    val hiRaw = parse(to)
+    val hiFloor = hiRaw.truncatedTo(unit)
+    val hi = if (hiFloor == hiRaw) hiFloor else hiFloor.plus(1, unit)
+    def fmt(t: java.time.LocalDateTime) =
+      t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    (fmt(lo), fmt(hi))
+  }
+
   /** Canonical materialized store: one row per (series-prefix, bucket).
     * Equivalent of Track()'s write amplification, done as ONE aggregation
     * with grouping sets (depth-1 and depth-2 prefixes), not two passes.
@@ -136,12 +157,34 @@ object Tsdb {
     * from the reference sees no missing buckets). Sparse fetch + a
     * per-series time-axis left join; the axis (|series| × |slots| rows) is
     * generated distributed via explode-of-sequence, never on the driver.
+    *
+    * The series axis is the pattern match over every TOUCHED EPOCH,
+    * deliberately ignoring the [from, to) bucket filter: the reference
+    * returns dense all-zero arrays for each series present in the epoch
+    * index even when its points fall outside the requested window, so a
+    * series with epoch data only before `from` still emits zero rows.
     */
   def fetchDense(events: DataFrame, from: String, to: String,
-      pattern: Seq[Option[String]], resolution: String = "hour"): DataFrame = {
+      pattern: Seq[Option[String]], resolution: String = "hour",
+      epochDuration: String = "day"): DataFrame = {
     val pts = fetchEvents(events, from, to, pattern, resolution)
     val step = expr(s"INTERVAL 1 $resolution")
-    val axis = pts.select(col("f1"), col("f2")).distinct()
+    val (eFrom, eTo) = epochBounds(from, to, epochDuration)
+    val fieldCols = Seq(col("event_type"), col("user_id").cast("string"))
+    val inEpochs = events.filter(
+      (if (events.columns.contains("ts_ns"))
+         col("ts_ns") >= wallNanos(eFrom) && col("ts_ns") < wallNanos(eTo)
+       else lit(true)) &&
+        col("ts") >= lit(eFrom).cast("timestamp_ntz") &&
+        col("ts") < lit(eTo).cast("timestamp_ntz"))
+    val matched = pattern.zip(fieldCols).foldLeft(inEpochs) {
+      case (df, (Some(v), c)) => df.filter(c === lit(v))
+      case (df, (None, _))    => df
+    }
+    val srs = matched.select(col("event_type").as("f1"),
+      (if (pattern.length == 1) lit(null).cast("string")
+       else col("user_id").cast("string")).as("f2")).distinct()
+    val axis = srs
       .select(col("f1"), col("f2"), explode(sequence(
         lit(from).cast("timestamp_ntz"),
         lit(to).cast("timestamp_ntz") - step, step)).as("bucket"))

@@ -11,8 +11,8 @@ import graft.functions.Hashing
   * Scale design: nothing here is O(n²) on the full corpus. Exact dedup is a
   * hash groupBy; Jaccard joins only docs sharing a shingle; MinHash+LSH
   * verifies ONLY band-bucket candidate pairs; SimHash joins only docs
-  * sharing one of 3 fingerprint bands (complete for hamming ≤ 2 by
-  * pigeonhole). The tokenization/shingling projection is computed once and
+  * sharing one of 4 fifteen-bit fingerprint bands (complete for
+  * hamming ≤ 3 by pigeonhole). The tokenization/shingling projection is computed once and
   * cached per operator invocation (it feeds 2-4 joins); corpus-sized side
   * tables (candidate pairs, per-doc sizes) stay shuffle-joined — AQE
   * broadcasts them only when actually small. AQE skew-join handles hot
@@ -287,6 +287,11 @@ object Dedup {
       labels = next.select(col("doc_id"), col("lbl"))
       iters += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clustersFromPairs: label propagation still changing after $maxIters rounds " +
+          s"($changed labels moved last round) — component diameter exceeds maxIters; " +
+          "raise maxIters rather than emitting unconverged cluster ids")
     val comp = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
     val sz = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
     comp.join(sz, "cluster_id").select(col("doc_id"), col("cluster_id"), col("csize"))

@@ -179,9 +179,19 @@ object StreamingTracker {
     * arrive union-tagged (side 0 = build, 1 = probe) and keyed by series;
     * per-key state is ONLY the latest build point, so state size is
     * O(|keys|) regardless of throughput. Within a micro-batch events are
-    * replayed in (ts, side) order — build before probe on ties, the same
-    * inclusive ≥ semantics as the batch operator. A probe with no prior
+    * replayed in (ts, side) order — build before probe on ties, matching
+    * the batch operator's inclusive ≥ semantics. A probe with no prior
     * build emits an unmatched row (left semantics).
+    *
+    * Parity scope: batch-equivalent results require builds to arrive
+    * in timestamp order ACROSS micro-batches (out-of-order within one
+    * batch is handled by the replay sort). Because state keeps only the
+    * newest build, a probe delivered after a newer build was applied
+    * matches that newer build, and a build arriving late (behind an
+    * already-applied newer one) is discarded — late cross-batch data
+    * degrades to latest-known-build semantics rather than erroring. For
+    * unordered sources, buffer/repartition upstream (e.g. Kafka
+    * per-key ordering) or use the batch Tsdb.asofJoin on the sealed data.
     */
   def asofStream(spark: SparkSession,
       points: Dataset[TaggedPoint]): Dataset[AsofMatch] = {
