@@ -645,6 +645,55 @@ object PipelineOracles {
          FROM documents d JOIN q USING (doc_id)
          WHERE ${h60("CAST(doc_id AS VARCHAR) || 'w1'")} % 10000 < q.quality * 10000.0""",
 
+    "text_tfidf_top_terms" ->
+      """WITH tkx AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tkx WHERE length(term) > 0 GROUP BY 1, 2),
+         dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+                 floor(((tf.tf * n.n_docs) * 1.0 / dfs.df) * 10000.0 + 0.5) / 10000.0 AS score
+               FROM tf JOIN dfs USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+         SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3""",
+
+    "text_dup_span_coverage" -> s"""WITH $tok,
+         pos AS (SELECT doc_id, CAST(${h60("sg")} AS BIGINT) AS g
+           FROM (SELECT doc_id, unnest(
+             CASE WHEN len(tk) >= 8
+                  THEN list_transform(generate_series(1, len(tk)-7),
+                                      i -> array_to_string(tk[i:i+7], ' '))
+                  ELSE []::VARCHAR[] END) AS sg FROM tok)),
+         dfs AS (SELECT g, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY 1),
+         agg AS (SELECT pos.doc_id, count(*) AS n_spans,
+                        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+                 FROM pos JOIN dfs USING (g) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
+                CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+                     ELSE floor((dup_spans * 1.0 / n_spans) * 10000.0 + 0.5) / 10000.0 END AS dup_frac
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
+
+    "text_quality_model" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok),
+         f AS (SELECT doc_id,
+                floor(least(1.0, n_tokens / 100.0) * 10000.0 + 0.5) / 10000.0 AS len_score,
+                floor((punct * 1.0 / nchars) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                floor((stops * 1.0 / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio
+               FROM t2),
+         sc AS (SELECT doc_id, len_score, punct_ratio, stop_ratio,
+                floor(greatest(0.0, least(1.0,
+                      (len_score * 0.9 - punct_ratio * 1.2 + stop_ratio * 0.6 - 0.1) * 0.5 + 0.5))
+                      * 10000.0 + 0.5) / 10000.0 AS model_score
+               FROM f)
+         SELECT doc_id, len_score, punct_ratio, stop_ratio, model_score,
+                model_score >= 0.55 AS keep
+         FROM sc""",
+
     "mm_resize" -> s"""WITH h AS (
            SELECT doc_id, CAST(${h60("text")} AS BIGINT) AS hm FROM documents),
          m AS (SELECT doc_id,

@@ -155,6 +155,17 @@ object SparkEntry {
       Curation.materialize(t(s, dir, "documents"), 0.55, "en")),
     "pipeline_materialize_full" -> ((s, dir) =>
       Curation.materializeFull(t(s, dir, "documents"), 0.55, "en", 0.5)),
+    "ts_rate_counter" -> ((s, dir) => Tsdb.rateCounter(Tsdb.points(t(s, dir, "events")))),
+    "ts_series_math" -> ((s, dir) =>
+      Tsdb.seriesMath(Tsdb.points(t(s, dir, "events")), "purchase", "error")),
+    "ts_gapfill_locf" -> ((s, dir) =>
+      Tsdb.gapfillLocf(Tsdb.points1(t(s, dir, "events")),
+        lit("2024-01-05"), lit("2024-01-08"), Seq("purchase", "error"))),
+    "text_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), 3)),
+    "text_dup_span_coverage" -> ((s, dir) =>
+      TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), 8)),
+    "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -811,5 +822,35 @@ object SparkEntry {
 
     "ts_avg_value" -> s"""$store2
          SELECT f1, f2, bucket, floor((total/cnt) * 10000.0 + 0.5) / 10000.0 AS avg_value FROM store""",
+
+    "ts_rate_counter" -> s"""$store2
+         SELECT f1, f2, bucket,
+                round(CASE WHEN lag(total) OVER (PARTITION BY f1, f2 ORDER BY bucket) IS NULL THEN NULL
+                           WHEN total >= lag(total) OVER (PARTITION BY f1, f2 ORDER BY bucket)
+                           THEN total - lag(total) OVER (PARTITION BY f1, f2 ORDER BY bucket)
+                           ELSE total END, 2) AS increase
+         FROM store""",
+
+    "ts_series_math" -> s"""$store2,
+         a AS (SELECT f2, bucket, total FROM store WHERE f1 = 'purchase'),
+         b AS (SELECT f2, bucket, total FROM store WHERE f1 = 'error')
+         SELECT coalesce(a.f2, b.f2) AS f2, coalesce(a.bucket, b.bucket) AS bucket,
+                coalesce(a.total, 0.0) AS a_total, coalesce(b.total, 0.0) AS b_total,
+                round(coalesce(a.total, 0.0) + coalesce(b.total, 0.0), 2) AS sum_total,
+                CASE WHEN b.total IS NOT NULL AND b.total <> 0.0
+                     THEN floor((a.total / b.total) * 10000.0 + 0.5) / 10000.0 END AS ratio
+         FROM a FULL JOIN b ON a.f2 = b.f2 AND a.bucket = b.bucket""",
+
+    "ts_gapfill_locf" -> s"""$store1,
+         ax AS (SELECT f1, unnest(generate_series(TIMESTAMP '2024-01-05',
+                       TIMESTAMP '2024-01-08' - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS bucket
+                FROM (SELECT DISTINCT f1 FROM store WHERE f1 IN ('purchase','error')))
+         SELECT ax.f1, ax.bucket,
+                last_value(s.total IGNORE NULLS) OVER (PARTITION BY ax.f1 ORDER BY ax.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf,
+                (s.total IS NULL) AS filled
+         FROM ax LEFT JOIN store s
+           ON s.f1 = ax.f1 AND s.bucket = ax.bucket
+          AND s.bucket >= TIMESTAMP '2024-01-05' AND s.bucket < TIMESTAMP '2024-01-08'""",
   ) ++ PipelineOracles.all
 }

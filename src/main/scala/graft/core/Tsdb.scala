@@ -591,6 +591,68 @@ object Tsdb {
       round(col("total") - lag(col("total"), 1).over(w), 2).as("rate"))
   }
 
+  /** Prometheus-style reset-aware increase: per-bucket delta vs the
+    * previous sample, except a DROP in value is a counter reset — the
+    * post-reset sample itself is the increase (PromQL increase()
+    * semantics on scrape samples). First sample per series is NULL
+    * (no baseline), matching [[rate]].
+    */
+  def rateCounter(pts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("f1"), col("f2")).orderBy(col("bucket"))
+    val prev = lag(col("total"), 1).over(w)
+    pts.select(col("f1"), col("f2"), col("bucket"),
+      round(when(prev.isNull, lit(null).cast("double"))
+        .when(col("total") >= prev, col("total") - prev)
+        .otherwise(col("total")), 2).as("increase"))
+  }
+
+  /** PromQL-style binary math between two series families: align the
+    * `aF1` and `bF1` series on (f2, bucket) with a single full-outer
+    * shuffle join and emit zero-filled sum plus a/b ratio (NULL where the
+    * divisor side is absent or zero — no NaN/Inf rows). One keyed
+    * shuffle; both sides come from the same store scan.
+    */
+  def seriesMath(pts: DataFrame, aF1: String, bF1: String): DataFrame = {
+    val a = pts.filter(col("f1") === aF1)
+      .select(col("f2"), col("bucket"), col("total").as("a_total"))
+    val b = pts.filter(col("f1") === bF1)
+      .select(col("f2"), col("bucket"), col("total").as("b_total"))
+    a.join(b, Seq("f2", "bucket"), "full_outer")
+      .select(col("f2"), col("bucket"),
+        coalesce(col("a_total"), lit(0.0)).as("a_total"),
+        coalesce(col("b_total"), lit(0.0)).as("b_total"),
+        round(coalesce(col("a_total"), lit(0.0)) + coalesce(col("b_total"), lit(0.0)), 2)
+          .as("sum_total"),
+        when(col("b_total").isNotNull && col("b_total") =!= 0.0,
+          graft.functions.Hashing.rd4(col("a_total") / col("b_total"))).as("ratio"))
+  }
+
+  /** Last-observation-carried-forward gapfill: dense axis per series with
+    * missing buckets filled by the most recent real point (staircase
+    * fill — the "current value persists" reading of a metric store,
+    * vs [[gapfill]]'s zero-fill and [[interpolate]]'s line fill).
+    * Leading buckets before the first real point stay NULL.
+    */
+  def gapfillLocf(pts1: DataFrame, from: Column, to: Column, series: Seq[String]): DataFrame = {
+    val axis = pts1
+      .filter(col("f1").isin(series: _*))
+      .select(col("f1")).distinct()
+      .select(col("f1"), explode(sequence(
+        from.cast("timestamp_ntz"),
+        to.cast("timestamp_ntz") - expr("INTERVAL 1 HOUR"),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val joined = axis.join(
+      pts1.filter(col("f1").isin(series: _*) &&
+        col("bucket") >= from && col("bucket") < to)
+        .select(col("f1"), col("bucket"), col("total")),
+      Seq("f1", "bucket"), "left")
+    val w = Window.partitionBy(col("f1")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(col("f1"), col("bucket"),
+      last(col("total"), ignoreNulls = true).over(w).as("total_locf"),
+      col("total").isNull.as("filled"))
+  }
+
   /** Sliding moving average over the trailing `n` buckets per series. */
   def movingAvg(pts: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("f1"), col("f2")).orderBy(col("bucket"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines, over `documents`.
@@ -85,6 +86,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
       .orderBy(col("occurrences").desc, col("bigram"))
       .limit(k)
+
+  /** Per-document top-k tf-idf terms. The idf factor is the log-free
+    * rational N/df (monotone in the usual idf, so ranking-equivalent for
+    * fixed tf, and — unlike log() — bit-identical across engines: the
+    * score is ONE integer multiply and ONE IEEE division). Plan shape:
+    * explode → two hash aggregations (tf, then df over the already-tiny
+    * tf table) → per-doc window rank. The window partitions by doc_id, so
+    * ranking never needs a global sort; N is a 1-row broadcast.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .withColumn("score", graft.functions.Hashing.rd4(
+        (col("tf") * col("n_docs")).cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  /** Cross-document duplicated-span coverage (ExactSubstr-lite, after Lee
+    * et al.'s "Deduplicating Training Data" substring dedup): for each
+    * document, the fraction of its n-token span positions whose span also
+    * occurs in at least one OTHER document. High coverage = boilerplate /
+    * near-copy even when no whole-doc dedup fires. Spans shuffle as
+    * 60-bit hashes, never strings; span df is one aggregation over
+    * distinct (doc, span).
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tk) >= $n
+                THEN transform(sequence(1, size(tk) - ${n - 1}), i -> array_join(slice(tk, i, $n), ' '))
+                ELSE slice(tk, 1, 0) END""")).as("g"))
+      .select(col("doc_id"), graft.functions.Hashing.h60(col("g")).as("g"))
+    val dfT = pos.distinct().groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val agg = pos.join(dfT, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(graft.functions.Hashing.rd4(
+            col("dup_spans").cast("double") / col("n_spans"))).as("dup_frac"))
+  }
+
+  /** Deterministic model-scoring shape: a fixed-weight linear quality
+    * classifier with a clamped-linear (not sigmoid) link — exp() is not
+    * bit-reproducible across engines, a clamp of single IEEE ops is. The
+    * weights stand in for a trained model; the point is the SCALE shape:
+    * pure per-row projection over already-computed features, zero
+    * shuffle, fusable into any curation scan.
+    */
+  def qualityModel(docs: DataFrame): DataFrame = {
+    val q = withQuality(docs)
+    val lenScore = graft.functions.Hashing.rd4(
+      least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+    val z = lenScore * lit(0.9) - col("punct_ratio") * lit(1.2) +
+      col("stop_ratio") * lit(0.6) - lit(0.1)
+    val score = graft.functions.Hashing.rd4(
+      greatest(lit(0.0), least(lit(1.0), z * lit(0.5) + lit(0.5))))
+    q.select(col("doc_id"), lenScore.as("len_score"),
+      col("punct_ratio"), col("stop_ratio"),
+      score.as("model_score"), (score >= 0.55).as("keep"))
+  }
 
   /** Deterministic stratified sampling for training-data curation: keep a
     * per-stratum fraction of docs, selected by content hash rather than
