@@ -694,6 +694,48 @@ object PipelineOracles {
                 model_score >= 0.55 AS keep
          FROM sc""",
 
+    "mm_image_tiles" -> s"""WITH h AS (
+           SELECT doc_id, md5(text) AS content_hash,
+                  CAST(${h60("text")} AS BIGINT) AS hm FROM documents),
+         m AS (SELECT doc_id, content_hash,
+                CAST(64 + hm % 512 AS INT) AS width,
+                CAST(64 + (hm // 512) % 512 AS INT) AS height FROM h),
+         tx AS (SELECT m.*, unnest(generate_series(0, (width - 1) // 64)) AS tile_x FROM m),
+         t AS (SELECT tx.*, unnest(generate_series(0, (height - 1) // 64)) AS tile_y FROM tx)
+         SELECT doc_id, CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+                CAST(tile_x * 64 AS INT) AS x0,
+                CAST(least(tile_x * 64 + 64, width) AS INT) AS x1,
+                CAST(tile_y * 64 AS INT) AS y0,
+                CAST(least(tile_y * 64 + 64, height) AS INT) AS y1,
+                CAST(${h60("content_hash || '_t' || tile_x || '_' || tile_y")} AS BIGINT) AS tile_hash
+         FROM t""",
+
+    "contamination_bloom" -> s"""WITH $tok,
+         sh8 AS (SELECT doc_id, CAST(${h60("sg")} AS BIGINT) AS shingle
+           FROM (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(tk) >= 8
+                  THEN list_transform(generate_series(1, len(tk)-7),
+                                      i -> array_to_string(tk[i:i+7], ' '))
+                  ELSE []::VARCHAR[] END)) AS sg FROM tok)),
+         lbl AS (SELECT doc_id, shingle, (doc_id < 50) AS is_test FROM sh8),
+         tpos AS (SELECT DISTINCT p FROM (
+             SELECT shingle % 65536 AS p FROM lbl WHERE is_test
+             UNION ALL SELECT (shingle // 65536) % 65536 FROM lbl WHERE is_test) u),
+         tr AS (SELECT doc_id, shingle, shingle % 65536 AS p1,
+                       (shingle // 65536) % 65536 AS p2 FROM lbl WHERE NOT is_test),
+         bh AS (SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN p1 IN (SELECT p FROM tpos)
+                                AND p2 IN (SELECT p FROM tpos) THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits
+                FROM tr GROUP BY 1),
+         ex AS (SELECT tr.doc_id, count(*) AS exact_hits
+                FROM tr JOIN (SELECT DISTINCT shingle FROM lbl WHERE is_test) te USING (shingle)
+                GROUP BY 1)
+         SELECT bh.doc_id, n_grams, bloom_hits,
+                CAST(coalesce(exact_hits, 0) AS BIGINT) AS exact_hits,
+                CAST(bloom_hits - coalesce(exact_hits, 0) AS BIGINT) AS false_pos
+         FROM bh LEFT JOIN ex USING (doc_id)
+         WHERE bloom_hits > 0""",
+
     "mm_resize" -> s"""WITH h AS (
            SELECT doc_id, CAST(${h60("text")} AS BIGINT) AS hm FROM documents),
          m AS (SELECT doc_id,

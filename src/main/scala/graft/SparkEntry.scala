@@ -166,6 +166,9 @@ object SparkEntry {
     "text_dup_span_coverage" -> ((s, dir) =>
       TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), 8)),
     "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),
+    "mm_image_tiles" -> ((s, dir) => Multimodal.imageTiles(t(s, dir, "documents"), 64)),
+    "contamination_bloom" -> ((s, dir) =>
+      Dedup.contaminationBloom(t(s, dir, "documents"), col("doc_id") < 50, 8)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

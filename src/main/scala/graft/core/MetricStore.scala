@@ -182,6 +182,68 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     }
   }
 
+  /** Targeted series deletion — the right-to-be-forgotten path a
+    * training-data store needs (the reference can only Expire whole
+    * epochs). Removes every LEAF row (depth = nFields) matching
+    * `pattern` (Some(v) = exact, None = wildcard) and DECREMENTS every
+    * ancestor prefix rollup by the removed series' contribution, so the
+    * Track invariant (parent = sum of children + parent-only increments)
+    * still holds. Prefix rows whose count drops to zero are removed.
+    *
+    * Only epochs that actually contain matches are rewritten (dynamic
+    * partition overwrite); the touched-epoch list is metadata-scale,
+    * like expire(). Returns the number of deleted leaf rows.
+    */
+  def deleteSeries(pattern: Seq[Option[String]]): Long = {
+    require(pattern.length == nFields,
+      s"deleteSeries pattern must name all ${params.fields} levels (use None as wildcard)")
+    val pts = spark.read.parquet(dataDir)
+      .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
+    val matchCond = pattern.zip(fieldCols).foldLeft(col("depth") === nFields) {
+      case (acc, (Some(v), c)) => acc && c === lit(v)
+      case (acc, (None, _))    => acc
+    }
+    val victims = pts.filter(matchCond).persist()
+    val touched = victims.select(col("epoch")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by epoch count, not data
+    if (touched.isEmpty) { victims.unpersist(); return 0L }
+    val nDeleted = victims.count()
+    val inTouched = pts.filter(col("epoch").isin(touched: _*))
+    val adjustedPrefixes = (1 until nFields).map { d =>
+      val keys = params.fields.take(d) ++ Seq("bucket", "epoch")
+      val delta = victims.groupBy(keys.map(col): _*)
+        .agg(sum(col("total")).as("__dt"), sum(col("cnt")).as("__dc"))
+      inTouched.filter(col("depth") === d).join(delta, keys, "left")
+        .withColumn("total", col("total") - coalesce(col("__dt"), lit(0.0)))
+        .withColumn("cnt", col("cnt") - coalesce(col("__dc"), lit(0L)))
+        .drop("__dt", "__dc")
+        .filter(col("cnt") > 0)
+    }
+    val keepLeaves = inTouched.filter(col("depth") === nFields && !matchCond)
+    val out = (adjustedPrefixes :+ keepLeaves).reduce(_.unionByName(_))
+      .select((fieldCols ++ Seq(col("bucket"), col("total"), col("cnt"),
+        col("depth"), col("epoch"))): _*)
+    // dynamic overwrite only rewrites partitions PRESENT in `out` — an
+    // epoch whose every row was deleted would silently keep its old
+    // files. Find those up front and drop their directories like expire.
+    val surviving = out.select(col("epoch")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode("overwrite").partitionBy("epoch").parquet(dataDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    listEpochDirs(Paths.get(dataDir))
+      .filter { case (e, _) => touched.contains(e) && !surviving.contains(e) }
+      .foreach { case (_, dir) =>
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      }
+    victims.unpersist()
+    nDeleted
+  }
+
   private def writeParamsIfAbsent(): Unit = {
     val p = Paths.get(path, MetricStore.ParamFile)
     if (!Files.exists(p)) {

@@ -175,6 +175,56 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Bloom-sketch contamination prefilter: an m-bit, k=2 Bloom filter of
+    * the test set's n-gram hashes, built as a distributed bit_or over
+    * 64-bit words and broadcast as ONE dense array row (m/64 longs — 8 KB
+    * at the default m, regardless of corpus size). Train-side membership
+    * is then a map-only O(1) bit test per gram — at 100 TB this replaces
+    * the train⋈test shuffle with a broadcast, which is the entire point
+    * of a Bloom prefilter. The output also carries the EXACT shared-gram
+    * count per flagged doc, so the query doubles as a false-positive-rate
+    * measurement of the sketch (bloom_hits - exact_hits = collisions);
+    * production would drop the exact branch and feed flagged docs to
+    * [[contamination]] for verification.
+    */
+  def contaminationBloom(docs: DataFrame, isTest: Column, n: Int = 8,
+      mBits: Long = 65536L): DataFrame = {
+    val words = mBits / 64
+    val sh = shingles(docs, n)
+      .join(docs.select(col("doc_id"), isTest.as("__is_test")), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val testPos = sh.filter(col("__is_test"))
+      .select(explode(array(expr(s"shingle % $mBits"),
+        expr(s"(shingle div $mBits) % $mBits"))).as("p"))
+      .distinct()
+    val bloom = testPos
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("mask"))
+      .agg(expr("map_from_entries(collect_list(struct(w, mask)))").as("mm"))
+      .select(expr(
+        s"transform(sequence(0, ${words - 1}), i -> coalesce(element_at(mm, CAST(i AS BIGINT)), CAST(0 AS BIGINT)))")
+        .as("bits"))
+    def hit(p: String) = expr(
+      s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), CAST($p % 64 AS INT)) & 1) = 1")
+    val train = sh.filter(!col("__is_test"))
+      .select(col("doc_id"), col("shingle"),
+        expr(s"shingle % $mBits").as("p1"), expr(s"(shingle div $mBits) % $mBits").as("p2"))
+    val bloomHits = train.crossJoin(broadcast(bloom))
+      .withColumn("hit", hit("p1") && hit("p2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("bloom_hits"))
+    val testG = sh.filter(col("__is_test")).select(col("shingle")).distinct()
+    val exact = train.join(testG, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("exact_hits"))
+    bloomHits.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        (col("bloom_hits") - coalesce(col("exact_hits"), lit(0L))).as("false_pos"))
+      .filter(col("bloom_hits") > 0)
+  }
+
   /** End-to-end dedup: the corpus with near-duplicates removed. Greedy
     * keep-first policy: a doc is dropped iff it is the higher-id member of
     * any near-dup pair (standard first-occurrence-wins dedup; one anti-join,

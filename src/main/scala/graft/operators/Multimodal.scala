@@ -88,6 +88,27 @@ object Multimodal {
       .select(col("doc_id"), col("sample_rate"), col("duration_s"),
         col("chunk_start_s"), col("chunk_end_s"), col("chunk_hash"))
 
+  /** ViT-style patch tiling: one row per (tile_x, tile_y) cell of a
+    * `patch`×`patch` grid over the decoded image, edge tiles clipped to
+    * the image bounds — the patch feed an image encoder consumes. Two
+    * chained explodes (≤ ceil(w/p)·ceil(h/p) rows per image), no shuffle;
+    * the patch-pixel decode is the same md5 stub as binaryMeta.
+    */
+  def imageTiles(docs: DataFrame, patch: Int): DataFrame =
+    binaryMeta(docs)
+      .select(col("doc_id"), col("content_hash"), col("width"), col("height"))
+      .withColumn("tile_x", explode(expr(s"sequence(0, (width - 1) div $patch)")))
+      .withColumn("tile_y", explode(expr(s"sequence(0, (height - 1) div $patch)")))
+      .select(col("doc_id"),
+        col("tile_x").cast("int").as("tile_x"),
+        col("tile_y").cast("int").as("tile_y"),
+        (col("tile_x") * patch).cast("int").as("x0"),
+        least(col("tile_x") * patch + patch, col("width")).cast("int").as("x1"),
+        (col("tile_y") * patch).cast("int").as("y0"),
+        least(col("tile_y") * patch + patch, col("height")).cast("int").as("y1"),
+        Hashing.h60(concat(col("content_hash"), lit("_t"), col("tile_x"),
+          lit("_"), col("tile_y"))).as("tile_hash"))
+
   final case class MediaBatch(doc_id: Long, payload: Array[Byte])
   final case class DecodedMedia(
       doc_id: Long, byte_len: Int, width: Int, height: Int, n_frames: Int)

@@ -217,6 +217,36 @@ object StreamingTracker {
       }
   }
 
+  final case class RateOut(f1: String, f2: String, ts: java.sql.Timestamp,
+      increase: Option[Double])
+
+  /** Streaming reset-aware counter rate — the live twin of
+    * Tsdb.rateCounter. Per-key state is ONLY the previous sample value
+    * (O(|keys|)); each micro-batch replays its samples in ts order and
+    * emits PromQL increase() semantics: drop in value = counter reset,
+    * the post-reset sample is the delta; first-ever sample emits None.
+    * Same in-order cross-batch parity scope as [[asofStream]].
+    */
+  def rateStream(spark: SparkSession, points: Dataset[Point]): Dataset[RateOut] = {
+    import spark.implicits._
+    points
+      .groupByKey(p => (p.f1, p.f2))
+      .flatMapGroupsWithState[Double, RateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((f1, f2), it, state: GroupState[Double]) =>
+          val ordered = it.toSeq.sortBy(_.ts.getTime)
+          var prev = state.getOption
+          val out = Seq.newBuilder[RateOut]
+          ordered.foreach { p =>
+            val inc = prev.map(pv => if (p.value >= pv) p.value - pv else p.value)
+            out += RateOut(f1, f2, p.ts, inc)
+            prev = Some(p.value)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
   final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
 

@@ -161,4 +161,32 @@ class MetricStoreSpec extends SparkSpec {
       .map(_.getString(0)).sorted.toSeq
     assert(left == Seq("2024-01-02", "2024-01-03"))
   }
+
+  test("deleteSeries removes a user's leaves and decrements ancestor rollups") {
+    val dir = Files.createTempDirectory("graftstore_del").toString
+    val store = new MetricStore(spark, dir)
+    store.track(mkEvents(Seq(
+      ("2024-01-01 10:05:00", "cpu", "alice", 10.0),
+      ("2024-01-01 10:10:00", "cpu", "bob", 4.0),
+      ("2024-01-02 09:00:00", "cpu", "alice", 2.0),
+      ("2024-01-02 09:30:00", "mem", "alice", 6.0),
+      ("2024-01-03 08:00:00", "cpu", "bob", 1.0))))
+    // right-to-be-forgotten: every series whose second field is "alice"
+    val n = store.deleteSeries(Seq(None, Some("alice")))
+    assert(n == 3L)
+    // alice's leaf rows are gone at every depth-2 fetch
+    assert(store.fetch("2024-01-01", "2024-01-04", Seq(None, Some("alice")))
+      .collect().isEmpty)
+    // depth-1 rollups decremented, not rebuilt: cpu keeps only bob's data
+    val cpu = store.fetch("2024-01-01", "2024-01-04", Seq(Some("cpu"))).collect()
+    assert(cpu.map(_.getAs[Double]("total")).sum == 5.0)
+    assert(cpu.map(_.getAs[Long]("cnt")).sum == 2L)
+    // a prefix whose data was entirely alice's disappears
+    assert(store.fetch("2024-01-01", "2024-01-04", Seq(Some("mem"))).collect().isEmpty)
+    // untouched epoch (only bob) still intact
+    val d3 = store.fetch("2024-01-03", "2024-01-04", Seq(Some("cpu"), Some("bob"))).collect()
+    assert(d3.length == 1 && d3.head.getAs[Double]("total") == 1.0)
+    // deleting again is a no-op
+    assert(store.deleteSeries(Seq(None, Some("alice"))) == 0L)
+  }
 }

@@ -214,4 +214,29 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L, 4L)) // doc 3 ("alpha" again) dropped
     } finally q.stop()
   }
+
+  test("rateStream emits reset-aware increases with O(keys) state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.RateOut
+    val input = MemoryStream[Point]
+    val rates = StreamingTracker.rateStream(spark, input.toDS())
+    val q = rates.writeStream.format("memory").queryName("rate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Point("cpu", "h1", ts("2024-01-01 10:00:00"), 10.0),
+        Point("cpu", "h1", ts("2024-01-01 11:00:00"), 14.0))
+      q.processAllAvailable()
+      // next batch: normal growth then a counter reset (14 → 25 → 3)
+      input.addData(
+        Point("cpu", "h1", ts("2024-01-01 12:00:00"), 25.0),
+        Point("cpu", "h1", ts("2024-01-01 13:00:00"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("rate_stream").as[RateOut].collect()
+        .sortBy(_.ts.getTime).toSeq
+      assert(rows.map(_.increase) ==
+        Seq(None, Some(4.0), Some(11.0), Some(3.0)))
+    } finally q.stop()
+  }
 }
