@@ -127,6 +127,7 @@ object SparkEntry {
     "ann_kmeans_topk" -> ((s, dir) => Similarity.kmeansIvfTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_kmeanspp_topk" -> ((s, dir) => Similarity.kmeansPpIvfTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(t(s, dir, "embeddings"), 10, 5)),
+    "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(t(s, dir, "embeddings"), 10, 5)),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),

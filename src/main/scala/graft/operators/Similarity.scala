@@ -270,6 +270,76 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** Product-quantization ANN with asymmetric-distance (ADC) search.
+    * The 64-dim space splits into `nSub` orthogonal subspaces; each
+    * subvector is encoded as the id of its nearest (L2) codeword from an
+    * `nCode`-entry per-subspace codebook (hash-seeded sample vectors —
+    * deterministic, oracle-replayable). A vector is then nSub small ints
+    * (PQ's ~64× memory cut: the float vectors never appear after
+    * encoding). Search never decodes the corpus: per query, the nSub×
+    * nCode query-to-codeword dots form a tiny broadcast ADC lookup
+    * table, and scoring a corpus vector is nSub table lookups + a
+    * FIXED-ORDER sum (qc0+qc1+qc2+qc3 — bit-identical across engines,
+    * unlike an aggregation whose merge order floats). The approximate
+    * cosine divides by the reconstructed-vector norm √Σ‖c_s‖² (exact
+    * because subspaces are orthogonal).
+    *
+    * L2 encode distance is the single-op chain ‖v‖² + ‖c‖² − 2⟨v,c⟩ —
+    * norms projected once, dot via the codegen'd FloatDotProduct.
+    */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int,
+      nSub: Int = 4, nCode: Int = 8): DataFrame = {
+    val subDim = 64 / nSub
+    def subStructs(vec: String) = expr(
+      s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS s, slice($vec, s * $subDim + 1, $subDim) AS sv))")
+    val e = withNorm(emb)
+    val codebook = e
+      .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
+      .orderBy(col("hv"), col("vec_id")).limit(nCode)
+      .withColumn("cid", row_number().over(Window.orderBy(col("hv"), col("vec_id"))))
+      .select(col("cid"), explode(subStructs("embedding")).as("x"))
+      .select(col("x.s").as("s"), col("cid"), col("x.sv").as("cvec"))
+      .withColumn("cc", V.dotF(col("cvec"), col("cvec")))
+    val subv = e
+      .select(col("vec_id"), explode(subStructs("embedding")).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+      .withColumn("vv", V.dotF(col("sv"), col("sv")))
+    val wenc = Window.partitionBy(col("vec_id"), col("s")).orderBy(
+      (col("vv") + col("cc") - lit(2.0) * V.dotF(col("sv"), col("cvec"))).asc, col("cid"))
+    val codes = subv.join(broadcast(codebook), "s")
+      .withColumn("r", row_number().over(wenc))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("s"), col("cid"), col("cc"))
+    val aggs = (0 until nSub).flatMap(s => Seq(
+      max(when(col("s") === s, col("cid"))).as(s"c$s"),
+      max(when(col("s") === s, col("cc"))).as(s"cc$s")))
+    val wide = codes.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("rnrm", sqrt((0 until nSub).map(s => col(s"cc$s")).reduce(_ + _)))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val adc = q
+      .select(col("query_id"), explode(subStructs("qv")).as("x"))
+      .select(col("query_id"), col("x.s").as("s"), col("x.sv").as("qs"))
+      .join(codebook, "s")
+      .select(col("query_id"), col("s"), col("cid"),
+        V.dotF(col("qs"), col("cvec")).as("qc"))
+    var pairs = wide
+      .crossJoin(broadcast(q.select(col("query_id"), col("qnrm"))))
+      .filter(col("vec_id") =!= col("query_id"))
+    for (s <- 0 until nSub)
+      pairs = pairs.join(
+        broadcast(adc.filter(col("s") === s)
+          .select(col("query_id"), col("cid").as(s"c$s"), col("qc").as(s"qc$s"))),
+        Seq("query_id", s"c$s"))
+    val scored = pairs.withColumn("cos",
+      (0 until nSub).map(s => col(s"qc$s")).reduce(_ + _) / (col("qnrm") * col("rnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        Hashing.rd4(col("cos")).as("score"))
+  }
+
   /** End-to-end embedding dedup: the corpus minus the higher-id member of
     * every near-dup pair (keep-first policy, one anti-join — the
     * embedding twin of Dedup.survivors).
