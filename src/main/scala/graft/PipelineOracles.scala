@@ -694,6 +694,34 @@ object PipelineOracles {
                 model_score >= 0.55 AS keep
          FROM sc""",
 
+    "dedup_minhash_estimate" -> {
+      val matchSum = (0 until Dedup.NumPerms)
+        .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$bandsPrefix,
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        m AS (SELECT c.doc_a, c.doc_b, ($matchSum) AS matches
+              FROM cand c
+              JOIN sig a ON a.doc_id = c.doc_a
+              JOIN sig b ON b.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, matches,
+               floor((matches * 1.0 / ${Dedup.NumPerms}) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+        FROM m
+        WHERE floor((matches * 1.0 / ${Dedup.NumPerms}) * 10000.0 + 0.5) / 10000.0 >= 0.5"""
+    },
+
+    "corpus_length_histogram" ->
+      """WITH t AS (SELECT lang, len(regexp_split_to_array(text, '\s+')) AS n_tokens FROM documents),
+         b AS (SELECT lang, CAST(floor(log2(n_tokens)) AS INT) AS len_bucket, n_tokens
+               FROM t WHERE n_tokens >= 1)
+         SELECT lang, len_bucket, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST((1 << len_bucket) AS INT) AS bucket_lo,
+                CAST((1 << (len_bucket + 1)) AS INT) AS bucket_hi
+         FROM b GROUP BY 1, 2""",
+
     "ann_pq_topk" -> s"""WITH $nrm,
          sd AS (SELECT vec_id, embedding,
                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT AS hv

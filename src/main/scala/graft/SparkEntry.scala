@@ -168,6 +168,10 @@ object SparkEntry {
       TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), 8)),
     "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),
     "mm_image_tiles" -> ((s, dir) => Multimodal.imageTiles(t(s, dir, "documents"), 64)),
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimate(t(s, dir, "documents"), 0.5)),
+    "corpus_length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(t(s, dir, "documents"))),
     "contamination_bloom" -> ((s, dir) =>
       Dedup.contaminationBloom(t(s, dir, "documents"), col("doc_id") < 50, 8)),
   )

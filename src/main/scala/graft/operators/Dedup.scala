@@ -158,6 +158,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Sketch-only near-dup estimation: Jaccard ESTIMATED from the stored
+    * MinHash signatures alone (fraction of matching permutation slots)
+    * over LSH candidate pairs. This is the true at-scale query mode: once
+    * signatures are materialized, estimation never touches text or
+    * shingles again — only 16-slot signatures move through the join,
+    * vs [[minhashLsh]]'s exact verify re-joining the full shingle table.
+    * E[matches/16] = J; at 16 perms σ ≈ 0.12, good enough for triage
+    * tiers that route only borderline pairs to exact verification.
+    */
+  def minhashEstimate(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBands(sig)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumPerms).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumPerms).map(j => col(s"mh$j").as(s"b$j")): _*)
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("matches",
+        (0 until NumPerms).map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("est_jaccard",
+        Hashing.rd4(col("matches").cast("double") / NumPerms))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("est_jaccard"))
+  }
+
   /** Train/test contamination detection: training docs sharing at least
     * one n-gram (n=8 default: long enough that chance collisions are
     * negligible) with any held-out test doc. The n-gram equi-join scales

@@ -140,6 +140,22 @@ object TextAnalysis {
             col("dup_spans").cast("double") / col("n_spans"))).as("dup_frac"))
   }
 
+  /** Corpus length-distribution report: documents per power-of-two
+    * token-length bucket per language — the standard curation diagnostic
+    * for truncation limits and length-filter thresholds. One map-side
+    * projection + one small aggregation ((langs × ~17 buckets) rows);
+    * floor(log2(n)) on integer n is boundary-safe cross-engine (exact at
+    * powers of two, ≥1/(n·ln2) from the boundary elsewhere).
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("len_bucket", expr("CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT)"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("bucket_lo", expr("CAST(shiftleft(1, len_bucket) AS INT)"))
+      .withColumn("bucket_hi", expr("CAST(shiftleft(1, len_bucket + 1) AS INT)"))
+
   /** Deterministic model-scoring shape: a fixed-weight linear quality
     * classifier with a clamped-linear (not sigmoid) link — exp() is not
     * bit-reproducible across engines, a clamp of single IEEE ops is. The
