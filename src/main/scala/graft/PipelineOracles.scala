@@ -470,6 +470,14 @@ object PipelineOracles {
          WHERE ${h60("CAST(doc_id AS VARCHAR) || 'r1'")} % 100 <
                (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END)""",
 
+    "sample_topn_per_stratum" -> s"""
+         SELECT doc_id, lang, source, rnk FROM (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    CAST(${h60("CAST(doc_id AS VARCHAR) || 's1'")} AS BIGINT), doc_id) AS rnk
+           FROM documents)
+         WHERE rnk <= 10""",
+
     "ann_range_search" -> s"""WITH $nrm,
          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          sc AS (SELECT query_id, c.vec_id AS neighbor_id,

@@ -174,6 +174,10 @@ object SparkEntry {
       TextAnalysis.lengthHistogram(t(s, dir, "documents"))),
     "contamination_bloom" -> ((s, dir) =>
       Dedup.contaminationBloom(t(s, dir, "documents"), col("doc_id") < 50, 8)),
+    "ts_ewma" -> ((s, dir) => Tsdb.ewma(Tsdb.points1(t(s, dir, "events")), 0.3)),
+    "ts_rollup_audit" -> ((s, dir) => Tsdb.rollupAudit(t(s, dir, "events"))),
+    "sample_topn_per_stratum" -> ((s, dir) =>
+      TextAnalysis.sampleTopNPerStratum(t(s, dir, "documents"), col("lang"), 10, "s1")),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -860,5 +864,36 @@ object SparkEntry {
          FROM ax LEFT JOIN store s
            ON s.f1 = ax.f1 AND s.bucket = ax.bucket
           AND s.bucket >= TIMESTAMP '2024-01-05' AND s.bucket < TIMESTAMP '2024-01-08'""",
+
+    // identical left fold (init = first element, then acc*(1-α)+x*α) on
+    // both engines → bit-identical smoothed values; constants interpolated
+    // from the same Scala doubles the Spark side uses
+    "ts_ewma" -> s"""$store1,
+         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
+                      list(total ORDER BY bucket) AS tt
+               FROM store GROUP BY 1),
+         e AS (SELECT f1, unnest(bk) AS bucket,
+                      unnest(list_transform(range(1, len(bk)+1), i ->
+                        list_reduce(tt[1:i], (acc, x) ->
+                          acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS sm
+               FROM s)
+         SELECT f1, bucket, floor(sm * 10000.0 + 0.5) / 10000.0 AS ewma FROM e""",
+
+    "ts_rollup_audit" ->
+      """WITH d1 AS (SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,
+                round(sum(value),2) AS t1, count(*) AS c1
+              FROM events GROUP BY 1,2),
+         d2s AS (SELECT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,
+                date_trunc('hour', ts) AS bucket,
+                round(sum(value),2) AS total, count(*) AS cnt
+              FROM events GROUP BY 1,2,3),
+         d2 AS (SELECT f1, bucket, round(sum(total),2) AS t2,
+                CAST(sum(cnt) AS BIGINT) AS c2
+              FROM d2s GROUP BY 1,2)
+         SELECT d1.f1, count(*) AS n_buckets,
+                CAST(sum(CASE WHEN c1 <> c2 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_mismatch,
+                floor(max(abs(t1 - t2)) * 10000.0 + 0.5) / 10000.0 AS max_gap
+         FROM d1 JOIN d2 ON d1.f1 = d2.f1 AND d1.bucket = d2.bucket
+         GROUP BY 1""",
   ) ++ PipelineOracles.all
 }

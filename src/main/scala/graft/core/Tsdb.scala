@@ -653,6 +653,51 @@ object Tsdb {
       col("total").isNull.as("filled"))
   }
 
+  /** Exponentially-weighted moving average per series (s_0 = x_0,
+    * s_i = s_{i-1}·(1-α) + x_i·α). EWMA is inherently a sequential fold,
+    * so it is computed as an explicit per-series prefix fold over the
+    * collected bucket array — left-to-right with the identical operation
+    * order in the DuckDB oracle (list_reduce), making the smoothed values
+    * bit-identical. One shuffle groups each series; the O(n²) prefix cost
+    * is per SERIES over the fetched range (n = buckets in range), which
+    * is the already-small post-aggregation table, not the event stream.
+    */
+  def ewma(pts1: DataFrame, alpha: Double): DataFrame = {
+    val a = alpha
+    pts1
+      .groupBy(col("f1"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
+      .select(col("f1"), posexplode(expr(
+        s"""transform(sequence(1, size(v)), i -> struct(
+              v[i-1].bucket AS bucket,
+              aggregate(slice(v, 2, i - 1), CAST(v[0].total AS DOUBLE),
+                        (acc, x) -> acc * ${1.0 - a} + x.total * $a) AS sm))"""))
+        .as(Seq("ord", "e")))
+      .select(col("f1"), col("e.bucket").as("bucket"),
+        graft.functions.Hashing.rd4(col("e.sm")).as("ewma"))
+  }
+
+  /** Rollup-invariant audit: per depth-1 series, compare the materialized
+    * parent rollup against the re-summed depth-2 children — count
+    * (total, cnt) buckets that disagree and report the worst rounding
+    * gap. cnt must match EXACTLY (integer path); total legitimately
+    * drifts by per-child rounding, so the gap is reported, not asserted.
+    * The consistency check a store owner runs after compaction/deletes.
+    */
+  def rollupAudit(events: DataFrame): DataFrame = {
+    val pts = trackRollup(events)
+    val d1 = pts.filter(col("depth") === 1)
+      .select(col("f1"), col("bucket"), col("total").as("t1"), col("cnt").as("c1"))
+    val d2 = pts.filter(col("depth") === 2)
+      .groupBy(col("f1"), col("bucket"))
+      .agg(round(sum(col("total")), 2).as("t2"), sum(col("cnt")).as("c2"))
+    d1.join(d2, Seq("f1", "bucket"))
+      .groupBy(col("f1"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)).as("cnt_mismatch"),
+        graft.functions.Hashing.rd4(max(abs(col("t1") - col("t2")))).as("max_gap"))
+  }
+
   /** Sliding moving average over the trailing `n` buckets per series. */
   def movingAvg(pts: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("f1"), col("f2")).orderBy(col("bucket"))

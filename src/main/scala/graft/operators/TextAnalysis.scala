@@ -193,6 +193,23 @@ object TextAnalysis {
       .drop("__bucket")
   }
 
+  /** Fixed-budget deterministic sampling: exactly `n` docs per stratum,
+    * selected by salted content-hash rank — the "give me 10k docs per
+    * language for eval" shape. Reproducible across runs/engines/cluster
+    * layouts like [[sampleStratified]], but with an exact per-stratum
+    * count instead of a rate. The rank window partitions by stratum, so
+    * no global sort.
+    */
+  def sampleTopNPerStratum(docs: DataFrame, stratum: Column, n: Int,
+      salt: String): DataFrame =
+    docs
+      .withColumn("__hv", graft.functions.Hashing.h60(
+        concat(col("doc_id").cast("string"), lit(salt))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__hv"), col("doc_id"))))
+      .filter(col("rnk") <= n)
+      .select(col("doc_id"), col("lang"), col("source"), col("rnk"))
+
   /** Quality-weighted deterministic sampling: each doc is kept with
     * probability equal to its quality score — higher-quality docs
     * over-represented, selection by content-independent hash so the
