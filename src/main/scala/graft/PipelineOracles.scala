@@ -265,6 +265,43 @@ object PipelineOracles {
     "dedup_minhash_lsh" -> s"""${minhashWith(0.5)}
           SELECT doc_a, doc_b, jaccard FROM pairs""",
 
+    // directed containment |S(a)∩S(b)|/|S(a)| over df-capped 8-gram
+    // shingles (doc_a near-contained in doc_b)
+    "dedup_containment" -> s"""WITH $tok, $sh8,
+         rare8 AS (SELECT shingle FROM sh8 GROUP BY 1 HAVING count(*) <= 50),
+         shc AS (SELECT sh8.doc_id, sh8.shingle FROM sh8 JOIN rare8 USING (shingle)),
+         sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, sa.n AS na, inter,
+                floor((inter / sa.n) * 10000.0 + 0.5) / 10000.0 AS containment
+         FROM pr JOIN sz sa ON sa.doc_id = doc_a
+         WHERE floor((inter / sa.n) * 10000.0 + 0.5) / 10000.0 >= 0.6""",
+
+    "text_bow_embedding" -> s"""
+         WITH tf AS (SELECT doc_id, CAST(${h60("tok")} % 64 AS BIGINT) AS idx,
+                            count(*) AS tf
+                     FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                           FROM documents)
+                     WHERE tok <> '' GROUP BY 1, 2),
+         nr AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ssq FROM tf GROUP BY 1)
+         SELECT tf.doc_id, idx,
+                floor((tf / sqrt(ssq)) * 10000.0 + 0.5) / 10000.0 AS w
+         FROM tf JOIN nr ON tf.doc_id = nr.doc_id""",
+
+    "ann_filtered_topk" -> s"""WITH $nrm,
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                FROM q JOIN embeddings c ON c.vec_id <> query_id AND c.label = 3
+                JOIN nrm nq ON nq.vec_id = query_id
+                JOIN nrm nc ON nc.vec_id = c.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                       cos FROM sc)
+         SELECT query_id, neighbor_id, rnk, floor((cos) * 10000.0 + 0.5) / 10000.0 AS score FROM rk WHERE rnk <= 5""",
+
     "dedup_incremental" -> s"""${incrementalWith(0.5)}
           SELECT d.doc_id, b.dup_of, b.jaccard
           FROM documents d LEFT JOIN best b USING (doc_id)

@@ -178,6 +178,10 @@ object SparkEntry {
     "ts_rollup_audit" -> ((s, dir) => Tsdb.rollupAudit(t(s, dir, "events"))),
     "sample_topn_per_stratum" -> ((s, dir) =>
       TextAnalysis.sampleTopNPerStratum(t(s, dir, "documents"), col("lang"), 10, "s1")),
+    "dedup_containment" -> ((s, dir) => Dedup.containment(t(s, dir, "documents"), 0.6)),
+    "text_bow_embedding" -> ((s, dir) => TextAnalysis.bowEmbedding(t(s, dir, "documents"))),
+    "ann_filtered_topk" -> ((s, dir) =>
+      Similarity.filteredTopK(t(s, dir, "embeddings"), 10, 5, col("label") === 3)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -117,6 +117,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs: C(a→b) = |S(a)∩S(b)| / |S(a)| ≥
+    * threshold — a is (near-)contained in b. Catches a short doc embedded
+    * verbatim inside a longer one (quotes, concatenated shards,
+    * boilerplate wrappers), which symmetric Jaccard misses because the
+    * union denominator is dominated by the longer doc. Directed: both
+    * (a,b) and (b,a) are evaluated; only the direction(s) over threshold
+    * emit. Same capped-shingle equi-join shape as [[ngramJaccard]] — the
+    * df cap bounds hot buckets, no all-pairs stage anywhere.
+    */
+  def containment(docs: DataFrame, threshold: Double, n: Int = 8,
+      maxDf: Long = 50L): DataFrame = {
+    val sh = capShingles(shingles(docs, n), maxDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .withColumn("containment", Hashing.rd4(col("inter") / col("na")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("inter"), col("containment"))
+  }
+
   /** MinHash signatures: one row per doc with NumPerms min-hash columns. */
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingles(docs))

@@ -86,6 +86,31 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** Predicate-filtered ANN: exact top-k cosine among only the corpus
+    * vectors satisfying a metadata predicate — "nearest English docs",
+    * "nearest in this collection". The filter is applied in the corpus
+    * projection BEFORE any vector math, so Catalyst pushes it into the
+    * parquet scan (row-group pruning on the metadata column) and the
+    * vector work touches just the qualifying fraction; with the corpus
+    * partitioned/sorted by the filter column, whole files skip. Queries
+    * come from the UNFILTERED corpus (a query need not satisfy the
+    * predicate itself).
+    */
+  def filteredTopK(emb: DataFrame, nQueries: Int, k: Int, pred: Column): DataFrame = {
+    val e = withNorm(emb.filter(pred))
+    val q = withNorm(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.as("c")
+      .join(broadcast(q), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (V.dotF(col("qv"), col("c.embedding")) / (col("qnrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        Hashing.rd4(col("cos")).as("score"))
+  }
+
   /** Nearest-centroid assignment (max cosine, tie-break centroid id). */
   private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
     val wa = Window.partitionBy(col("vec_id")).orderBy(

@@ -210,6 +210,26 @@ object TextAnalysis {
       .filter(col("rnk") <= n)
       .select(col("doc_id"), col("lang"), col("source"), col("rnk"))
 
+  /** Feature-hashed bag-of-words document vectors: each token hashes into
+    * one of `dim` buckets (h60 % dim), per-bucket term frequencies are
+    * L2-normalized. The text→embedding bridge of the pipeline — cheap
+    * doc vectors for clustering / cosine prefilters when no model
+    * embedding exists. Sparse output (one row per NONZERO component), two
+    * doc-keyed shuffles, both with map-side combine; no token strings
+    * shuffle (hashing happens in the projection).
+    */
+  def bowEmbedding(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), pmod(graft.functions.Hashing.h60(col("tok")), lit(dim.toLong)).as("idx"))
+      .groupBy(col("doc_id"), col("idx")).agg(count(lit(1)).as("tf"))
+    val nrm = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("ssq"))
+    tf.join(nrm, "doc_id")
+      .select(col("doc_id"), col("idx"),
+        graft.functions.Hashing.rd4(col("tf") / sqrt(col("ssq"))).as("w"))
+  }
+
   /** Quality-weighted deterministic sampling: each doc is kept with
     * probability equal to its quality score — higher-quality docs
     * over-represented, selection by content-independent hash so the
