@@ -182,6 +182,10 @@ object SparkEntry {
     "text_bow_embedding" -> ((s, dir) => TextAnalysis.bowEmbedding(t(s, dir, "documents"))),
     "ann_filtered_topk" -> ((s, dir) =>
       Similarity.filteredTopK(t(s, dir, "embeddings"), 10, 5, col("label") === 3)),
+    "ts_double_smooth" -> ((s, dir) => Tsdb.doubleSmooth(Tsdb.points1(t(s, dir, "events")), 0.3)),
+    "ts_pivot_wide" -> ((s, dir) => Tsdb.pivotWide(Tsdb.points1(t(s, dir, "events")),
+      Seq("click", "error", "purchase", "signup", "view"))),
+    "olap_cube_report" -> (Analytics.cubeReport _),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -882,6 +886,43 @@ object SparkEntry {
                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS sm
                FROM s)
          SELECT f1, bucket, floor(sm * 10000.0 + 0.5) / 10000.0 AS ewma FROM e""",
+
+    "ts_double_smooth" -> s"""$store1,
+         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
+                      list(total ORDER BY bucket) AS tt
+               FROM store GROUP BY 1),
+         w1 AS (SELECT f1, bk,
+                       list_transform(range(1, len(tt)+1), i ->
+                         list_reduce(tt[1:i], (acc, x) ->
+                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE))) AS e1
+                FROM s),
+         e AS (SELECT f1, unnest(bk) AS bucket, unnest(e1) AS e1v,
+                      unnest(list_transform(range(1, len(e1)+1), i ->
+                        list_reduce(e1[1:i], (acc, x) ->
+                          acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS e2v
+               FROM w1)
+         SELECT f1, bucket,
+                floor((e1v + e1v - e2v) * 10000.0 + 0.5) / 10000.0 AS level,
+                floor(((e1v - e2v) * CAST(${0.3 / 0.7} AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS trend,
+                floor(((e1v + e1v - e2v) + (e1v - e2v) * CAST(${0.3 / 0.7} AS DOUBLE))
+                      * 10000.0 + 0.5) / 10000.0 AS forecast
+         FROM e""",
+
+    "ts_pivot_wide" -> s"""$store1
+         SELECT bucket,
+                round(sum(CASE WHEN f1 = 'click' THEN total END), 2) AS click,
+                round(sum(CASE WHEN f1 = 'error' THEN total END), 2) AS error,
+                round(sum(CASE WHEN f1 = 'purchase' THEN total END), 2) AS purchase,
+                round(sum(CASE WHEN f1 = 'signup' THEN total END), 2) AS signup,
+                round(sum(CASE WHEN f1 = 'view' THEN total END), 2) AS view
+         FROM store GROUP BY 1""",
+
+    "olap_cube_report" ->
+      """SELECT extract(year FROM o_orderdate) AS order_year,
+                o_orderpriority AS priority,
+                round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         GROUP BY CUBE (extract(year FROM o_orderdate), o_orderpriority)""",
 
     "ts_rollup_audit" ->
       """WITH d1 AS (SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,

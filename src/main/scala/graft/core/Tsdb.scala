@@ -698,6 +698,51 @@ object Tsdb {
         graft.functions.Hashing.rd4(max(abs(col("t1") - col("t2")))).as("max_gap"))
   }
 
+  /** Brown's double exponential smoothing per series: two INDEPENDENT
+    * scalar EWMA folds (s' over the data, s'' over s'), from which
+    * level = 2s'−s'', trend = α/(1−α)·(s'−s''), forecast = level+trend.
+    * Trend-capable forecasting (capacity planning over the rollup store)
+    * without a coupled two-variable recursion: a struct-accumulator fold
+    * evaluates its fields sequentially in DuckDB (acc.s is already
+    * updated when the b field computes) but simultaneously in Spark, so
+    * Holt's coupled form is NOT cross-engine portable — Brown's two
+    * scalar folds are, bit-for-bit (same [[ewma]] fold shape).
+    */
+  def doubleSmooth(pts1: DataFrame, alpha: Double): DataFrame = {
+    val a = alpha
+    val c = a / (1.0 - a)
+    pts1
+      .groupBy(col("f1"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
+      .withColumn("e1", expr(
+        s"""transform(sequence(1, size(v)), i ->
+              aggregate(slice(v, 2, i - 1), CAST(v[0].total AS DOUBLE),
+                        (acc, x) -> acc * ${1.0 - a} + x.total * $a))"""))
+      .select(col("f1"), posexplode(expr(
+        s"""transform(sequence(1, size(v)), i -> struct(
+              v[i-1].bucket AS bucket, e1[i-1] AS e1,
+              aggregate(slice(e1, 2, i - 1), e1[0],
+                        (acc, x) -> acc * ${1.0 - a} + x * $a) AS e2))"""))
+        .as(Seq("ord", "e")))
+      .select(col("f1"), col("e.bucket").as("bucket"),
+        graft.functions.Hashing.rd4(col("e.e1") + col("e.e1") - col("e.e2")).as("level"),
+        graft.functions.Hashing.rd4(
+          (col("e.e1") - col("e.e2")) * lit(c)).as("trend"),
+        graft.functions.Hashing.rd4(
+          (col("e.e1") + col("e.e1") - col("e.e2"))
+            + (col("e.e1") - col("e.e2")) * lit(c)).as("forecast"))
+  }
+
+  /** Wide pivot: one row per bucket, one column per series (Grafana-table
+    * shape). The column set is the EXPLICIT `types` list — never inferred
+    * from the data (an inferred pivot is a driver-side distinct scan and a
+    * nondeterministic schema). One shuffle on bucket.
+    */
+  def pivotWide(pts1: DataFrame, types: Seq[String]): DataFrame =
+    pts1.groupBy(col("bucket"))
+      .pivot("f1", types)
+      .agg(round(sum(col("total")), 2))
+
   /** Sliding moving average over the trailing `n` buckets per series. */
   def movingAvg(pts: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("f1"), col("f2")).orderBy(col("bucket"))

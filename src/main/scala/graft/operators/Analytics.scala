@@ -406,6 +406,19 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"))
   }
 
+  /** OLAP cube report: revenue and order counts at every granularity of
+    * (order year × priority) in ONE pass — `cube` expands to grouping
+    * sets, so Spark computes all four levels (year×priority, year, ALL
+    * — priority, grand total) from a single scan+shuffle instead of four
+    * queries. Null dims mark subtotal rows, as in ANSI CUBE.
+    */
+  def cubeReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority").as("priority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
   /** TPC-H Q18 (adapted): large-volume orders (HAVING subquery join). */
   def q18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
