@@ -186,6 +186,8 @@ object SparkEntry {
     "ts_pivot_wide" -> ((s, dir) => Tsdb.pivotWide(Tsdb.points1(t(s, dir, "events")),
       Seq("click", "error", "purchase", "signup", "view"))),
     "olap_cube_report" -> (Analytics.cubeReport _),
+    "ts_level_shift" -> ((s, dir) => Tsdb.levelShift(Tsdb.points1(t(s, dir, "events")), 6, 20.0)),
+    "ts_burn_rate" -> ((s, dir) => Tsdb.burnRate(t(s, dir, "events"), 0.05, 6)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -940,5 +942,38 @@ object SparkEntry {
                 floor(max(abs(t1 - t2)) * 10000.0 + 0.5) / 10000.0 AS max_gap
          FROM d1 JOIN d2 ON d1.f1 = d2.f1 AND d1.bucket = d2.bucket
          GROUP BY 1""",
+    "ts_level_shift" -> s"""$store1,
+         win AS (SELECT f1, bucket,
+                count(total) OVER (PARTITION BY f1 ORDER BY bucket
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS n_before,
+                count(total) OVER (PARTITION BY f1 ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS n_after,
+                avg(total) OVER (PARTITION BY f1 ORDER BY bucket
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS b_avg,
+                avg(total) OVER (PARTITION BY f1 ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS a_avg
+              FROM store)
+         SELECT f1, bucket,
+                floor(b_avg * 10000.0 + 0.5) / 10000.0 AS before_avg,
+                floor(a_avg * 10000.0 + 0.5) / 10000.0 AS after_avg,
+                floor((a_avg - b_avg) * 10000.0 + 0.5) / 10000.0 AS shift,
+                abs(a_avg - b_avg) >= 20.0 AS is_shift
+         FROM win WHERE n_before = 6 AND n_after = 6""",
+
+    "ts_burn_rate" ->
+      """WITH pb AS (SELECT date_trunc('hour', ts) AS bucket,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+                count(*) AS n_all
+              FROM events GROUP BY 1),
+         win AS (SELECT bucket, n_err, n_all,
+                sum(n_err) OVER (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_l,
+                sum(n_all) OVER (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS all_l
+              FROM pb)
+         SELECT bucket, n_err, n_all,
+                floor((n_err * 1.0 / n_all / 0.05) * 10000.0 + 0.5) / 10000.0 AS burn_short,
+                floor((err_l * 1.0 / all_l / 0.05) * 10000.0 + 0.5) / 10000.0 AS burn_long,
+                ((n_err * 1.0 / n_all / 0.05) >= 1.0
+                  AND (err_l * 1.0 / all_l / 0.05) >= 1.0) AS alert
+         FROM win""",
   ) ++ PipelineOracles.all
 }

@@ -954,4 +954,60 @@ object Tsdb {
   def histogramQuantile(events: DataFrame,
       qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
     histogramQuantileFromSketch(histogramSketch(events), qs)
+
+  /** Level-shift (change-point) detection per series: at each bucket,
+    * contrast the mean of the `w` buckets strictly before against the
+    * mean of the `w` buckets from here forward; a gap ≥ `threshold`
+    * flags a step change (the two-sample contrast filter — the simple,
+    * distributable core of CUSUM-style detectors). Only positions with
+    * BOTH windows full are emitted, so edge buckets never produce
+    * half-window false positives. One shuffle (the series window); the
+    * window operates on the already-small post-agg bucket table.
+    */
+  def levelShift(pts1: DataFrame, w: Int = 6, threshold: Double = 20.0): DataFrame = {
+    val ws = Window.partitionBy(col("f1")).orderBy(col("bucket"))
+    val before = ws.rowsBetween(-w, -1)
+    val after = ws.rowsBetween(Window.currentRow, w - 1)
+    val rd4 = graft.functions.Hashing.rd4 _
+    pts1
+      .withColumn("n_before", count(col("total")).over(before))
+      .withColumn("n_after", count(col("total")).over(after))
+      .withColumn("before_avg", avg(col("total")).over(before))
+      .withColumn("after_avg", avg(col("total")).over(after))
+      .filter(col("n_before") === w && col("n_after") === w)
+      .select(col("f1"), col("bucket"),
+        rd4(col("before_avg")).as("before_avg"),
+        rd4(col("after_avg")).as("after_avg"),
+        rd4(col("after_avg") - col("before_avg")).as("shift"),
+        (abs(col("after_avg") - col("before_avg")) >= threshold).as("is_shift"))
+  }
+
+  /** SRE multi-window error-budget burn rate: per hour bucket, the error
+    * fraction of all events (short window = the bucket itself, long
+    * window = trailing `longW` buckets), each divided by the SLO budget;
+    * an alert fires only when BOTH windows burn faster than budget — the
+    * standard fast-burn page condition (short window for speed, long
+    * window to suppress blips). All rates are ratios of INTEGER window
+    * sums, so the doubles are bit-identical cross-engine. One small
+    * aggregation to per-bucket counts, one ordered window over the tiny
+    * bucket table.
+    */
+  def burnRate(events: DataFrame, budget: Double = 0.05, longW: Int = 6): DataFrame = {
+    val perBucket = events
+      .groupBy(bucket(col("ts"), "hour").as("bucket"))
+      .agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        count(lit(1)).as("n_all"))
+    val wl = Window.orderBy(col("bucket")).rowsBetween(-(longW - 1), Window.currentRow)
+    val rd4 = graft.functions.Hashing.rd4 _
+    val burn1 = col("n_err").cast("double") / col("n_all") / budget
+    val burnL = col("err_l").cast("double") / col("all_l") / budget
+    perBucket
+      .withColumn("err_l", sum(col("n_err")).over(wl))
+      .withColumn("all_l", sum(col("n_all")).over(wl))
+      .select(col("bucket"), col("n_err"), col("n_all"),
+        rd4(burn1).as("burn_short"),
+        rd4(burnL).as("burn_long"),
+        (burn1 >= 1.0 && burnL >= 1.0).as("alert"))
+  }
 }

@@ -337,4 +337,37 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_buckets") == 3L)
     assert(r.getAs[Double]("pearson") == 1.0)
   }
+
+  test("levelShift: step change flagged only where both windows are full") {
+    // hourly totals 1,1,1,10,10,10 with w=2: emitted buckets are idx 2..4
+    // (both windows full); the cleanest contrast is at the step (idx 3):
+    // before=(1+1)/2=1, after=(10+10)/2=10 → shift 9 ≥ threshold 5
+    val pts1 = Tsdb.points1(eventsDf((0 to 5).map { i =>
+      (f"2024-01-01 0$i%d:10:00", "purchase", 1L, if (i < 3) 1.0 else 10.0)
+    }))
+    val rows = Tsdb.levelShift(pts1, w = 2, threshold = 5.0)
+      .orderBy("bucket").collect()
+    assert(rows.length == 3) // edges with half windows are never emitted
+    assert(rows.map(_.getAs[Double]("shift")).toSeq == Seq(4.5, 9.0, 4.5))
+    assert(rows.map(_.getAs[Boolean]("is_shift")).toSeq ==
+      Seq(false, true, false))
+  }
+
+  test("burnRate: alert only when short AND long windows exceed budget") {
+    // budget 0.5, longW 2. h0: 1/2 errors → short burn 1.0, long 1.0 (alert);
+    // h1: 2/2 → short 2.0, long (1+2)/(2+2)/0.5 = 1.5 (alert);
+    // h2: 0/2 → short 0 (no alert despite long window still hot)
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "error", 1L, 1.0),
+      ("2024-01-01 00:20:00", "view", 2L, 1.0),
+      ("2024-01-01 01:10:00", "error", 3L, 1.0),
+      ("2024-01-01 01:20:00", "error", 4L, 1.0),
+      ("2024-01-01 02:10:00", "view", 5L, 1.0),
+      ("2024-01-01 02:20:00", "view", 6L, 1.0)))
+    val rows = Tsdb.burnRate(ev, budget = 0.5, longW = 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Double]("burn_short")).toSeq == Seq(1.0, 2.0, 0.0))
+    assert(rows.map(_.getAs[Double]("burn_long")).toSeq == Seq(1.0, 1.5, 1.0))
+    assert(rows.map(_.getAs[Boolean]("alert")).toSeq == Seq(true, true, false))
+  }
 }
