@@ -871,5 +871,47 @@ object PipelineOracles {
                 CAST(floor(width * least(128.0 / width, 128.0 / height, 1.0)) AS INT) AS out_w,
                 CAST(floor(height * least(128.0 / width, 128.0 / height, 1.0)) AS INT) AS out_h
          FROM m""",
+
+    "data_split" -> s"""
+         SELECT doc_id, lang, source,
+                CASE WHEN ${h60("CAST(doc_id AS VARCHAR) || 's1'")} % 100 < 90 THEN 'train'
+                     WHEN ${h60("CAST(doc_id AS VARCHAR) || 's1'")} % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+
+    "ann_recall_eval" -> s"""WITH $nrm, $sigs,
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM bsc) WHERE rnk <= 5),
+         lq AS (SELECT q.query_id, q.qv, s.sig FROM q JOIN sigs s ON s.vec_id = q.query_id),
+         lsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM lq
+                 JOIN sigs cs ON cs.sig = lq.sig
+                 JOIN embeddings c ON c.vec_id = cs.vec_id AND c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         ap AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM lsc) WHERE rnk <= 5),
+         fnd AS (SELECT query_id, count(*) AS n_found FROM ap GROUP BY 1),
+         ht AS (SELECT query_id, count(*) AS n_hits
+                FROM bf JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT bf.query_id, count(*) AS n_true,
+                CAST(coalesce(max(fnd.n_found), 0) AS BIGINT) AS n_found,
+                CAST(coalesce(max(ht.n_hits), 0) AS BIGINT) AS n_hits,
+                floor((coalesce(max(ht.n_hits), 0) / 5.0) * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM bf
+         LEFT JOIN fnd ON fnd.query_id = bf.query_id
+         LEFT JOIN ht ON ht.query_id = bf.query_id
+         GROUP BY 1""",
   )
 }

@@ -188,6 +188,10 @@ object SparkEntry {
     "olap_cube_report" -> (Analytics.cubeReport _),
     "ts_level_shift" -> ((s, dir) => Tsdb.levelShift(Tsdb.points1(t(s, dir, "events")), 6, 20.0)),
     "ts_burn_rate" -> ((s, dir) => Tsdb.burnRate(t(s, dir, "events"), 0.05, 6)),
+    "ts_apdex" -> ((s, dir) => Tsdb.apdex(t(s, dir, "events"), 50.0)),
+    "ts_autocorr" -> ((s, dir) => Tsdb.autocorr(Tsdb.points1(t(s, dir, "events")), 3)),
+    "data_split" -> ((s, dir) => TextAnalysis.dataSplit(t(s, dir, "documents"), 90, 5, "s1")),
+    "ann_recall_eval" -> ((s, dir) => Similarity.recallEval(t(s, dir, "embeddings"), 10, 5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -975,5 +979,27 @@ object SparkEntry {
                 ((n_err * 1.0 / n_all / 0.05) >= 1.0
                   AND (err_l * 1.0 / all_l / 0.05) >= 1.0) AS alert
          FROM win""",
+
+    "ts_apdex" ->
+      """SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,
+                CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+                CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tol,
+                count(*) AS n_all,
+                floor(((sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) / 2.0)
+                       / count(*)) * 10000.0 + 0.5) / 10000.0 AS apdex
+         FROM events GROUP BY 1, 2""",
+
+    "ts_autocorr" -> s"""$store1,
+         pr AS (SELECT a.f1, l.lag, a.total AS x, b.total AS y
+                FROM store a
+                CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l
+                JOIN store b ON b.f1 = a.f1
+                 AND b.bucket = a.bucket + l.lag * INTERVAL 1 HOUR)
+         SELECT f1, lag, count(*) AS n_pairs,
+                floor(((count(*) * sum(x*y) - sum(x) * sum(y)) /
+                  (sqrt(count(*) * sum(x*x) - sum(x) * sum(x)) *
+                   sqrt(count(*) * sum(y*y) - sum(y) * sum(y)))) * 10000.0 + 0.5) / 10000.0 AS acf
+         FROM pr GROUP BY 1, 2""",
   ) ++ PipelineOracles.all
 }

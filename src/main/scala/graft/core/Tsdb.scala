@@ -1010,4 +1010,51 @@ object Tsdb {
         rd4(burnL).as("burn_long"),
         (burn1 >= 1.0 && burnL >= 1.0).as("alert"))
   }
+
+  /** Apdex score per series per hour bucket: satisfied (value ≤ t),
+    * tolerating (t < value ≤ 4t), frustrated (the rest); score =
+    * (satisfied + tolerating/2) / all — the standard user-satisfaction
+    * index over a latency-like value column. One map-side-combinable
+    * aggregation; the score is a ratio of integer counts, so the double
+    * math is bit-identical across engines.
+    */
+  def apdex(events: DataFrame, t: Double): DataFrame =
+    events
+      .groupBy(col("event_type").as("f1"), bucket(col("ts"), "hour").as("bucket"))
+      .agg(
+        sum(when(col("value") <= t, 1L).otherwise(0L)).as("n_sat"),
+        sum(when(col("value") > t && col("value") <= 4 * t, 1L).otherwise(0L)).as("n_tol"),
+        count(lit(1)).as("n_all"))
+      .select(col("f1"), col("bucket"), col("n_sat"), col("n_tol"), col("n_all"),
+        graft.functions.Hashing.rd4(
+          (col("n_sat") + col("n_tol") / 2.0) / col("n_all")).as("apdex"))
+
+  /** Per-series autocorrelation at lags 1..maxLag: Pearson over the
+    * (x_t, x_{t+lag}) pairs that BOTH exist at hourly resolution —
+    * well-defined on sparse series, no dense-axis assumption. Computed
+    * from explicit sums (like [[correlation]]) so the arithmetic shape is
+    * engine-portable. The lag axis is exploded on the left side, so all
+    * lags resolve in ONE self-equi-join keyed on (f1, shifted bucket) —
+    * not maxLag separate joins; the join input is the post-agg bucket
+    * table, never the raw event stream.
+    */
+  def autocorr(pts1: DataFrame, maxLag: Int): DataFrame = {
+    val x = pts1.select(col("f1"), col("bucket"), col("total").as("x"))
+    val lagged = x
+      .select(col("f1"), col("bucket"), col("x"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .withColumn("b2", col("bucket") + expr("make_dt_interval(0, lag, 0, 0)"))
+    val y = pts1.select(col("f1").as("fy"), col("bucket").as("by"), col("total").as("y"))
+    lagged
+      .join(y, col("f1") === col("fy") && col("b2") === col("by"))
+      .groupBy(col("f1"), col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("f1"), col("lag"), col("n").cast("long").as("n_pairs"),
+        graft.functions.Hashing.rd4(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
+  }
 }

@@ -474,4 +474,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         Hashing.rd4(col("cos")).as("score"))
   }
+
+  /** ANN index evaluation: recall@k of the LSH index against brute-force
+    * ground truth, per query. n_true = exact top-k size, n_found = what
+    * the index returned (< k when the bucket is sparse), n_hits = their
+    * intersection, recall = n_hits / k. This is the measurement loop any
+    * index deployment needs before trading recall for speed; both sides
+    * reuse the already-verified operators, and every query appears even
+    * with zero hits (left joins). Scale: ground truth is O(nQueries · n)
+    * but nQueries is a fixed eval sample, never the corpus.
+    */
+  def recallEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bf = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = lshTopK(emb, nQueries, k)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val found = ap.groupBy(col("aq").as("query_id"))
+      .agg(count(lit(1)).as("n_found"))
+    val hits = bf
+      .join(ap, col("query_id") === col("aq") && col("neighbor_id") === col("an"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(found, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        Hashing.rd4(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
 }

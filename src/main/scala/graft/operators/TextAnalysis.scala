@@ -352,4 +352,20 @@ object TextAnalysis {
              transform(split(text, '\\s+'),
                        x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 1000003),
              0L, (acc, x) -> (acc * 31 + x) % 2147483647)""").as("fingerprint"))
+
+  /** Deterministic train/val/test assignment: each doc lands in a split
+    * by salted content-hash bucket (trainPct / valPct / rest percent).
+    * Same properties as [[sampleStratified]] — reproducible across runs,
+    * engines and cluster layouts, no RNG state, map-only (zero shuffle);
+    * changing the salt re-rolls the split, adding docs never moves
+    * existing ones between splits.
+    */
+  def dataSplit(docs: DataFrame, trainPct: Int, valPct: Int, salt: String): DataFrame = {
+    val b = graft.functions.Hashing.h60mod(
+      concat(col("doc_id").cast("string"), lit(salt)), 100L)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
 }

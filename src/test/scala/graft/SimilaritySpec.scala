@@ -105,4 +105,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("neighbor_id")).sorted.toSeq == Seq(1L, 3L))
     assert(r.forall(_.getAs[Double]("score") >= 0.5))
   }
+
+  test("recallEval: every query emitted, recall = hits/k, hits bounded") {
+    val k = 2
+    val rows = Similarity.recallEval(emb, 2, k).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).sorted.toSeq == Seq(0L, 1L))
+    rows.foreach { r =>
+      val (nf, nh) = (r.getAs[Long]("n_found"), r.getAs[Long]("n_hits"))
+      assert(r.getAs[Long]("n_true") == k.toLong)
+      assert(nh <= nf && nf <= k.toLong)
+      assert(r.getAs[Double]("recall") == nh.toDouble / k)
+    }
+    // vecs 0 and 1 are identical → same LSH bucket, so each query's
+    // ground-truth #1 neighbor (the identical twin) is always found
+    assert(rows.forall(_.getAs[Long]("n_hits") >= 1L))
+  }
 }

@@ -165,4 +165,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.head.getAs[String]("source") == "web")
     assert(r.head.getAs[Double]("quality") >= 0.3)
   }
+
+  test("dataSplit: total, deterministic, and stable under corpus growth") {
+    import spark.implicits._
+    def corpus(n: Int) = (1L to n.toLong).map(i => (i, "en", "web"))
+      .toDF("doc_id", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(10L))
+    val a = graft.operators.TextAnalysis.dataSplit(corpus(40), 50, 25, "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a.size == 40 && a.values.forall(Set("train", "val", "test")))
+    assert(Set("train", "val", "test").subsetOf(a.values.toSet)) // all splits hit
+    // adding docs never moves existing ones (hash-based, no RNG state)
+    val b = graft.operators.TextAnalysis.dataSplit(corpus(80), 50, 25, "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+  }
 }

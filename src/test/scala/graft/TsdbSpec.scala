@@ -370,4 +370,28 @@ class TsdbSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("burn_long")).toSeq == Seq(1.0, 1.5, 1.0))
     assert(rows.map(_.getAs[Boolean]("alert")).toSeq == Seq(true, true, false))
   }
+
+  test("apdex: (satisfied + tolerating/2) / all with t=50") {
+    // one hour bucket: 10 (satisfied), 100 (tolerating), 300 (frustrated)
+    // → (1 + 0.5) / 3 = 0.5
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "view", 1L, 10.0),
+      ("2024-01-01 00:20:00", "view", 2L, 100.0),
+      ("2024-01-01 00:30:00", "view", 3L, 300.0)))
+    val r = Tsdb.apdex(ev, 50.0).head()
+    assert(r.getAs[Long]("n_sat") == 1L && r.getAs[Long]("n_tol") == 1L)
+    assert(r.getAs[Long]("n_all") == 3L)
+    assert(r.getAs[Double]("apdex") == 0.5)
+  }
+
+  test("autocorr: alternating series → acf(1) = -1, acf(2) = +1") {
+    val pts1 = Tsdb.points1(eventsDf((0 to 5).map { i =>
+      (f"2024-01-01 0$i%d:10:00", "view", 1L, if (i % 2 == 0) 1.0 else 3.0)
+    }))
+    val r = Tsdb.autocorr(pts1, 2).collect()
+      .map(x => x.getAs[Long]("lag") -> (x.getAs[Long]("n_pairs"), x.getAs[Double]("acf")))
+      .toMap
+    assert(r(1L) == (5L, -1.0))
+    assert(r(2L) == (4L, 1.0))
+  }
 }
