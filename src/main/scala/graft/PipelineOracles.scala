@@ -913,5 +913,46 @@ object PipelineOracles {
          LEFT JOIN fnd ON fnd.query_id = bf.query_id
          LEFT JOIN ht ON ht.query_id = bf.query_id
          GROUP BY 1""",
+
+    "seq_packing" -> """WITH t1 AS (
+           SELECT doc_id, lang,
+                  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         w AS (SELECT doc_id, lang, n_tokens,
+                      CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS end_off
+               FROM t1)
+         SELECT doc_id, lang, n_tokens,
+                end_off - n_tokens AS start_off,
+                (end_off - n_tokens) // 256 AS first_seq,
+                (end_off - 1) // 256 AS last_seq,
+                ((end_off - 1) // 256) - ((end_off - n_tokens) // 256) + 1 AS n_seqs
+         FROM w""",
+
+    "domain_mix_weights" -> """WITH t1 AS (
+           SELECT source, len(regexp_split_to_array(text, '\s+')) AS n_tokens
+           FROM documents),
+         per AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                 FROM t1 GROUP BY 1),
+         w AS (SELECT source, n_docs, n_tokens,
+                      CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+                      count(*) OVER () AS k
+               FROM per)
+         SELECT source, n_docs, n_tokens,
+                floor((n_tokens / tot) * 10000.0 + 0.5) / 10000.0 AS token_share,
+                floor((tot / (k * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS weight
+         FROM w""",
+
+    "text_lm_score" -> """WITH tk AS (
+           SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+         sc AS (SELECT doc_id,
+                       floor(ln(n_total / cnt) * 1000000.0 + 0.5) / 1000000.0 AS nll
+                FROM tk JOIN vocab USING (tok) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                floor(avg(nll) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+         FROM sc GROUP BY 1""",
   )
 }

@@ -192,6 +192,10 @@ object SparkEntry {
     "ts_autocorr" -> ((s, dir) => Tsdb.autocorr(Tsdb.points1(t(s, dir, "events")), 3)),
     "data_split" -> ((s, dir) => TextAnalysis.dataSplit(t(s, dir, "documents"), 90, 5, "s1")),
     "ann_recall_eval" -> ((s, dir) => Similarity.recallEval(t(s, dir, "embeddings"), 10, 5)),
+    "ts_cusum" -> ((s, dir) => Tsdb.cusum(Tsdb.points1(t(s, dir, "events")), 200.0, 400.0)),
+    "seq_packing" -> ((s, dir) => TextAnalysis.seqPack(t(s, dir, "documents"), 256)),
+    "domain_mix_weights" -> ((s, dir) => TextAnalysis.mixWeights(t(s, dir, "documents"))),
+    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"))),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1001,5 +1005,19 @@ object SparkEntry {
                   (sqrt(count(*) * sum(x*x) - sum(x) * sum(x)) *
                    sqrt(count(*) * sum(y*y) - sum(y) * sum(y)))) * 10000.0 + 0.5) / 10000.0 AS acf
          FROM pr GROUP BY 1, 2""",
+
+    "ts_cusum" -> s"""$store1,
+         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
+                      list(total - 200.0 ORDER BY bucket) AS dv
+               FROM store GROUP BY 1),
+         e AS (SELECT f1, unnest(bk) AS bucket,
+                      unnest(list_transform(range(1, len(bk)+1), i ->
+                        greatest(CAST(0 AS DOUBLE),
+                          list_reduce(dv[1:i], (acc, x) ->
+                            greatest(CAST(0 AS DOUBLE), acc) + x)))) AS cs
+               FROM s)
+         SELECT f1, bucket, floor(cs * 10000.0 + 0.5) / 10000.0 AS cusum,
+                cs > 400.0 AS alarm
+         FROM e""",
   ) ++ PipelineOracles.all
 }

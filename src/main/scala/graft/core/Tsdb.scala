@@ -1057,4 +1057,29 @@ object Tsdb {
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
   }
+
+  /** One-sided CUSUM per series: c_i = max(0, c_{i-1} + (x_i - target)),
+    * alarm when c crosses `h` — the classical sequential change detector
+    * (drift accumulates, in-control buckets drain to zero). Like [[ewma]]
+    * it is an inherently sequential fold, so it runs as a per-series
+    * prefix fold over the collected bucket array with the identical
+    * operation order in the oracle; the fold arithmetic is +/max only
+    * (no transcendentals), so c is bit-identical cross-engine and the
+    * raw-value alarm comparison is portable. O(range²) only over the
+    * small post-agg bucket table per series.
+    */
+  def cusum(pts1: DataFrame, target: Double, h: Double): DataFrame =
+    pts1
+      .groupBy(col("f1"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
+      .select(col("f1"), posexplode(expr(
+        s"""transform(sequence(1, size(v)), i -> struct(
+              v[i-1].bucket AS bucket,
+              greatest(CAST(0 AS DOUBLE),
+                aggregate(slice(v, 2, i - 1), CAST(v[0].total - $target AS DOUBLE),
+                          (acc, x) -> greatest(CAST(0 AS DOUBLE), acc) + x.total - $target)) AS cs))"""))
+        .as(Seq("ord", "e")))
+      .select(col("f1"), col("e.bucket").as("bucket"),
+        graft.functions.Hashing.rd4(col("e.cs")).as("cusum"),
+        (col("e.cs") > h).as("alarm"))
 }

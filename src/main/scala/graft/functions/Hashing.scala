@@ -39,6 +39,13 @@ object Hashing {
   /** 2-decimal variant of rd4 (DuckDB twin: floor(x * 100.0 + 0.5) / 100.0). */
   def rd2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
 
+  /** 6-decimal variant, for rounding PER-TERM transcendental values (ln,
+    * exp — where JVM and C libm may differ by 1 ulp) BEFORE they enter a
+    * sum, so both engines accumulate identical addends.
+    * DuckDB twin: floor(x * 1e6 + 0.5) / 1e6
+    */
+  def rd6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
   /** Same hash computed driver-side (for deriving small constant tables
     * like LSH hyperplanes that are then broadcast as literals).
     */

@@ -368,4 +368,70 @@ object TextAnalysis {
         .when(b < trainPct + valPct, "val")
         .otherwise("test").as("split"))
   }
+
+  /** Sequence packing (GPT-style concatenate-and-chunk): per language
+    * stream, documents are laid end-to-end in doc_id order and the token
+    * stream is cut into `budget`-sized training sequences; each doc
+    * reports its stream offset and the first/last sequence it lands in
+    * (docs cross sequence boundaries, as in standard pretraining
+    * packing). All integer arithmetic (prefix sum + integer division) —
+    * exact on any engine. The running sum partitions by language, so
+    * each stratum packs independently and in parallel; no global window.
+    */
+  def seqPack(docs: DataFrame, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        expr(s"(end_off - n_tokens) div $budget").as("first_seq"),
+        expr(s"(end_off - 1) div $budget").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  /** Domain-mixture weights: per-source token share vs a uniform target
+    * mixture; weight = target_share / actual_share is the sampling
+    * multiplier that rebalances the corpus (the "data mixing" step of a
+    * pretraining pipeline). One small aggregation; the over-() window
+    * runs on the |sources|-row table, never on docs. Ratios of integer
+    * sums → bit-identical doubles.
+    */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("tot", sum(col("n_tokens")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.Hashing.rd4(col("n_tokens") / col("tot")).as("token_share"),
+        graft.functions.Hashing.rd4(col("tot") / (col("k") * col("n_tokens"))).as("weight"))
+  }
+
+  /** Unigram language-model scoring (the KenLM-filter shape): vocabulary
+    * counts over the corpus, then each doc scored by its mean token
+    * negative-log-likelihood, nll(tok) = ln(N_total / cnt(tok)). High
+    * avg_nll = rare-token-heavy (unusual/noisy) doc — the corpus-level
+    * "perplexity" quality screen. Each per-token ln is rounded to the
+    * 1e-6 grid BEFORE averaging (Hashing.rd6) so both engines sum
+    * identical addends despite libm ulp differences. The token→vocab
+    * equi-join is the classic wordcount shuffle: skewed stopword keys
+    * are AQE-split, and the 1-row total is a broadcast, not a shuffle.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("n_total"))
+    tk.join(vocab, "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        graft.functions.Hashing.rd6(log(col("n_total") / col("cnt"))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.Hashing.rd4(avg(col("nll"))).as("avg_nll"))
+  }
 }

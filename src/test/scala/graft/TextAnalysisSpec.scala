@@ -180,4 +180,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(a.forall { case (id, s) => b(id) == s })
   }
+
+  test("seqPack: docs cross budget boundaries, offsets are exact") {
+    import spark.implicits._
+    // token counts 3, 2, 4 with budget 4: doc 2 spans seqs 0-1, doc 3 spans 1-2
+    val docs = Seq((1L, "a b c", "en"), (2L, "d e", "en"), (3L, "f g h i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.TextAnalysis.seqPack(docs, 4).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 3L, 5L))
+    assert(r.map(_.getAs[Long]("first_seq")).toSeq == Seq(0L, 0L, 1L))
+    assert(r.map(_.getAs[Long]("last_seq")).toSeq == Seq(0L, 1L, 2L))
+    assert(r.map(_.getAs[Long]("n_seqs")).toSeq == Seq(1L, 2L, 2L))
+  }
+
+  test("mixWeights: weight rebalances token share to the uniform target") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 30).map(_ => "w").mkString(" "), "web"),
+      (2L, (1 to 10).map(_ => "w").mkString(" "), "books"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.TextAnalysis.mixWeights(docs)
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Double]("token_share"), x.getAs[Double]("weight"))).toMap
+    assert(r("web") == (0.75, 0.6667))   // over-represented → down-weighted
+    assert(r("books") == (0.25, 2.0))    // under-represented → up-weighted
+  }
+
+  test("lmScore: rare-token docs score higher avg nll") {
+    import spark.implicits._
+    // vocab: a:2 b:1 c:1, N=4. doc 1 avg nll = (ln2+ln2+ln4)/3 ≈ 0.9242;
+    // doc 2 = ln4 ≈ 1.3863 — the all-rare doc is the outlier
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.lmScore(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_nll")).toMap
+    assert(r(1L) == 0.9242 && r(2L) == 1.3863)
+  }
 }

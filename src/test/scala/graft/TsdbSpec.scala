@@ -394,4 +394,18 @@ class TsdbSpec extends SparkSpec {
     assert(r(1L) == (5L, -1.0))
     assert(r(2L) == (4L, 1.0))
   }
+
+  test("cusum: accumulates above target, drains to zero, alarms past h") {
+    // totals 100,100,700,100 with target 200, h 400:
+    // c = [0, 0, 500, 400]; only 500 > 400 alarms (400 is not >)
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "view", 1L, 100.0),
+      ("2024-01-01 01:10:00", "view", 1L, 100.0),
+      ("2024-01-01 02:10:00", "view", 1L, 700.0),
+      ("2024-01-01 03:10:00", "view", 1L, 100.0))))
+    val rows = Tsdb.cusum(pts1, 200.0, 400.0).orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Double]("cusum")).toSeq == Seq(0.0, 0.0, 500.0, 400.0))
+    assert(rows.map(_.getAs[Boolean]("alarm")).toSeq ==
+      Seq(false, false, true, false))
+  }
 }
