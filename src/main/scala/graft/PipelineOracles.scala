@@ -943,6 +943,53 @@ object PipelineOracles {
                 floor((tot / (k * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS weight
          FROM w""",
 
+    "ann_multiprobe_topk" -> s"""WITH $nrm, $sigs,
+         q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, s.sig
+               FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id WHERE e.vec_id < 10),
+         qp AS (SELECT query_id, qv,
+                       CASE WHEN g.p = -1 THEN sig
+                            ELSE xor(sig, CAST(1 AS BIGINT) << g.p) END AS probe
+                FROM q CROSS JOIN (SELECT unnest(generate_series(-1, ${Similarity.NumPlanes - 1})) AS p) g),
+         sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                FROM qp
+                JOIN sigs cs ON cs.sig = qp.probe
+                JOIN embeddings c ON c.vec_id = cs.vec_id AND c.vec_id <> query_id
+                JOIN nrm nq ON nq.vec_id = query_id
+                JOIN nrm nc ON nc.vec_id = c.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk,
+                       cos FROM sc)
+         SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
+         FROM rk WHERE rnk <= 5""",
+
+    // SemDeDup replay: the same hash-seeded 2-round Lloyd training as
+    // ann_kmeans_topk, then within-cluster pairs instead of the IVF tail
+    "dedup_semantic" -> s"""WITH $nrm,
+         sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv
+                FROM embeddings),
+         seeds AS (SELECT vec_id, embedding, hv,
+                   row_number() OVER (ORDER BY hv, vec_id) AS cid
+                   FROM sd QUALIFY cid <= 8),
+         c0 AS (SELECT s.cid, s.embedding AS cvec, n.nrm AS cnrm
+                FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         af AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
+         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
+         pairs AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                          ${dot64("ea.embedding", "eb.embedding")} / (na.nrm * nb.nrm) AS cos
+                   FROM asnf a JOIN asnf b ON b.cid = a.cid AND a.vec_id < b.vec_id
+                   JOIN embeddings ea ON ea.vec_id = a.vec_id
+                   JOIN embeddings eb ON eb.vec_id = b.vec_id
+                   JOIN nrm na ON na.vec_id = a.vec_id
+                   JOIN nrm nb ON nb.vec_id = b.vec_id)
+         SELECT cid, vec_a, vec_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+         FROM pairs WHERE cos >= 0.4""",
+
     "text_lm_score" -> """WITH tk AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
            FROM documents),

@@ -196,6 +196,9 @@ object SparkEntry {
     "seq_packing" -> ((s, dir) => TextAnalysis.seqPack(t(s, dir, "documents"), 256)),
     "domain_mix_weights" -> ((s, dir) => TextAnalysis.mixWeights(t(s, dir, "documents"))),
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"))),
+    "ts_sax" -> ((s, dir) => Tsdb.sax(Tsdb.points1(t(s, dir, "events")), 6)),
+    "ann_multiprobe_topk" -> ((s, dir) => Similarity.multiProbeTopK(t(s, dir, "embeddings"), 10, 5)),
+    "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"), 0.4)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1019,5 +1022,24 @@ object SparkEntry {
          SELECT f1, bucket, floor(cs * 10000.0 + 0.5) / 10000.0 AS cusum,
                 cs > 400.0 AS alarm
          FROM e""",
+
+    "ts_sax" -> s"""$store1,
+         segs AS (SELECT f1,
+                         date_trunc('day', bucket)
+                           + to_hours(CAST(floor(extract(hour FROM bucket)/6)*6 AS BIGINT)) AS seg,
+                         sum(total)/count(*) AS m
+                  FROM store GROUP BY 1, 2),
+         st AS (SELECT f1, count(*) AS n, sum(m) AS sm, sum(m*m) AS smm
+                FROM segs GROUP BY 1),
+         z AS (SELECT s.f1, seg,
+                      floor(((m - sm/n) / sqrt(smm/n - (sm/n)*(sm/n))) * 10000.0 + 0.5) / 10000.0 AS z
+               FROM segs s JOIN st USING (f1)),
+         sy AS (SELECT f1, seg,
+                       CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+                            WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+                FROM z)
+         SELECT f1, count(*) AS n_segments,
+                string_agg(sym, '' ORDER BY seg) AS sax_word
+         FROM sy GROUP BY 1""",
   ) ++ PipelineOracles.all
 }

@@ -1082,4 +1082,40 @@ object Tsdb {
       .select(col("f1"), col("e.bucket").as("bucket"),
         graft.functions.Hashing.rd4(col("e.cs")).as("cusum"),
         (col("e.cs") > h).as("alarm"))
+
+  /** SAX (Symbolic Aggregate approXimation) word per series: PAA over
+    * fixed `segHours` time segments (mean of present hourly buckets),
+    * z-normalized across the series' segment means, then discretized
+    * into a 4-symbol alphabet at the Gaussian equiprobable breakpoints
+    * (-0.6745, 0, 0.6745). The word concatenates symbols in time order —
+    * the index/sketch form used for whole-series similarity and motif
+    * search. Portability: z is rd4-rounded BEFORE the breakpoint compare
+    * so a libm ulp can never flip a symbol; the word is assembled from a
+    * sorted collected array (deterministic order), sized |segments| per
+    * series — the post-agg table, tiny by construction.
+    */
+  def sax(pts1: DataFrame, segHours: Int = 6): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    val segs = pts1
+      .withColumn("seg",
+        expr(s"timestampadd(HOUR, CAST(floor(hour(bucket) / $segHours) * $segHours AS INT), date_trunc('DAY', bucket))")
+          .cast("timestamp_ntz"))
+      .groupBy(col("f1"), col("seg"))
+      .agg((sum(col("total")) / count(lit(1))).as("m"))
+    val stats = segs.groupBy(col("f1"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("m")).as("sm"),
+        sum(col("m") * col("m")).as("smm"))
+      .select(col("f1"), col("n"), (col("sm") / col("n")).as("mu"),
+        sqrt(col("smm") / col("n") - (col("sm") / col("n")) * (col("sm") / col("n")))
+          .as("sigma"))
+    val z = segs.join(stats, "f1")
+      .select(col("f1"), col("seg"), rd4((col("m") - col("mu")) / col("sigma")).as("z"))
+      .withColumn("sym",
+        when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d"))
+    z.groupBy(col("f1"))
+      .agg(count(lit(1)).as("n_segments"),
+        expr("array_join(transform(sort_array(collect_list(struct(seg, sym))), x -> x.sym), '')")
+          .as("sax_word"))
+  }
 }

@@ -149,6 +149,18 @@ object Similarity {
   def kmeansIvfTopK(emb: DataFrame, nQueries: Int, k: Int, nCent: Int = 8,
       iters: Int = 2, nProbe: Int = 2): DataFrame = {
     val e = withNorm(emb)
+    val cent = kmeansCentroids(e, nCent, iters)
+    val asn = assignToCentroids(e, cent).select(col("vec_id"), col("cid"))
+    centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
+  }
+
+  /** Hash-seeded Lloyd training loop shared by [[kmeansIvfTopK]] and
+    * [[semanticDedup]]: the nCent vectors with the smallest md5-hash of
+    * their id seed the centroids, refined by `iters` assign/update
+    * rounds (fixed-point integer component means → bit-identical
+    * regardless of partitioning; the oracle replays the loop exactly).
+    */
+  private[graft] def kmeansCentroids(e: DataFrame, nCent: Int, iters: Int): DataFrame = {
     // TakeOrdered(nCent) — no global sort; the window numbering only the
     // nCent seed rows
     val seeds = e
@@ -157,9 +169,34 @@ object Similarity {
     val cent0 = seeds
       .withColumn("cid", row_number().over(Window.orderBy(col("hv"), col("vec_id"))))
       .select(col("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
-    val cent = (1 to iters).foldLeft(cent0)((c, _) => updateCentroids(assignToCentroids(e, c)))
-    val asn = assignToCentroids(e, cent).select(col("vec_id"), col("cid"))
-    centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
+    (1 to iters).foldLeft(cent0)((c, _) => updateCentroids(assignToCentroids(e, c)))
+  }
+
+  /** SemDeDup-style semantic deduplication: learn k-means clusters over
+    * the embeddings (no labels needed), then search for near-duplicate
+    * pairs (cos ≥ threshold) ONLY within each learned cluster — the
+    * cluster assignment is the blocking key, so the pair join is
+    * O(Σ cluster²) instead of O(n²), and at scale nCent grows with the
+    * corpus to keep clusters bounded. This is the shape of embedding-level
+    * dedup when no metadata blocking key exists ([[embeddingDedup]]'s
+    * label column is a luxury real corpora lack).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, nCent: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val cent = kmeansCentroids(e, nCent, iters)
+    val asg = assignToCentroids(e, cent)
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+    val left = asg.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val right = asg.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    left.join(right, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", V.dotF(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("cid"), col("vec_a"), col("vec_b"),
+        Hashing.rd4(col("cos")).as("cos"))
   }
 
   /** Shared IVF search tail: probe the nProbe nearest centroids per query,
@@ -466,6 +503,37 @@ object Similarity {
         col("nrm").as("qnrm"), col("sig"))
     val scored = sig.as("c")
       .join(broadcast(q), col("c.sig") === q("sig") && col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        (V.dotF(col("qv"), col("c.embedding")) / (col("qnrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        Hashing.rd4(col("cos")).as("score"))
+  }
+
+  /** Multi-probe LSH ANN: each query probes its home bucket PLUS every
+    * bucket at Hamming distance 1 in signature space (one flipped
+    * hyperplane bit) — the standard trick that recovers most of the
+    * recall a single-bucket probe loses, at (NumPlanes+1)× candidate
+    * cost instead of the 2^NumPlanes cost of exact search. The probe
+    * list is exploded on the tiny query side; candidates still resolve
+    * in ONE equi-join on the signature.
+    */
+  def multiProbeTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val sig = withNorm(emb).withColumn("sig", lshSignature(col("embedding")))
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("sig"))
+      // p = -1 is the home bucket; p in [0, NumPlanes) flips bit p
+      .select(col("query_id"), col("qv"), col("qnrm"), col("sig"),
+        explode(expr(s"sequence(-1, ${NumPlanes - 1})")).as("p"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        when(col("p") === -1, col("sig"))
+          .otherwise(expr("sig ^ shiftleft(CAST(1 AS BIGINT), p)")).as("probe"))
+    val scored = sig.as("c")
+      .join(broadcast(q),
+        col("c.sig") === col("probe") && col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         (V.dotF(col("qv"), col("c.embedding")) / (col("qnrm") * col("c.nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

@@ -120,4 +120,22 @@ class SimilaritySpec extends SparkSpec {
     // ground-truth #1 neighbor (the identical twin) is always found
     assert(rows.forall(_.getAs[Long]("n_hits") >= 1L))
   }
+
+  test("multiProbeTopK finds at least the single-bucket candidates") {
+    val single = Similarity.lshTopK(emb, 1, 3).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    val multi = Similarity.multiProbeTopK(emb, 1, 3).collect()
+    val multiIds = multi.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(single.subsetOf(multiIds)) // probing more buckets never loses
+    assert(multiIds.contains(1L))     // the identical twin is always found
+    assert(multi.find(_.getAs[Long]("neighbor_id") == 1L)
+      .get.getAs[Double]("score") == 1.0)
+  }
+
+  test("semanticDedup: identical pair found inside its learned cluster") {
+    val r = Similarity.semanticDedup(emb, 0.95).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("vec_a") == 0L && r.head.getAs[Long]("vec_b") == 1L)
+    assert(r.head.getAs[Double]("cos") == 1.0)
+  }
 }

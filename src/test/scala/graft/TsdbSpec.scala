@@ -408,4 +408,17 @@ class TsdbSpec extends SparkSpec {
     assert(rows.map(_.getAs[Boolean]("alarm")).toSeq ==
       Seq(false, false, true, false))
   }
+
+  test("sax: segment means z-normalize and discretize in time order") {
+    // four 6h segments with means 10, 20, 30, 1000: mu=265, sigma≈424.4
+    // → z ≈ [-0.60, -0.58, -0.55, 1.73] → symbols b, b, b, d
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "view", 1L, 10.0),
+      ("2024-01-01 06:10:00", "view", 1L, 20.0),
+      ("2024-01-01 12:10:00", "view", 1L, 30.0),
+      ("2024-01-01 18:10:00", "view", 1L, 1000.0)))
+    val r = Tsdb.sax(Tsdb.points1(ev), 6).head()
+    assert(r.getAs[Long]("n_segments") == 4L)
+    assert(r.getAs[String]("sax_word") == "bbbd")
+  }
 }
