@@ -943,6 +943,20 @@ object PipelineOracles {
                 floor((tot / (k * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS weight
          FROM w""",
 
+    "dedup_edit_distance" -> s"""$bandsPrefix,
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         pr AS (SELECT doc_a, doc_b,
+                       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+                       CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+                FROM cand JOIN documents a ON a.doc_id = cand.doc_a
+                JOIN documents b ON b.doc_id = cand.doc_b)
+         SELECT doc_a, doc_b, lev, max_len,
+                floor((1.0 - lev * 1.0 / max_len) * 10000.0 + 0.5) / 10000.0 AS sim
+         FROM pr
+         WHERE floor((1.0 - lev * 1.0 / max_len) * 10000.0 + 0.5) / 10000.0 >= 0.5""",
+
     "ann_multiprobe_topk" -> s"""WITH $nrm, $sigs,
          q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, s.sig
                FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id WHERE e.vec_id < 10),

@@ -199,6 +199,8 @@ object SparkEntry {
     "ts_sax" -> ((s, dir) => Tsdb.sax(Tsdb.points1(t(s, dir, "events")), 6)),
     "ann_multiprobe_topk" -> ((s, dir) => Similarity.multiProbeTopK(t(s, dir, "embeddings"), 10, 5)),
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"), 0.4)),
+    "ts_slo_availability" -> ((s, dir) => Tsdb.sloAvailability(t(s, dir, "events"), 0.25)),
+    "dedup_edit_distance" -> ((s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"), 0.5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1041,5 +1043,16 @@ object SparkEntry {
          SELECT f1, count(*) AS n_segments,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sy GROUP BY 1""",
+
+    "ts_slo_availability" ->
+      """WITH ph AS (SELECT date_trunc('hour', ts) AS h,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+                count(*) AS n_all
+              FROM events GROUP BY 1)
+         SELECT date_trunc('day', h) AS day, count(*) AS n_hours,
+                CAST(sum(CASE WHEN n_err * 1.0 / n_all > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+                floor((1.0 - sum(CASE WHEN n_err * 1.0 / n_all > 0.25 THEN 1 ELSE 0 END) * 1.0
+                       / count(*)) * 10000.0 + 0.5) / 10000.0 AS availability
+         FROM ph GROUP BY 1""",
   ) ++ PipelineOracles.all
 }

@@ -1118,4 +1118,23 @@ object Tsdb {
         expr("array_join(transform(sort_array(collect_list(struct(seg, sym))), x -> x.sym), '')")
           .as("sax_word"))
   }
+
+  /** Daily SLO availability report: an hour is BAD when its error
+    * fraction exceeds the budget; availability = 1 - bad/active hours
+    * (hours with no traffic don't count against the SLO — the standard
+    * request-based availability definition). Two cascaded integer-count
+    * aggregations (hour → day), every ratio a ratio of integers.
+    */
+  def sloAvailability(events: DataFrame, budget: Double): DataFrame =
+    events
+      .groupBy(bucket(col("ts"), "hour").as("h"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        count(lit(1)).as("n_all"))
+      .groupBy(bucket(col("h"), "day").as("day"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("n_err").cast("double") / col("n_all") > budget, 1L)
+          .otherwise(0L)).as("n_bad"))
+      .select(col("day"), col("n_hours"), col("n_bad"),
+        graft.functions.Hashing.rd4(
+          lit(1.0) - col("n_bad").cast("double") / col("n_hours")).as("availability"))
 }

@@ -171,16 +171,40 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = lshBands(minhashSignaturesFrom(sh))
-    val cand = bands.as("x")
+    val cand = candFromBands(lshBands(minhashSignaturesFrom(sh)))
+    pairJaccard(sh, Some(cand))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Distinct ordered candidate pairs from an LSH band table. */
+  private def candFromBands(bands: DataFrame): DataFrame =
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    pairJaccard(sh, Some(cand))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Edit-distance verification of LSH candidates: Levenshtein over the
+    * candidate pairs only (never all pairs), normalized to a similarity
+    * 1 - lev/max(|a|,|b|). The character-level complement to shingle
+    * Jaccard — robust to token-boundary noise, and the integer distance
+    * is trivially engine-portable. The per-pair O(|a|·|b|) DP cost is
+    * why it only ever runs AFTER candidate blocking; texts join in on
+    * the already-distinct pair table.
+    */
+  def editDistancePairs(docs: DataFrame, minSim: Double): DataFrame = {
+    val cand = candFromBands(lshBands(minhashSignatures(docs)))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .withColumn("sim",
+        Hashing.rd4(lit(1.0) - col("lev").cast("double") / col("max_len")))
+      .filter(col("sim") >= minSim)
   }
 
   /** Sketch-only near-dup estimation: Jaccard ESTIMATED from the stored

@@ -156,6 +156,24 @@ object StreamingTracker {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming error-budget burn — the live twin of Tsdb.burnRate's
+    * short window: per tumbling hour, the error fraction of all traffic
+    * (f1 carries the event type) against the SLO budget, emitted when
+    * the watermark closes the window. State is one window per hour —
+    * O(open windows), independent of throughput.
+    */
+  def burnRateStream(events: DataFrame, watermark: String,
+      budget: Double): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(when(col("f1") === "error", 1L).otherwise(0L)).as("n_err"),
+        count(lit(1)).as("n_all"))
+      .select(col("window.start").as("bucket"), col("n_err"), col("n_all"),
+        graft.functions.Hashing.rd4(
+          col("n_err") / col("n_all") / budget).as("burn"),
+        (col("n_err").cast("double") / col("n_all") > budget).as("alert"))
+
   /** Sliding-window threshold alert: per-series totals over a window of
     * `windowLen` sliding by `slide`, emitting only windows whose total
     * crosses `threshold` when the watermark closes them. The streaming

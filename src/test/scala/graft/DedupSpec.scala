@@ -145,4 +145,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L &&
       x.getAs[Double]("jaccard") == 1.0))
   }
+
+  test("editDistancePairs: zero distance for identical LSH candidates") {
+    val r = Dedup.editDistancePairs(docs, 0.5).collect()
+    val exact = r.find(x =>
+      x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L).get
+    assert(exact.getAs[Long]("lev") == 0L && exact.getAs[Double]("sim") == 1.0)
+    // the near-dup differs by one word: lazy→sleepy is 4 edits on a
+    // 45/47-char pair → sim ≈ 0.9149, well above the 0.5 floor
+    val near = r.filter(x => x.getAs[Long]("doc_b") == 3L)
+    assert(near.forall(x => x.getAs[Long]("lev") > 0L && x.getAs[Double]("sim") >= 0.9))
+    // the unrelated doc 4 never pairs (no shared LSH band)
+    assert(!r.exists(x => x.getAs[Long]("doc_a") == 4L || x.getAs[Long]("doc_b") == 4L))
+  }
 }

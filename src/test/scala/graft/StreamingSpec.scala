@@ -239,4 +239,32 @@ class StreamingSpec extends SparkSpec {
         Seq(None, Some(4.0), Some(11.0), Some(3.0)))
     } finally q.stop()
   }
+
+  test("burnRateStream: closed hour windows report burn and alert") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Point]
+    val burns = StreamingTracker.burnRateStream(input.toDF(), "0 seconds", 0.25)
+    val q = burns.writeStream.format("memory").queryName("burn_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Point("error", "h1", ts("2024-01-01 10:05:00"), 1.0),
+        Point("error", "h1", ts("2024-01-01 10:15:00"), 1.0),
+        Point("view", "h1", ts("2024-01-01 10:25:00"), 1.0),
+        Point("view", "h1", ts("2024-01-01 10:35:00"), 1.0),
+        Point("view", "h1", ts("2024-01-01 11:10:00"), 1.0),
+        Point("view", "h1", ts("2024-01-01 11:20:00"), 1.0))
+      q.processAllAvailable()
+      // advance the watermark past both hours so they close and emit
+      input.addData(Point("view", "h1", ts("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("burn_stream").collect()
+        .map(r => r.getAs[Timestamp]("bucket") ->
+          (r.getAs[Double]("burn"), r.getAs[Boolean]("alert"))).toMap
+      // hour 10: 2/4 errors → burn 0.5/0.25 = 2.0, alert; hour 11: 0/2
+      assert(rows(ts("2024-01-01 10:00:00")) == (2.0, true))
+      assert(rows(ts("2024-01-01 11:00:00")) == (0.0, false))
+    } finally q.stop()
+  }
 }

@@ -421,4 +421,19 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_segments") == 4L)
     assert(r.getAs[String]("sax_word") == "bbbd")
   }
+
+  test("sloAvailability: inactive hours don't count, bad hours do") {
+    // hour 0: 2 errors / 4 events (0.5 > 0.25 → bad); hour 1: 0/2 (good);
+    // the empty hours between are NOT counted → 2 active, 1 bad, 0.5 avail
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "error", 1L, 1.0),
+      ("2024-01-01 00:20:00", "error", 2L, 1.0),
+      ("2024-01-01 00:30:00", "view", 3L, 1.0),
+      ("2024-01-01 00:40:00", "view", 4L, 1.0),
+      ("2024-01-01 01:10:00", "view", 5L, 1.0),
+      ("2024-01-01 01:20:00", "view", 6L, 1.0)))
+    val r = Tsdb.sloAvailability(ev, 0.25).head()
+    assert(r.getAs[Long]("n_hours") == 2L && r.getAs[Long]("n_bad") == 1L)
+    assert(r.getAs[Double]("availability") == 0.5)
+  }
 }
