@@ -27,6 +27,8 @@ final case class StoreParams(
   require(durSec % resSec == 0 && durSec >= resSec,
     s"epochDuration '$epochDuration' must be a whole multiple of resolution '$resolution'")
   require(retentionEpochs >= 1, s"retentionEpochs must be >= 1, got $retentionEpochs")
+
+  private[core] def durationSeconds: Long = durSec
 }
 
 object StoreParams {
@@ -181,6 +183,51 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Materialized multi-resolution cascade — the continuous-aggregate
+    * pattern (TimescaleDB caggs / Druid rollup tiers) over the store:
+    * `<path>/cascade` holds coarser re-aggregations (default 6h + 24h)
+    * of the hourly points at every prefix depth, partitioned by epoch.
+    * Refresh is INCREMENTAL: only the named (ingest-touched) epochs are
+    * recomputed and swapped via dynamic partition overwrite — dashboards
+    * read [[cascade]] without ever re-summing history, and a refresh
+    * after appends touches exactly the partitions the appends touched.
+    * Slots must tile the day and the epoch duration so no coarse bucket
+    * crosses a partition boundary (per-epoch refresh stays exact).
+    */
+  def refreshCascade(epochs: Seq[String], slotHours: Seq[Int] = Seq(6, 24)): Unit = {
+    require(epochs.nonEmpty, "name the epochs to refresh")
+    slotHours.foreach { h =>
+      require(h >= 1 && h <= 24 && 24 % h == 0, s"slot ${h}h must tile the day")
+      require(params.durationSeconds % (h * 3600L) == 0,
+        s"slot ${h}h must tile epochDuration '${params.epochDuration}'")
+    }
+    def slot(h: Int) = expr(
+      s"timestampadd(HOUR, CAST(floor(hour(bucket) / $h) * $h AS INT), date_trunc('DAY', bucket))")
+      .cast("timestamp_ntz")
+    val pts = points().filter(col("epoch").isin(epochs: _*))
+    val out = slotHours.map { h =>
+      pts.groupBy((Seq(col("epoch"), col("depth")) ++ fieldCols :+ slot(h).as("bucket")): _*)
+        .agg(round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
+        .withColumn("res_hours", lit(h))
+    }.reduce(_ union _)
+      .select((fieldCols ++ Seq(col("res_hours"), col("bucket"), col("total"),
+        col("cnt"), col("depth"), col("epoch"))): _*)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode("overwrite").partitionBy("epoch").parquet(s"$path/cascade")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** The materialized cascade (see [[refreshCascade]]); epoch kept as an
+    * ISO string like [[points]].
+    */
+  def cascade(): DataFrame =
+    spark.read.parquet(s"$path/cascade")
+      .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
 
   /** Targeted series deletion — the right-to-be-forgotten path a
     * training-data store needs (the reference can only Expire whole

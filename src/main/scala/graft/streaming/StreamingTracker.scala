@@ -265,6 +265,37 @@ object StreamingTracker {
       }
   }
 
+  final case class CusumOut(f1: String, f2: String, ts: java.sql.Timestamp,
+      cusum: Double, alarm: Boolean)
+
+  /** Streaming one-sided CUSUM — the live twin of Tsdb.cusum. Per-key
+    * state is ONLY the running accumulator c (O(|keys|)); each sample
+    * applies c = max(0, c + (value - target)) and alarms past `h`, so a
+    * slow drift pages long before any single bucket would. The fold is
+    * the same +/max arithmetic as the batch operator — replaying the
+    * batch history through the stream yields identical values. Same
+    * in-order cross-batch parity scope as [[asofStream]].
+    */
+  def cusumStream(spark: SparkSession, points: Dataset[Point],
+      target: Double, h: Double): Dataset[CusumOut] = {
+    import spark.implicits._
+    points
+      .groupByKey(p => (p.f1, p.f2))
+      .flatMapGroupsWithState[Double, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((f1, f2), it, state: GroupState[Double]) =>
+          val ordered = it.toSeq.sortBy(_.ts.getTime)
+          var c = state.getOption.getOrElse(0.0)
+          val out = Seq.newBuilder[CusumOut]
+          ordered.foreach { p =>
+            c = math.max(0.0, c + (p.value - target))
+            out += CusumOut(f1, f2, p.ts, c, c > h)
+          }
+          state.update(c)
+          out.result().iterator
+      }
+  }
+
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
   final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
 

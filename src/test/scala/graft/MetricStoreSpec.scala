@@ -189,4 +189,39 @@ class MetricStoreSpec extends SparkSpec {
     // deleting again is a no-op
     assert(store.deleteSeries(Seq(None, Some("alice"))) == 0L)
   }
+
+  test("refreshCascade incrementally maintains 6h/24h continuous aggregates") {
+    val dir = Files.createTempDirectory("graftstore_casc").toString
+    val store = new MetricStore(spark, dir)
+    store.track(mkEvents(Seq(
+      ("2024-01-01 01:05:00", "cpu", "h1", 10.0),
+      ("2024-01-01 05:10:00", "cpu", "h1", 4.0),   // same 6h slot as 01:05
+      ("2024-01-01 13:00:00", "cpu", "h1", 2.0),
+      ("2024-01-02 03:00:00", "cpu", "h1", 7.0))))
+    store.refreshCascade(Seq("2024-01-01"))
+    // only the refreshed epoch is materialized
+    val c1 = store.cascade().collect()
+    assert(c1.map(_.getAs[String]("epoch")).forall(_ == "2024-01-01"))
+    def slot6(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(r => r.getAs[Int]("res_hours") == 6 && r.getAs[Int]("depth") == 2)
+      .map(r => r.getAs[java.time.LocalDateTime]("bucket").toString -> r.getAs[Double]("total"))
+      .toMap
+    assert(slot6(c1)("2024-01-01T00:00") == 14.0)
+    assert(slot6(c1)("2024-01-01T12:00") == 2.0)
+
+    // new appends into BOTH epochs; refreshing them updates in place —
+    // no duplicate rows, day totals follow the appends
+    store.track(mkEvents(Seq(
+      ("2024-01-01 02:00:00", "cpu", "h1", 1.0),
+      ("2024-01-02 04:00:00", "cpu", "h1", 3.0))))
+    store.refreshCascade(Seq("2024-01-01", "2024-01-02"))
+    val c2 = store.cascade().collect()
+    assert(slot6(c2)("2024-01-01T00:00") == 15.0)
+    val days = c2.filter(r => r.getAs[Int]("res_hours") == 24 && r.getAs[Int]("depth") == 2)
+      .map(r => r.getAs[String]("epoch") -> r.getAs[Double]("total")).toMap
+    assert(days == Map("2024-01-01" -> 17.0, "2024-01-02" -> 10.0))
+
+    // a slot that crosses the epoch/day boundary is rejected
+    intercept[IllegalArgumentException](store.refreshCascade(Seq("2024-01-01"), Seq(7)))
+  }
 }

@@ -267,4 +267,30 @@ class StreamingSpec extends SparkSpec {
       assert(rows(ts("2024-01-01 11:00:00")) == (0.0, false))
     } finally q.stop()
   }
+
+  test("cusumStream accumulates drift across micro-batches and alarms") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.CusumOut
+    val input = MemoryStream[Point]
+    val cs = StreamingTracker.cusumStream(spark, input.toDS(), target = 10.0, h = 5.0)
+    val q = cs.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: 12, 13 → c = 2, then 5 (no alarm: 5 is not > 5)
+      input.addData(
+        Point("cpu", "h1", ts("2024-01-01 10:00:00"), 12.0),
+        Point("cpu", "h1", ts("2024-01-01 11:00:00"), 13.0))
+      q.processAllAvailable()
+      // batch 2: state carries c=5 → 14 pushes to 9 (alarm), 2 drains to 1
+      input.addData(
+        Point("cpu", "h1", ts("2024-01-01 12:00:00"), 14.0),
+        Point("cpu", "h1", ts("2024-01-01 13:00:00"), 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_stream").as[CusumOut].collect()
+        .sortBy(_.ts.getTime).toSeq
+      assert(rows.map(_.cusum) == Seq(2.0, 5.0, 9.0, 1.0))
+      assert(rows.map(_.alarm) == Seq(false, false, true, false))
+    } finally q.stop()
+  }
 }
