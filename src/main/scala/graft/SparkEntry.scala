@@ -201,6 +201,8 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"), 0.4)),
     "ts_slo_availability" -> ((s, dir) => Tsdb.sloAvailability(t(s, dir, "events"), 0.25)),
     "dedup_edit_distance" -> ((s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"), 0.5)),
+    "ts_type_overlap" -> ((s, dir) => Tsdb.typeOverlap(t(s, dir, "events"))),
+    "q_revenue_deciles" -> (Analytics.revenueDeciles _),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1054,5 +1056,28 @@ object SparkEntry {
                 floor((1.0 - sum(CASE WHEN n_err * 1.0 / n_all > 0.25 THEN 1 ELSE 0 END) * 1.0
                        / count(*)) * 10000.0 + 0.5) / 10000.0 AS availability
          FROM ph GROUP BY 1""",
+
+    "ts_type_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+         sz AS (SELECT t, count(*) AS n FROM tu GROUP BY 1),
+         pr AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+                FROM tu a JOIN tu b ON b.u = a.u AND a.t < b.t
+                GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+                floor((n_both * 1.0 / (sa.n + sb.n - n_both)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+         FROM pr JOIN sz sa ON sa.t = type_a JOIN sz sb ON sb.t = type_b""",
+
+    "q_revenue_deciles" ->
+      """WITH rev AS (SELECT o_custkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY 1),
+         d AS (SELECT o_custkey, revenue,
+                      ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+               FROM rev)
+         SELECT decile, count(*) AS n_customers,
+                round(sum(revenue), 2) AS total_revenue,
+                min(revenue) AS min_revenue, max(revenue) AS max_revenue
+         FROM d GROUP BY 1""",
   ) ++ PipelineOracles.all
 }

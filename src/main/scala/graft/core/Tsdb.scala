@@ -1137,4 +1137,25 @@ object Tsdb {
       .select(col("day"), col("n_hours"), col("n_bad"),
         graft.functions.Hashing.rd4(
           lit(1.0) - col("n_bad").cast("double") / col("n_hours")).as("availability"))
+
+  /** Exact audience-overlap matrix: distinct-user Jaccard for every pair
+    * of event types — the exact twin of the KMV-sketched
+    * [[distinctOverlapKMV]], viable whenever |distinct (type, user)|
+    * fits a shuffle (it is bounded by users × types, NOT by events).
+    * One distinct, one self-equi-join on user, one pair aggregation;
+    * type-pair cardinality is tiny so every ratio is integer/integer.
+    */
+  def typeOverlap(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    tu.as("a")
+      .join(tu.as("b"), col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("t").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("t").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        graft.functions.Hashing.rd4(
+          col("n_both") / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+  }
 }

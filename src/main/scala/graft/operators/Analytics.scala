@@ -432,4 +432,28 @@ object Analytics {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
   }
+
+  /** Customer-value decile report: per-customer revenue → NTILE(10)
+    * deciles → per-decile volume/revenue summary (the marketing LTV
+    * cut). Revenue lands on the 2-dec grid BEFORE ranking and the tie
+    * break is the key, so decile boundaries are deterministic on any
+    * engine. The global ntile sort runs on the per-customer aggregate
+    * (|customers| rows), never on lineitem; at larger scale swap ntile
+    * for a quantile-sketch cut of the same aggregate.
+    */
+  def revenueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    rev
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("revenue").desc, col("o_custkey"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("revenue")), 2).as("total_revenue"),
+        min(col("revenue")).as("min_revenue"),
+        max(col("revenue")).as("max_revenue"))
+  }
 }

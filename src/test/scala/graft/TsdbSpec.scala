@@ -436,4 +436,22 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hours") == 2L && r.getAs[Long]("n_bad") == 1L)
     assert(r.getAs[Double]("availability") == 0.5)
   }
+
+  test("typeOverlap: exact pairwise distinct-user Jaccard") {
+    // purchase users {1,2,3}, error users {2,3,4} → both=2, jaccard=0.5
+    // (the exact twin of the KMV sketch test above)
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 1.0),
+      ("2024-01-01 00:11:00", "purchase", 2L, 1.0),
+      ("2024-01-01 00:12:00", "purchase", 3L, 1.0),
+      ("2024-01-01 00:13:00", "purchase", 3L, 1.0), // dup user
+      ("2024-01-01 00:14:00", "error", 2L, 1.0),
+      ("2024-01-01 00:15:00", "error", 3L, 1.0),
+      ("2024-01-01 00:16:00", "error", 4L, 1.0)))
+    val r = Tsdb.typeOverlap(ev).head()
+    assert(r.getAs[String]("type_a") == "error" && r.getAs[String]("type_b") == "purchase")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_both") == 2L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+  }
 }
