@@ -977,6 +977,33 @@ object PipelineOracles {
          SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
          FROM rk WHERE rnk <= 5""",
 
+    // kmeans replay + per-cluster cohesion aggregation
+    "ann_centroid_stats" -> s"""WITH $nrm,
+         sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv
+                FROM embeddings),
+         seeds AS (SELECT vec_id, embedding, hv,
+                   row_number() OVER (ORDER BY hv, vec_id) AS cid
+                   FROM sd QUALIFY cid <= 8),
+         c0 AS (SELECT s.cid, s.embedding AS cvec, n.nrm AS cnrm
+                FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         af AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
+         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
+         st AS (SELECT a.cid,
+                       ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) AS cos
+                FROM asnf a
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                JOIN nrm n ON n.vec_id = a.vec_id
+                JOIN c2 c ON c.cid = a.cid)
+         SELECT cid, count(*) AS n_vectors,
+                floor(avg(cos) * 10000.0 + 0.5) / 10000.0 AS avg_cos,
+                floor(min(cos) * 10000.0 + 0.5) / 10000.0 AS min_cos
+         FROM st GROUP BY 1""",
+
     // SemDeDup replay: the same hash-seeded 2-round Lloyd training as
     // ann_kmeans_topk, then within-cluster pairs instead of the IVF tail
     "dedup_semantic" -> s"""WITH $nrm,

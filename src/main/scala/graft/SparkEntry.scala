@@ -203,6 +203,8 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"), 0.5)),
     "ts_type_overlap" -> ((s, dir) => Tsdb.typeOverlap(t(s, dir, "events"))),
     "q_revenue_deciles" -> (Analytics.revenueDeciles _),
+    "ts_forecast_eval" -> ((s, dir) => Tsdb.forecastEval(Tsdb.points1(t(s, dir, "events")), 0.3)),
+    "ann_centroid_stats" -> ((s, dir) => Similarity.centroidStats(t(s, dir, "embeddings"))),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -219,6 +221,24 @@ object SparkEntry {
        SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,
               round(sum(value),2) AS total, count(*) AS cnt
        FROM events GROUP BY 1,2)"""
+
+  /** Brown double-exponential smoothing CTE chain (store → e with raw
+    * e1v/e2v folds), shared by ts_double_smooth and ts_forecast_eval.
+    */
+  private val brownCtes = s"""$store1,
+         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
+                      list(total ORDER BY bucket) AS tt
+               FROM store GROUP BY 1),
+         w1 AS (SELECT f1, bk,
+                       list_transform(range(1, len(tt)+1), i ->
+                         list_reduce(tt[1:i], (acc, x) ->
+                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE))) AS e1
+                FROM s),
+         e AS (SELECT f1, unnest(bk) AS bucket, unnest(e1) AS e1v,
+                      unnest(list_transform(range(1, len(e1)+1), i ->
+                        list_reduce(e1[1:i], (acc, x) ->
+                          acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS e2v
+               FROM w1)"""
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
@@ -904,26 +924,26 @@ object SparkEntry {
                FROM s)
          SELECT f1, bucket, floor(sm * 10000.0 + 0.5) / 10000.0 AS ewma FROM e""",
 
-    "ts_double_smooth" -> s"""$store1,
-         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
-                      list(total ORDER BY bucket) AS tt
-               FROM store GROUP BY 1),
-         w1 AS (SELECT f1, bk,
-                       list_transform(range(1, len(tt)+1), i ->
-                         list_reduce(tt[1:i], (acc, x) ->
-                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE))) AS e1
-                FROM s),
-         e AS (SELECT f1, unnest(bk) AS bucket, unnest(e1) AS e1v,
-                      unnest(list_transform(range(1, len(e1)+1), i ->
-                        list_reduce(e1[1:i], (acc, x) ->
-                          acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS e2v
-               FROM w1)
+    "ts_double_smooth" -> s"""$brownCtes
          SELECT f1, bucket,
                 floor((e1v + e1v - e2v) * 10000.0 + 0.5) / 10000.0 AS level,
                 floor(((e1v - e2v) * CAST(${0.3 / 0.7} AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS trend,
                 floor(((e1v + e1v - e2v) + (e1v - e2v) * CAST(${0.3 / 0.7} AS DOUBLE))
                       * 10000.0 + 0.5) / 10000.0 AS forecast
          FROM e""",
+
+    "ts_forecast_eval" -> s"""$brownCtes,
+         fc AS (SELECT f1, bucket,
+                       floor(((e1v + e1v - e2v) + (e1v - e2v) * CAST(${0.3 / 0.7} AS DOUBLE))
+                             * 10000.0 + 0.5) / 10000.0 AS forecast
+                FROM e),
+         j AS (SELECT fc.f1, fc.forecast, st2.total AS actual
+               FROM fc JOIN store st2
+                 ON st2.f1 = fc.f1 AND st2.bucket = fc.bucket + INTERVAL 1 HOUR)
+         SELECT f1, count(*) AS n_evals,
+                floor(avg(abs(forecast - actual)) * 10000.0 + 0.5) / 10000.0 AS mae,
+                floor(avg(abs(forecast - actual) / actual) * 10000.0 + 0.5) / 10000.0 AS mape
+         FROM j GROUP BY 1""",
 
     "ts_pivot_wide" -> s"""$store1
          SELECT bucket,

@@ -1138,6 +1138,28 @@ object Tsdb {
         graft.functions.Hashing.rd4(
           lit(1.0) - col("n_bad").cast("double") / col("n_hours")).as("availability"))
 
+  /** One-step-ahead forecast backtest: [[doubleSmooth]]'s forecast at
+    * bucket t is scored against the ACTUAL total at t+1h, summarized per
+    * series as MAE and MAPE — the walk-forward evaluation loop any
+    * forecaster needs before its numbers are trusted. The forecast
+    * column is already grid-rounded and bit-stable cross-engine, so the
+    * per-row errors are deterministic; only the final averages need the
+    * rd4 grid. One self-join of two post-agg tables.
+    */
+  def forecastEval(pts1: DataFrame, alpha: Double): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    val fc = doubleSmooth(pts1, alpha)
+      .select(col("f1"), col("bucket"), col("forecast"))
+    val actual = pts1.select(col("f1"),
+      (col("bucket") - expr("INTERVAL 1 HOUR")).as("bucket"),
+      col("total").as("actual"))
+    fc.join(actual, Seq("f1", "bucket"))
+      .groupBy(col("f1"))
+      .agg(count(lit(1)).as("n_evals"),
+        rd4(avg(abs(col("forecast") - col("actual")))).as("mae"),
+        rd4(avg(abs(col("forecast") - col("actual")) / col("actual"))).as("mape"))
+  }
+
   /** Exact audience-overlap matrix: distinct-user Jaccard for every pair
     * of event types — the exact twin of the KMV-sketched
     * [[distinctOverlapKMV]], viable whenever |distinct (type, user)|

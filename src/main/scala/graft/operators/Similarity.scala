@@ -512,6 +512,26 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** IVF index health report: per learned centroid, the member count and
+    * the cohesion (avg / worst cosine of members to their centroid).
+    * Imbalanced or loose clusters are what make IVF probes miss — this
+    * is the diagnostic read alongside [[recallEval]] before tuning
+    * nCent/nProbe. One assignment pass + one aggregation.
+    */
+  def centroidStats(emb: DataFrame, nCent: Int = 8, iters: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val cent = kmeansCentroids(e, nCent, iters)
+    assignToCentroids(e, cent)
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+      .join(broadcast(cent), "cid")
+      .select(col("cid").cast("long").as("cid"),
+        (V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("cos"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        Hashing.rd4(avg(col("cos"))).as("avg_cos"),
+        Hashing.rd4(min(col("cos"))).as("min_cos"))
+  }
+
   /** Multi-probe LSH ANN: each query probes its home bucket PLUS every
     * bucket at Hamming distance 1 in signature space (one flipped
     * hyperplane bit) — the standard trick that recovers most of the

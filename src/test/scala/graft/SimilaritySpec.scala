@@ -138,4 +138,14 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getAs[Long]("vec_a") == 0L && r.head.getAs[Long]("vec_b") == 1L)
     assert(r.head.getAs[Double]("cos") == 1.0)
   }
+
+  test("centroidStats: every vector counted once, twins share a tight cluster") {
+    val r = Similarity.centroidStats(emb).collect()
+    assert(r.map(_.getAs[Long]("n_vectors")).sum == 4L)
+    // identical vecs 0/1 land in one centroid with perfect cohesion
+    val pairCluster = r.find(_.getAs[Long]("n_vectors") == 2L).get
+    assert(pairCluster.getAs[Double]("avg_cos") == 1.0)
+    assert(pairCluster.getAs[Double]("min_cos") == 1.0)
+    assert(r.forall(_.getAs[Double]("min_cos") <= 1.0))
+  }
 }

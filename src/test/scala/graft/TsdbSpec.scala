@@ -454,4 +454,14 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_both") == 2L)
     assert(r.getAs[Double]("jaccard") == 0.5)
   }
+
+  test("forecastEval: constant series forecasts perfectly (mae = mape = 0)") {
+    val pts1 = Tsdb.points1(eventsDf((0 to 4).map { i =>
+      (f"2024-01-01 0$i%d:10:00", "view", 1L, 50.0)
+    }))
+    val r = Tsdb.forecastEval(pts1, 0.3).head()
+    // 5 buckets → forecasts at t=0..3 score against actuals at t=1..4
+    assert(r.getAs[Long]("n_evals") == 4L)
+    assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Double]("mape") == 0.0)
+  }
 }
