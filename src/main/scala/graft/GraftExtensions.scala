@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_h60", 1)(args => GraftExtensions.h60Expr(args.head))
     register(ext, "graft_rd4", 1)(args => GraftExtensions.rdExpr(args.head, 10000.0))
     register(ext, "graft_rd2", 1)(args => GraftExtensions.rdExpr(args.head, 100.0))
+    register(ext, "graft_cosine", 2)(args =>
+      GraftExtensions.cosineExpr(args.head, args(1)))
   }
 }
 
@@ -50,4 +52,11 @@ object GraftExtensions {
   /** Catalyst twin of Hashing.rd4/rd2: floor(x*scale + 0.5)/scale. */
   private[graft] def rdExpr(arg: Expression, scale: Double): Expression =
     Divide(Floor(Add(Multiply(arg, Literal(scale)), Literal(0.5))), Literal(scale))
+
+  /** Cosine over two float vectors, composed from the codegen'd dot:
+    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))).
+    */
+  private[graft] def cosineExpr(a: Expression, b: Expression): Expression =
+    Divide(FloatDotProduct(a, b),
+      Multiply(Sqrt(FloatDotProduct(a, a)), Sqrt(FloatDotProduct(b, b))))
 }

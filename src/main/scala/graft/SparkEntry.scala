@@ -205,6 +205,8 @@ object SparkEntry {
     "q_revenue_deciles" -> (Analytics.revenueDeciles _),
     "ts_forecast_eval" -> ((s, dir) => Tsdb.forecastEval(Tsdb.points1(t(s, dir, "events")), 0.3)),
     "ann_centroid_stats" -> ((s, dir) => Similarity.centroidStats(t(s, dir, "embeddings"))),
+    "ts_ohlc" -> ((s, dir) => Tsdb.ohlc(Tsdb.points1(t(s, dir, "events")), 6)),
+    "q_pareto_customers" -> ((s, dir) => Analytics.paretoCustomers(s, dir)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1086,6 +1088,31 @@ object SparkEntry {
          SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
                 floor((n_both * 1.0 / (sa.n + sb.n - n_both)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          FROM pr JOIN sz sa ON sa.t = type_a JOIN sz sb ON sb.t = type_b""",
+
+    "ts_ohlc" -> s"""$store1
+         SELECT f1,
+                date_trunc('day', bucket)
+                  + to_hours(CAST(floor(extract(hour FROM bucket)/6)*6 AS BIGINT)) AS slot,
+                arg_min(total, bucket) AS open,
+                max(total) AS high,
+                min(total) AS low,
+                arg_max(total, bucket) AS close,
+                count(*) AS n_buckets
+         FROM store GROUP BY 1, 2""",
+
+    "q_pareto_customers" ->
+      """WITH rev AS (SELECT o_custkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY 1),
+         w AS (SELECT o_custkey, revenue,
+                      sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      sum(revenue) OVER () AS tot
+               FROM rev)
+         SELECT o_custkey, revenue,
+                floor((cum / tot) * 10000.0 + 0.5) / 10000.0 AS cum_share
+         FROM w WHERE (cum - revenue) / tot < 0.8""",
 
     "q_revenue_deciles" ->
       """WITH rev AS (SELECT o_custkey,

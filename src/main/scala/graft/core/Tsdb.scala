@@ -1138,6 +1138,26 @@ object Tsdb {
         graft.functions.Hashing.rd4(
           lit(1.0) - col("n_bad").cast("double") / col("n_hours")).as("availability"))
 
+  /** OHLC candle downsampling: per series per `slotHours` slot, the
+    * open/high/low/close of the hourly totals — min/max keep spikes a
+    * mean-downsample would erase, open/close keep direction (the
+    * Grafana-candlestick read of a metric). first/last resolve by
+    * bucket order via min_by/max_by — buckets are unique per series, so
+    * the choice is deterministic. One map-side-combinable aggregation.
+    */
+  def ohlc(pts1: DataFrame, slotHours: Int = 6): DataFrame =
+    pts1
+      .withColumn("slot",
+        expr(s"timestampadd(HOUR, CAST(floor(hour(bucket) / $slotHours) * $slotHours AS INT), date_trunc('DAY', bucket))")
+          .cast("timestamp_ntz"))
+      .groupBy(col("f1"), col("slot"))
+      .agg(
+        min_by(col("total"), col("bucket")).as("open"),
+        max(col("total")).as("high"),
+        min(col("total")).as("low"),
+        max_by(col("total"), col("bucket")).as("close"),
+        count(lit(1)).as("n_buckets"))
+
   /** One-step-ahead forecast backtest: [[doubleSmooth]]'s forecast at
     * bucket t is scored against the ACTUAL total at t+1h, summarized per
     * series as MAE and MAPE — the walk-forward evaluation loop any

@@ -441,6 +441,31 @@ object Analytics {
     * (|customers| rows), never on lineitem; at larger scale swap ntile
     * for a quantile-sketch cut of the same aggregate.
     */
+  /** Pareto analysis: the smallest customer set covering 80% of revenue.
+    * Cumulative share runs over the ORDERED per-customer aggregate
+    * (revenue desc, key tie-break), so the window summation order — and
+    * with it every cumulative value — is identical on any engine. A
+    * customer is kept while the share BEFORE them is under the cut, so
+    * the row that crosses 80% is included. Windows run on |customers|
+    * rows, never on lineitem.
+    */
+  def paretoCustomers(s: SparkSession, dir: String, cut: Double = 0.8): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    val ordered = Window.orderBy(col("revenue").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    rev
+      .withColumn("cum", sum(col("revenue")).over(ordered))
+      .withColumn("tot", sum(col("revenue")).over(all))
+      .filter((col("cum") - col("revenue")) / col("tot") < cut)
+      .select(col("o_custkey"), col("revenue"),
+        graft.functions.Hashing.rd4(col("cum") / col("tot")).as("cum_share"))
+  }
+
   def revenueDeciles(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))

@@ -36,6 +36,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 0.1235)
   }
 
+  test("graft_cosine is callable from SQL") {
+    import spark.implicits._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // exercises the injection wiring
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      args => GraftExtensions.cosineExpr(args.head, args(1)), "built-in")
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c").createOrReplaceTempView("cv")
+    val r = spark.sql(
+      "SELECT graft_cosine(a, b) AS same, graft_cosine(a, c) AS orth FROM cv").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
   test("saltedJoin equals the plain join on a skewed key") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))

@@ -464,4 +464,16 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_evals") == 4L)
     assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Double]("mape") == 0.0)
   }
+
+  test("ohlc: open/close by bucket order, high/low keep the spike") {
+    // one 6h slot, hourly totals 10, 500, 3: open=10, high=500, low=3, close=3
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "view", 1L, 10.0),
+      ("2024-01-01 01:10:00", "view", 1L, 500.0),
+      ("2024-01-01 02:10:00", "view", 1L, 3.0))))
+    val r = Tsdb.ohlc(pts1, 6).head()
+    assert(r.getAs[Double]("open") == 10.0 && r.getAs[Double]("close") == 3.0)
+    assert(r.getAs[Double]("high") == 500.0 && r.getAs[Double]("low") == 3.0)
+    assert(r.getAs[Long]("n_buckets") == 3L)
+  }
 }
