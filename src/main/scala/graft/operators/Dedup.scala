@@ -403,9 +403,9 @@ object Dedup {
       .agg(min(col("dst")).as("nb"))
       .select(col("src").as("doc_id"), least(col("src"), col("nb")).as("lbl"))
       .localCheckpoint()
-    var changed = 1L
+    var moving = true
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    while (moving && iters < maxIters) {
       val offers = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nb"))
         .withColumnRenamed("dst", "doc_id")
@@ -414,15 +414,17 @@ object Dedup {
           least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
           (coalesce(col("nb"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+      // isEmpty short-circuits at the first moved label (limit-1 over the
+      // checkpointed blocks) — a full count per round is wasted work
+      moving = !next.filter(col("chg")).isEmpty
       labels = next.select(col("doc_id"), col("lbl"))
       iters += 1
     }
-    if (changed > 0)
+    if (moving)
       throw new IllegalStateException(
         s"clustersFromPairs: label propagation still changing after $maxIters rounds " +
-          s"($changed labels moved last round) — component diameter exceeds maxIters; " +
-          "raise maxIters rather than emitting unconverged cluster ids")
+          "— component diameter exceeds maxIters; raise maxIters rather than " +
+          "emitting unconverged cluster ids")
     val comp = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
     val sz = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
     comp.join(sz, "cluster_id").select(col("doc_id"), col("cluster_id"), col("csize"))
