@@ -207,6 +207,8 @@ object SparkEntry {
     "ann_centroid_stats" -> ((s, dir) => Similarity.centroidStats(t(s, dir, "embeddings"))),
     "ts_ohlc" -> ((s, dir) => Tsdb.ohlc(Tsdb.points1(t(s, dir, "events")), 6)),
     "q_pareto_customers" -> ((s, dir) => Analytics.paretoCustomers(s, dir)),
+    "ts_topk_approx" -> ((s, dir) => Tsdb.topkApprox(t(s, dir, "events"))),
+    "q_rfm" -> (Analytics.rfm _),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1113,6 +1115,37 @@ object SparkEntry {
          SELECT o_custkey, revenue,
                 floor((cum / tot) * 10000.0 + 0.5) / 10000.0 AS cum_share
          FROM w WHERE (cum - revenue) / tot < 0.8""",
+
+    "ts_topk_approx" ->
+      """WITH pd AS (SELECT date_trunc('day', ts) AS day, user_id, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+         rk AS (SELECT day, user_id, cnt,
+                       row_number() OVER (PARTITION BY day ORDER BY cnt DESC, user_id) AS rnk
+                FROM pd QUALIFY rnk <= 20),
+         kt AS (SELECT day, min(cnt) AS kth FROM rk GROUP BY 1),
+         tot AS (SELECT CAST(sum(kth) AS BIGINT) AS tot_kth FROM kt),
+         m AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS est_count,
+                      count(*) AS n_days, CAST(sum(kth) AS BIGINT) AS present_kth
+               FROM rk JOIN kt USING (day) GROUP BY 1)
+         SELECT user_id, est_count, n_days,
+                est_count + tot_kth - present_kth AS upper_bound
+         FROM m CROSS JOIN tot
+         ORDER BY est_count DESC, user_id LIMIT 10""",
+
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+                count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+              FROM orders GROUP BY 1),
+         sc AS (SELECT o_custkey, last_order, frequency, monetary,
+                       ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+                       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+                       ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+                FROM base)
+         SELECT o_custkey, last_order, frequency, monetary,
+                r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment
+         FROM sc""",
 
     "q_revenue_deciles" ->
       """WITH rev AS (SELECT o_custkey,

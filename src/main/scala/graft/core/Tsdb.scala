@@ -1180,6 +1180,35 @@ object Tsdb {
         rd4(avg(abs(col("forecast") - col("actual")) / col("actual"))).as("mape"))
   }
 
+  /** Bounded-error distributed top-k (heavy hitters): each day keeps
+    * only its local top-`k` users (plus that day's k-th count), and the
+    * global estimate merges the per-day summaries — the classic
+    * "top-k per shard, merge with error bounds" pattern that never
+    * shuffles full per-user counts at 100 TB. For each merged user:
+    * est_count = sum of counts on days they ranked (a LOWER bound on
+    * the true total) and upper_bound adds each missed day's k-th count
+    * (they can't have exceeded it without ranking). All-integer math;
+    * ties rank by user id, so the per-day cut is deterministic.
+    */
+  def topkApprox(events: DataFrame, k: Int = 20, topN: Int = 10): DataFrame = {
+    val perDay = events
+      .groupBy(bucket(col("ts"), "day").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("day")).orderBy(col("cnt").desc, col("user_id"))
+    val ranked = perDay.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val kth = ranked.groupBy(col("day")).agg(min(col("cnt")).as("kth"))
+    val totKth = kth.agg(sum(col("kth")).as("tot_kth"))
+    ranked.join(kth, "day")
+      .groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("est_count"), count(lit(1)).as("n_days"),
+        sum(col("kth")).as("present_kth"))
+      .crossJoin(broadcast(totKth))
+      .select(col("user_id"), col("est_count"), col("n_days"),
+        (col("est_count") + col("tot_kth") - col("present_kth")).as("upper_bound"))
+      .orderBy(col("est_count").desc, col("user_id"))
+      .limit(topN)
+  }
+
   /** Exact audience-overlap matrix: distinct-user Jaccard for every pair
     * of event types — the exact twin of the KMV-sketched
     * [[distinctOverlapKMV]], viable whenever |distinct (type, user)|

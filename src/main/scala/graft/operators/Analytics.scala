@@ -441,6 +441,30 @@ object Analytics {
     * (|customers| rows), never on lineitem; at larger scale swap ntile
     * for a quantile-sketch cut of the same aggregate.
     */
+  /** RFM segmentation: per-customer Recency (last order date),
+    * Frequency (order count) and Monetary (total spend), each quartiled
+    * by NTILE(4) with key tie-breaks (1 = best), concatenated into the
+    * classic 'rfm' segment code. Windows run on the |customers|-row
+    * aggregate; at larger scale replace ntile with quantile-sketch cuts
+    * of the same aggregate.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    def quartile(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(4).over(Window.orderBy(order: _*)).cast("long")
+    base
+      .withColumn("r_score", quartile(Seq(col("last_order").desc, col("o_custkey"))))
+      .withColumn("f_score", quartile(Seq(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score", quartile(Seq(col("monetary").desc, col("o_custkey"))))
+      .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
+
   /** Pareto analysis: the smallest customer set covering 80% of revenue.
     * Cumulative share runs over the ORDERED per-customer aggregate
     * (revenue desc, key tie-break), so the window summation order — and

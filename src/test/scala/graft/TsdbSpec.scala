@@ -476,4 +476,17 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Double]("high") == 500.0 && r.getAs[Double]("low") == 3.0)
     assert(r.getAs[Long]("n_buckets") == 3L)
   }
+
+  test("topkApprox: merged per-day top-k brackets the true count") {
+    // k=1. day1: u1×3 ranks (kth=3), u2×2 misses; day2: u2×4 ranks
+    // (kth=4), u1×1 misses. tot_kth=7 → u1 est 3 upper 7 (true 4),
+    // u2 est 4 upper 7 (true 6) — est ≤ true ≤ upper for both
+    def ev(day: Int, user: Long, n: Int) = (1 to n).map(i =>
+      (f"2024-01-0$day%d 0$i%d:10:00", "view", user, 1.0))
+    val events = eventsDf(ev(1, 1L, 3) ++ ev(1, 2L, 2) ++ ev(2, 2L, 4) ++ ev(2, 1L, 1))
+    val r = Tsdb.topkApprox(events, k = 1, topN = 5).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("est_count"), x.getAs[Long]("upper_bound"))).toMap
+    assert(r == Map(1L -> (3L, 7L), 2L -> (4L, 7L)))
+  }
 }
