@@ -977,6 +977,24 @@ object PipelineOracles {
          SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
          FROM rk WHERE rnk <= 5""",
 
+    // vec_id-parity cohort centroids (fixed-point means) + cosine per label
+    "embedding_drift" -> s"""WITH fl AS (
+           SELECT label, vec_id % 2 AS cohort, i.pos, embedding[i.pos]::DOUBLE AS v
+           FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         cm AS (SELECT label, cohort, pos,
+                       CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 10000000.0 / count(*) AS cv,
+                       count(*) AS n
+                FROM fl GROUP BY 1, 2, 3),
+         cl AS (SELECT label, cohort, list(CAST(cv AS REAL) ORDER BY pos) AS cvec,
+                       CAST(max(n) AS BIGINT) AS n_vecs
+                FROM cm GROUP BY 1, 2)
+         SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+                floor((${dot64("a.cvec", "b.cvec")} /
+                  (sqrt(${dot64("a.cvec", "a.cvec")}) * sqrt(${dot64("b.cvec", "b.cvec")})))
+                  * 10000.0 + 0.5) / 10000.0 AS drift_cos
+         FROM cl a JOIN cl b ON b.label = a.label AND a.cohort = 0 AND b.cohort = 1""",
+
     // kmeans replay + per-cluster cohesion aggregation
     "ann_centroid_stats" -> s"""WITH $nrm,
          sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv

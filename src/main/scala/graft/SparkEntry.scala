@@ -209,6 +209,8 @@ object SparkEntry {
     "q_pareto_customers" -> ((s, dir) => Analytics.paretoCustomers(s, dir)),
     "ts_topk_approx" -> ((s, dir) => Tsdb.topkApprox(t(s, dir, "events"))),
     "q_rfm" -> (Analytics.rfm _),
+    "embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(t(s, dir, "embeddings"))),
+    "q_yoy_growth" -> (Analytics.yoyGrowth _),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1131,6 +1133,20 @@ object SparkEntry {
                 est_count + tot_kth - present_kth AS upper_bound
          FROM m CROSS JOIN tot
          ORDER BY est_count DESC, user_id LIMIT 10""",
+
+    "q_yoy_growth" ->
+      """WITH rev AS (SELECT n_name, extract(year FROM o_orderdate) AS order_year,
+                round(sum(o_totalprice), 2) AS revenue
+              FROM orders
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation ON n_nationkey = c_nationkey
+              GROUP BY 1, 2)
+         SELECT n_name, order_year, revenue,
+                lag(revenue) OVER (PARTITION BY n_name ORDER BY order_year) AS prev_revenue,
+                floor(((revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY order_year))
+                       / lag(revenue) OVER (PARTITION BY n_name ORDER BY order_year))
+                      * 10000.0 + 0.5) / 10000.0 AS yoy_growth
+         FROM rev""",
 
     "q_rfm" ->
       """WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -441,6 +441,24 @@ object Analytics {
     * (|customers| rows), never on lineitem; at larger scale swap ntile
     * for a quantile-sketch cut of the same aggregate.
     */
+  /** Year-over-year revenue growth per nation: the per-(nation, year)
+    * aggregate (grid-rounded) with a lag window per nation — first
+    * years report NULL growth rather than being dropped. Facts
+    * aggregate before the window; nation is a broadcast dim.
+    */
+  def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("order_year"))
+    rev
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("yoy_growth", graft.functions.Hashing.rd4(
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue")))
+  }
+
   /** RFM segmentation: per-customer Recency (last order date),
     * Frequency (order count) and Monetary (total spend), each quartiled
     * by NTILE(4) with key tie-breaks (1 = best), concatenated into the

@@ -512,6 +512,37 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** Embedding drift monitor: per label, the cosine between the
+    * centroids of two deterministic corpus cohorts (vec_id parity —
+    * stable under corpus growth ordering). A drift_cos well below 1
+    * flags a distribution shift between cohorts (new scraper, encoder
+    * change) before it poisons dedup thresholds or ANN recall.
+    * Centroid components use the same order-independent fixed-point
+    * integer means as the k-means loop, so both engines learn
+    * bit-identical centroids. One aggregation + one |labels|-row join.
+    */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val cents = emb
+      .select(col("label"), (col("vec_id") % 2).as("cohort"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("cohort"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * 1e7 + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("cv", col("sq").cast("double") / 1e7 / col("n"))
+      .groupBy(col("label"), col("cohort"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> CAST(x.cv AS FLOAT))")
+        .as("cvec"),
+        max(col("n")).as("n_vecs"))
+    val a = cents.filter(col("cohort") === 0)
+      .select(col("label"), col("cvec").as("ca"), col("n_vecs").as("n_a"))
+    val b = cents.filter(col("cohort") === 1)
+      .select(col("label"), col("cvec").as("cb"), col("n_vecs").as("n_b"))
+    a.join(b, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        Hashing.rd4(V.dotF(col("ca"), col("cb")) /
+          (V.normF(col("ca")) * V.normF(col("cb")))).as("drift_cos"))
+  }
+
   /** IVF index health report: per learned centroid, the member count and
     * the cohesion (avg / worst cosine of members to their centroid).
     * Imbalanced or loose clusters are what make IVF probes miss — this

@@ -139,6 +139,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("embeddingDrift: identical cohorts → cos 1, orthogonal cohorts → 0") {
+    import spark.implicits._
+    // label 0: even/odd cohorts both average to (1,0) → drift_cos 1.0;
+    // label 1: cohort 0 = (1,0), cohort 1 = (0,1) → drift_cos 0.0
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0), (3L, Array(1.0f, 0.0f), 0),
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingDrift(e).collect()
+      .map(x => x.getAs[Int]("label") -> x.getAs[Double]("drift_cos")).toMap
+    assert(r == Map(0 -> 1.0, 1 -> 0.0))
+  }
+
   test("centroidStats: every vector counted once, twins share a tight cluster") {
     val r = Similarity.centroidStats(emb).collect()
     assert(r.map(_.getAs[Long]("n_vectors")).sum == 4L)
