@@ -211,6 +211,8 @@ object SparkEntry {
     "q_rfm" -> (Analytics.rfm _),
     "embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(t(s, dir, "embeddings"))),
     "q_yoy_growth" -> (Analytics.yoyGrowth _),
+    "ts_props_funnel" -> ((s, dir) => Tsdb.propsFunnel(t(s, dir, "events"))),
+    "mm_scene_detect" -> ((s, dir) => Multimodal.sceneDetect(t(s, dir, "documents"))),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1133,6 +1135,30 @@ object SparkEntry {
                 est_count + tot_kth - present_kth AS upper_bound
          FROM m CROSS JOIN tot
          ORDER BY est_count DESC, user_id LIMIT 10""",
+
+    "ts_props_funnel" ->
+      """WITH fk AS (SELECT user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS first_k
+              FROM (SELECT user_id, props,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn
+                    FROM events) WHERE rn = 1),
+         u AS (SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+              FROM events GROUP BY 1),
+         seg AS (SELECT CASE WHEN first_k > 50 THEN 'high' ELSE 'low' END AS segment,
+                        first_signup, first_purchase
+                 FROM u JOIN fk USING (user_id))
+         SELECT segment,
+                CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                         AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                floor((sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                           AND first_purchase > first_signup THEN 1 ELSE 0 END) * 1.0
+                       / sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END))
+                      * 10000.0 + 0.5) / 10000.0 AS conversion
+         FROM seg GROUP BY 1""",
 
     "q_yoy_growth" ->
       """WITH rev AS (SELECT n_name, extract(year FROM o_orderdate) AS order_year,

@@ -814,6 +814,38 @@ object Tsdb {
         sum(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
           col("first_purchase") > col("first_signup"), 1).otherwise(0)).as("n_converted"))
 
+  /** Property-segmented funnel: [[funnel]]'s first-touch signup→purchase
+    * conversion, split by a JSON-prop segment (here k > 50 at the user's
+    * FIRST event — min_by makes the segment assignment deterministic).
+    * The product-analytics "conversion by acquisition cohort" read; the
+    * user shuffle happens once, segment joins are co-partitioned.
+    */
+  def propsFunnel(events: DataFrame, threshold: Long = 50L): DataFrame = {
+    val withK = events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    // first event per user by (raw nanos, event_id) — one shuffle on
+    // user_id; the groupBy below and the join are then co-partitioned
+    val firstK = withK
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("k").as("first_k"))
+    withK
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", expr("ts_ns div 1000"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", expr("ts_ns div 1000"))).as("first_purchase"))
+      .join(firstK, "user_id")
+      .withColumn("segment", when(col("first_k") > threshold, "high").otherwise("low"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("first_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_signup"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conversion", graft.functions.Hashing.rd4(
+        col("n_converted") / col("n_signup")))
+  }
+
   /** Ordered 3-step funnel within a conversion window: first `s1`, then
     * the first `s2` strictly after it, then the first `s3` strictly after
     * that; steps 2/3 count only when they land within `windowHours` of

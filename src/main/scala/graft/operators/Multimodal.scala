@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -41,6 +42,28 @@ object Multimodal {
       .withColumn("frame_hash",
         Hashing.h60(concat(col("content_hash"), lit("_f"), col("frame_idx"))))
       .select(col("doc_id"), col("frame_idx"), col("frame_hash"))
+
+  /** Shot-boundary (scene-change) detection over the frame stream: a
+    * boundary is a frame whose hash differs from its predecessor by more
+    * than `maxHamming` of 60 bits; scene_id is the running boundary
+    * count — the clip-segmentation step a video pipeline runs before
+    * per-scene sampling. With a real codec the hash becomes a perceptual
+    * hash; the window/lag/bit_count shape is unchanged. Per-doc windows
+    * only — no global ordering.
+    */
+  def sceneDetect(docs: DataFrame, maxHamming: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSample(docs, 1)
+      .withColumn("prev_hash", lag(col("frame_hash"), 1).over(w))
+      .withColumn("dist",
+        when(col("prev_hash").isNull, lit(null).cast("long"))
+          .otherwise(bit_count(col("frame_hash").bitwiseXOR(col("prev_hash"))).cast("long")))
+      .withColumn("is_boundary", col("prev_hash").isNull || col("dist") > maxHamming)
+      .withColumn("scene_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L)).over(w))
+      .select(col("doc_id"), col("frame_idx"), col("dist"),
+        col("is_boundary"), col("scene_id"))
+  }
 
   /** Resize: recompute target dimensions preserving aspect ratio against a
     * bounding box — metadata-level op; a real codec would transform pixels.

@@ -69,6 +69,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(declarative == batched)
   }
 
+  test("multimodal: sceneDetect opens a scene per doc, ids monotone") {
+    val frames = Multimodal.sceneDetect(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    frames.foreach { case (_, fs) =>
+      val ordered = fs.sortBy(_.getAs[Int]("frame_idx"))
+      val first = ordered.head
+      // frame 0 always opens scene 1 with no distance to a predecessor
+      assert(first.getAs[Boolean]("is_boundary") && first.isNullAt(first.fieldIndex("dist")))
+      assert(first.getAs[Long]("scene_id") == 1L)
+      val ids = ordered.map(_.getAs[Long]("scene_id")).toSeq
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 })
+      // non-boundary frames stay within hamming 25 of their predecessor
+      assert(ordered.tail.forall(r =>
+        r.getAs[Boolean]("is_boundary") == (r.getAs[Long]("dist") > 25L)))
+    }
+  }
+
   test("repetition metrics: ttr, top-bigram mass, dup trigrams, max run") {
     // "a a a b": tokens 4, distinct 2 -> ttr 0.5; bigrams [a a, a a, a b]
     // -> top mass = 2·len("a a") = 6 over 7 chars; trigrams [a a a, a a b]

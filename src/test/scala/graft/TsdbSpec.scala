@@ -477,6 +477,25 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_buckets") == 3L)
   }
 
+  test("propsFunnel: conversion split by the FIRST event's prop segment") {
+    import spark.implicits._
+    // u1: first event k=80 (high), signup→purchase converts
+    // u2: first event k=10 (low), signup only
+    val ev = Seq(
+      (1L, 100000000L, 1L, "signup", """{"k": 80}"""),
+      (2L, 200000000L, 1L, "purchase", """{"k": 5}"""), // later k ignored
+      (3L, 100000000L, 2L, "signup", """{"k": 10}"""))
+      .toDF("event_id", "ts_ns", "user_id", "event_type", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "CAST(timestamp_micros(ts_ns div 1000) AS timestamp_ntz)"))
+    val r = Tsdb.propsFunnel(ev, 50L).collect()
+      .map(x => x.getAs[String]("segment") ->
+        (x.getAs[Long]("n_signup"), x.getAs[Long]("n_converted"),
+         x.getAs[Double]("conversion"))).toMap
+    assert(r("high") == (1L, 1L, 1.0))
+    assert(r("low") == (1L, 0L, 0.0))
+  }
+
   test("topkApprox: merged per-day top-k brackets the true count") {
     // k=1. day1: u1×3 ranks (kth=3), u2×2 misses; day2: u2×4 ranks
     // (kth=4), u1×1 misses. tot_kth=7 → u1 est 3 upper 7 (true 4),
