@@ -249,6 +249,35 @@ object PipelineOracles {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1""",
 
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                '\s+', ' ', 'g'))) AS norm_hash,
+              min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "ann_knn_label" -> s"""WITH $nrm,
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM bsc) WHERE rnk <= 5),
+         vt AS (SELECT query_id, e.label, count(*) AS votes
+                FROM bf JOIN embeddings e ON e.vec_id = bf.neighbor_id
+                GROUP BY 1, 2),
+         pk AS (SELECT query_id, label AS pred_label, votes FROM (
+                  SELECT query_id, label, votes,
+                         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r
+                  FROM vt) WHERE r = 1)
+         SELECT pk.query_id, pk.pred_label, pk.votes, t.label AS true_label,
+                pk.pred_label = t.label AS correct
+         FROM pk JOIN embeddings t ON t.vec_id = pk.query_id""",
+
     // document-frequency cap (<= 50) mirrors Dedup.capShingles: boilerplate
     // shingles are dropped BEFORE sizes/intersections on both engines
     "dedup_ngram_jaccard" -> s"""WITH $tok, $sh,

@@ -213,6 +213,9 @@ object SparkEntry {
     "q_yoy_growth" -> (Analytics.yoyGrowth _),
     "ts_props_funnel" -> ((s, dir) => Tsdb.propsFunnel(t(s, dir, "events"))),
     "mm_scene_detect" -> ((s, dir) => Multimodal.sceneDetect(t(s, dir, "documents"))),
+    "ts_slo_streaks" -> ((s, dir) => Tsdb.sloStreaks(t(s, dir, "events"), 0.25)),
+    "dedup_normalized" -> ((s, dir) => Dedup.normalizedExact(t(s, dir, "documents"))),
+    "ann_knn_label" -> ((s, dir) => Similarity.knnLabel(t(s, dir, "embeddings"), 10, 5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1135,6 +1138,20 @@ object SparkEntry {
                 est_count + tot_kth - present_kth AS upper_bound
          FROM m CROSS JOIN tot
          ORDER BY est_count DESC, user_id LIMIT 10""",
+
+    "ts_slo_streaks" ->
+      """WITH ph AS (SELECT date_trunc('hour', ts) AS h,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+                count(*) AS n_all
+              FROM events GROUP BY 1),
+         bad AS (SELECT h FROM ph WHERE n_err * 1.0 / n_all > 0.25),
+         g AS (SELECT h,
+                      CAST(epoch(h) AS BIGINT) // 3600
+                        - row_number() OVER (ORDER BY h) AS grp
+               FROM bad)
+         SELECT min(h) AS incident_start, max(h) AS incident_end,
+                count(*) AS n_hours
+         FROM g GROUP BY grp""",
 
     "ts_props_funnel" ->
       """WITH fk AS (SELECT user_id,

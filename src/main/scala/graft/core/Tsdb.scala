@@ -1212,6 +1212,29 @@ object Tsdb {
         rd4(avg(abs(col("forecast") - col("actual")) / col("actual"))).as("mape"))
   }
 
+  /** SLO incident list (gaps-and-islands): consecutive BAD hours (error
+    * fraction above budget) merge into incidents via the classic
+    * bucket-minus-rank grouping; each incident reports its span and
+    * length. The paging/alert-fatigue read on top of
+    * [[sloAvailability]]; all-integer bucket arithmetic, windows over
+    * the tiny bad-hour table only.
+    */
+  def sloStreaks(events: DataFrame, budget: Double): DataFrame = {
+    val bad = events
+      .groupBy(bucket(col("ts"), "hour").as("h"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        count(lit(1)).as("n_all"))
+      .filter(col("n_err").cast("double") / col("n_all") > budget)
+    val w = Window.orderBy(col("h"))
+    bad
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("(unix_timestamp(h) div 3600) - rn"))
+      .groupBy(col("grp"))
+      .agg(min(col("h")).as("incident_start"), max(col("h")).as("incident_end"),
+        count(lit(1)).as("n_hours"))
+      .select(col("incident_start"), col("incident_end"), col("n_hours"))
+  }
+
   /** Bounded-error distributed top-k (heavy hitters): each day keeps
     * only its local top-`k` users (plus that day's k-th count), and the
     * global estimate merges the per-day summaries — the classic

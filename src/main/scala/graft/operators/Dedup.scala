@@ -74,6 +74,18 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup after text normalization (lowercase, punctuation → space,
+    * whitespace collapsed, trimmed) — the C4-style step that catches
+    * trivially-reformatted copies byte-exact dedup misses. Same one-shuffle
+    * hash-groupBy as [[exact]], keyed on the normalized hash.
+    */
+  def normalizedExact(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    docs.groupBy(md5(norm).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+  }
+
   /** Jaccard for doc pairs from a cached shingle table. With `candidates`,
     * the shingle table is first restricted to candidate docs (MinHash-LSH
     * path) so the shingle join only touches candidate pairs.

@@ -512,6 +512,31 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** kNN label inference: each query's label predicted by majority vote
+    * of its exact top-k neighbors (ties → smaller label), scored against
+    * the query's own label — the weak-supervision / label-propagation
+    * read of the vector index, and a direct health check of embedding
+    * quality (low kNN accuracy = labels are not linearly separated in
+    * the space). Reuses the verified brute-force top-k.
+    */
+  def knnLabel(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bf = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = bf
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .withColumn("correct", col("pred_label") === col("true_label"))
+  }
+
   /** Embedding drift monitor: per label, the cosine between the
     * centroids of two deterministic corpus cohorts (vec_id parity —
     * stable under corpus growth ordering). A drift_cos well below 1

@@ -146,6 +146,18 @@ class DedupSpec extends SparkSpec {
       x.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("normalizedExact: reformatted copies hash together, exact misses them") {
+    val d = docsDf(Seq(
+      (1L, "the quick brown fox"),
+      (2L, "The  Quick, BROWN fox!"), // same after normalization
+      (3L, "a different doc entirely")))
+    assert(Dedup.exact(d).count() == 3) // byte-exact sees three distinct
+    val r = Dedup.normalizedExact(d).collect()
+    assert(r.length == 2)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper") == 1L)
+  }
+
   test("editDistancePairs: zero distance for identical LSH candidates") {
     val r = Dedup.editDistancePairs(docs, 0.5).collect()
     val exact = r.find(x =>

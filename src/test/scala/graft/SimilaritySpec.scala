@@ -139,6 +139,14 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("knnLabel: majority vote of top-k neighbors predicts the label") {
+    // query 0 (label 0), k=3 neighbors: 1 (label 0), 3 (label 1),
+    // 2 (label 0) → votes {0: 2, 1: 1} → pred 0, correct
+    val r = Similarity.knnLabel(emb, 1, 3).head()
+    assert(r.getAs[Int]("pred_label") == 0 && r.getAs[Long]("votes") == 2L)
+    assert(r.getAs[Boolean]("correct"))
+  }
+
   test("embeddingDrift: identical cohorts → cos 1, orthogonal cohorts → 0") {
     import spark.implicits._
     // label 0: even/odd cohorts both average to (1,0) → drift_cos 1.0;

@@ -477,6 +477,20 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_buckets") == 3L)
   }
 
+  test("sloStreaks: consecutive bad hours merge into one incident") {
+    // hours 0,1 bad (2 errors / 2 events), hour 2 good, hour 4 bad →
+    // incidents [00-01] (2h) and [04] (1h)
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "error", 1L, 1.0),
+      ("2024-01-01 01:10:00", "error", 2L, 1.0),
+      ("2024-01-01 02:10:00", "view", 3L, 1.0),
+      ("2024-01-01 04:10:00", "error", 4L, 1.0)))
+    val r = Tsdb.sloStreaks(ev, 0.25).orderBy("incident_start").collect()
+    assert(r.length == 2)
+    assert(r.head.getAs[Long]("n_hours") == 2L)
+    assert(r.last.getAs[Long]("n_hours") == 1L)
+  }
+
   test("propsFunnel: conversion split by the FIRST event's prop segment") {
     import spark.implicits._
     // u1: first event k=80 (high), signup→purchase converts
