@@ -256,6 +256,41 @@ object PipelineOracles {
               min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1""",
 
+    "quality_percentiles" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok),
+         q AS (SELECT doc_id,
+                floor((least(1.0, n_tokens / 100.0) * 0.4
+                      + (1.0 - punct * 1.0 / nchars) * 0.3
+                      + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+               FROM t2)
+         SELECT d.lang, count(*) AS n_docs,
+                floor(quantile_cont(q.quality, 0.1) * 10000.0 + 0.5) / 10000.0 AS p10,
+                floor(quantile_cont(q.quality, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+                floor(quantile_cont(q.quality, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+                floor((sum(CASE WHEN q.quality < 0.55 THEN 1 ELSE 0 END) * 1.0
+                       / count(*)) * 10000.0 + 0.5) / 10000.0 AS below_cut
+         FROM documents d JOIN q USING (doc_id)
+         GROUP BY 1""",
+
+    "corpus_dedup_report" -> s"""${minhashWith(0.5)},
+         ex AS (SELECT doc_id,
+                       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+                FROM documents),
+         nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         SELECT d.source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN ex.is_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+                CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                floor((1.0 - sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                       / count(*)) * 10000.0 + 0.5) / 10000.0 AS keep_rate
+         FROM documents d
+         JOIN ex USING (doc_id)
+         LEFT JOIN nd USING (doc_id)
+         GROUP BY 1""",
+
     "ann_knn_label" -> s"""WITH $nrm,
          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          bsc AS (SELECT query_id, c.vec_id AS neighbor_id,

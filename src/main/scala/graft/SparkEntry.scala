@@ -216,6 +216,9 @@ object SparkEntry {
     "ts_slo_streaks" -> ((s, dir) => Tsdb.sloStreaks(t(s, dir, "events"), 0.25)),
     "dedup_normalized" -> ((s, dir) => Dedup.normalizedExact(t(s, dir, "documents"))),
     "ann_knn_label" -> ((s, dir) => Similarity.knnLabel(t(s, dir, "embeddings"), 10, 5)),
+    "quality_percentiles" -> ((s, dir) =>
+      TextAnalysis.qualityPercentiles(t(s, dir, "documents"), 0.55)),
+    "corpus_dedup_report" -> ((s, dir) => Dedup.dedupReport(t(s, dir, "documents"), 0.5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -86,6 +86,31 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
+  /** Dedup impact report per source: how many docs byte-exact dedup
+    * would drop vs the MinHash-LSH keep-first policy, and the resulting
+    * keep rate — the "what did dedup do to my corpus" read a pipeline
+    * owner checks before shipping a snapshot. Reuses the verified
+    * pair machinery; grouping is by source so a single bad scraper
+    * shows up immediately.
+    */
+  def dedupReport(docs: DataFrame, threshold: Double): DataFrame = {
+    val keeperByHash = exact(docs)
+      .select(col("content_hash"), col("keeper"))
+    val nearDrop = minhashLsh(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dropped", lit(true))
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .join(keeperByHash, "content_hash")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("near_dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("keep_rate", Hashing.rd4(
+        lit(1.0) - col("n_dropped") / col("n_docs")))
+  }
+
   /** Jaccard for doc pairs from a cached shingle table. With `candidates`,
     * the shingle table is first restricted to candidate docs (MinHash-LSH
     * path) so the shingle join only touches candidate pairs.

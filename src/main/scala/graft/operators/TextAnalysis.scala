@@ -412,6 +412,24 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(col("tot") / (col("k") * col("n_tokens"))).as("weight"))
   }
 
+  /** Per-language quality-score distribution: exact p10/p50/p90 of the
+    * composite quality score plus the below-threshold fraction — the
+    * report that decides where a curation pipeline's quality cut should
+    * sit per language. Quality scores are already rd4-grid values, so
+    * the interpolated percentiles are deterministic; one aggregation
+    * over the per-doc projection.
+    */
+  def qualityPercentiles(docs: DataFrame, threshold: Double): DataFrame =
+    withQuality(docs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.Hashing.rd4(expr("percentile(quality, 0.1)")).as("p10"),
+        graft.functions.Hashing.rd4(expr("percentile(quality, 0.5)")).as("p50"),
+        graft.functions.Hashing.rd4(expr("percentile(quality, 0.9)")).as("p90"),
+        graft.functions.Hashing.rd4(
+          sum(when(col("quality") < threshold, 1L).otherwise(0L))
+            / count(lit(1))).as("below_cut"))
+
   /** Unigram language-model scoring (the KenLM-filter shape): vocabulary
     * counts over the corpus, then each doc scored by its mean token
     * negative-log-likelihood, nll(tok) = ln(N_total / cnt(tok)). High

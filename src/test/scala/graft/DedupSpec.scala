@@ -146,6 +146,21 @@ class DedupSpec extends SparkSpec {
       x.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("dedupReport: exact dups counted, near-dups dropped, keep rate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog", "web"),  // exact dup
+      (3L, "completely different words entirely here now okay friend", "books"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dedupReport(d, 0.5).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_exact_dups"),
+         x.getAs[Long]("n_dropped"), x.getAs[Double]("keep_rate"))).toMap
+    assert(r("web") == (2L, 1L, 1L, 0.5)) // doc 2 is both exact + near drop
+    assert(r("books") == (1L, 0L, 0L, 1.0))
+  }
+
   test("normalizedExact: reformatted copies hash together, exact misses them") {
     val d = docsDf(Seq(
       (1L, "the quick brown fox"),

@@ -69,6 +69,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(declarative == batched)
   }
 
+  test("qualityPercentiles: identical docs collapse the distribution") {
+    import spark.implicits._
+    val d = Seq.tabulate(4)(i =>
+      (i.toLong, "the cat sat on the mat at the end of a story", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.TextAnalysis.qualityPercentiles(d, 0.55).head()
+    val (p10, p50, p90) = (r.getAs[Double]("p10"), r.getAs[Double]("p50"),
+      r.getAs[Double]("p90"))
+    assert(p10 == p50 && p50 == p90) // all docs share one quality value
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(Set(0.0, 1.0)(r.getAs[Double]("below_cut"))) // all or nothing
+  }
+
   test("multimodal: sceneDetect opens a scene per doc, ids monotone") {
     val frames = Multimodal.sceneDetect(docs).collect()
       .groupBy(_.getAs[Long]("doc_id"))
