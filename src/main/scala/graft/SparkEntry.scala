@@ -219,6 +219,7 @@ object SparkEntry {
     "quality_percentiles" -> ((s, dir) =>
       TextAnalysis.qualityPercentiles(t(s, dir, "documents"), 0.55)),
     "corpus_dedup_report" -> ((s, dir) => Dedup.dedupReport(t(s, dir, "documents"), 0.5)),
+    "q_order_gaps" -> (Analytics.orderGaps _),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1179,6 +1180,19 @@ object SparkEntry {
                        / sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END))
                       * 10000.0 + 0.5) / 10000.0 AS conversion
          FROM seg GROUP BY 1""",
+
+    "q_order_gaps" ->
+      """WITH g AS (SELECT o_custkey,
+                date_diff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+              FROM orders QUALIFY gap_days IS NOT NULL)
+         SELECT c_mktsegment, count(*) AS n_gaps,
+                CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
+                floor((sum(gap_days) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_gap_days
+         FROM g JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1""",
 
     "q_yoy_growth" ->
       """WITH rev AS (SELECT n_name, extract(year FROM o_orderdate) AS order_year,

@@ -441,6 +441,28 @@ object Analytics {
     * (|customers| rows), never on lineitem; at larger scale swap ntile
     * for a quantile-sketch cut of the same aggregate.
     */
+  /** Inter-order gap analysis: days between a customer's consecutive
+    * orders (lag window per customer), summarized per market segment —
+    * the purchase-cadence read behind retention/replenishment models.
+    * Date arithmetic is integer days; the only doubles are rd4 ratios
+    * of integer sums. Windows run per customer (co-partitioned with the
+    * groupBy); the segment dimension joins broadcast-small.
+    */
+  def orderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = t(s, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"), datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+    gaps
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_days").cast("long")).as("total_gap_days"))
+      .withColumn("avg_gap_days", graft.functions.Hashing.rd4(
+        col("total_gap_days") / col("n_gaps")))
+  }
+
   /** Year-over-year revenue growth per nation: the per-(nation, year)
     * aggregate (grid-rounded) with a lag window per nation — first
     * years report NULL growth rather than being dropped. Facts

@@ -48,4 +48,26 @@ class TablesSpec extends SparkSpec {
     assert(r.getAs[Long]("ts_ns") == 1704103500250000000L)
     assert(df.filter(expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000 = ts_ns")).count() == 1L)
   }
+
+  test("schema evolution: epochs written before a new column still fetch") {
+    // a long-lived store gains a column mid-life; old epoch files lack it.
+    // mergeSchema unions the file schemas and NULL-fills history — the
+    // read-side contract that lets stores evolve without rewriting epochs
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq(("cpu", "2024-01-01T10:00", 10.0))
+      .toDF("f1", "bucket", "total")
+      .write.parquet(s"$dir/epoch=2024-01-01")
+    Seq(("cpu", "2024-01-02T10:00", 4.0, "us-east"))
+      .toDF("f1", "bucket", "total", "region") // new column in the new epoch
+      .write.parquet(s"$dir/epoch=2024-01-02")
+    val all = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(all.columns.toSet == Set("f1", "bucket", "total", "region", "epoch"))
+    val rows = all.orderBy("bucket").collect()
+    assert(rows.length == 2)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("region"))) // old epoch null-filled
+    assert(rows.last.getAs[String]("region") == "us-east")
+    // partition pruning still applies on the epoch column
+    assert(all.filter(col("epoch") === "2024-01-02").count() == 1L)
+  }
 }
