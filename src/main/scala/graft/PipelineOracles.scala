@@ -256,6 +256,20 @@ object PipelineOracles {
               min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1""",
 
+    "text_vocab_coverage" -> """WITH tk AS (
+           SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok FROM (
+             SELECT tok, count(*) AS cnt,
+                    row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+             FROM tk GROUP BY tok) WHERE rnk <= 40)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                floor((1.0 - sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                       / count(*)) * 10000.0 + 0.5) / 10000.0 AS coverage
+         FROM tk LEFT JOIN vocab v USING (tok)
+         GROUP BY 1""",
+
     "quality_percentiles" -> s"""WITH $tok,
          t2 AS (SELECT doc_id, len(tk) AS n_tokens,
                        len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,

@@ -220,6 +220,10 @@ object SparkEntry {
       TextAnalysis.qualityPercentiles(t(s, dir, "documents"), 0.55)),
     "corpus_dedup_report" -> ((s, dir) => Dedup.dedupReport(t(s, dir, "documents"), 0.5)),
     "q_order_gaps" -> (Analytics.orderGaps _),
+    "ts_seasonality_strength" -> ((s, dir) =>
+      Tsdb.seasonalityStrength(Tsdb.points1(t(s, dir, "events")))),
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), 40)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1142,6 +1146,19 @@ object SparkEntry {
                 est_count + tot_kth - present_kth AS upper_bound
          FROM m CROSS JOIN tot
          ORDER BY est_count DESC, user_id LIMIT 10""",
+
+    "ts_seasonality_strength" -> s"""$store1,
+         sl AS (SELECT f1, dayofweek(bucket) AS dow, extract(hour FROM bucket) AS hod,
+                       CAST(count(*) AS DOUBLE) AS cnt, sum(total) AS s,
+                       sum(total * total) AS ss
+                FROM store GROUP BY 1, 2, 3),
+         st AS (SELECT f1, sum(cnt) AS n, sum(s) AS sx, sum(ss) AS sxx,
+                       sum(s * s / cnt) AS ssb_raw
+                FROM sl GROUP BY 1)
+         SELECT f1, CAST(n AS BIGINT) AS n_buckets,
+                floor(((ssb_raw - sx * sx / n) / (sxx - sx * sx / n))
+                      * 10000.0 + 0.5) / 10000.0 AS strength
+         FROM st""",
 
     "ts_slo_streaks" ->
       """WITH ph AS (SELECT date_trunc('hour', ts) AS h,

@@ -1212,6 +1212,30 @@ object Tsdb {
         rd4(avg(abs(col("forecast") - col("actual")) / col("actual"))).as("mape"))
   }
 
+  /** Seasonality strength per series: the fraction of hourly-total
+    * variance explained by the (day-of-week × hour) slot means —
+    * SS_between / SS_total from explicit sums (the one-way ANOVA R²).
+    * ≈1 means the series is almost pure weekly pattern (downsample
+    * aggressively, alert on deviation-from-baseline); ≈0 means the slot
+    * baseline of [[seasonalBaseline]] carries no signal. Two cascaded
+    * aggregations, slot table is tiny (|series|·168).
+    */
+  def seasonalityStrength(pts1: DataFrame): DataFrame =
+    pts1
+      .withColumn("dow", dayofweek(col("bucket")) - 1)
+      .withColumn("hod", hour(col("bucket")))
+      .groupBy(col("f1"), col("dow"), col("hod"))
+      .agg(count(lit(1)).cast("double").as("cnt"), sum(col("total")).as("s"),
+        sum(col("total") * col("total")).as("ss"))
+      .groupBy(col("f1"))
+      .agg(sum(col("cnt")).as("n"), sum(col("s")).as("sx"),
+        sum(col("ss")).as("sxx"),
+        sum(col("s") * col("s") / col("cnt")).as("ssb_raw"))
+      .select(col("f1"), col("n").cast("long").as("n_buckets"),
+        graft.functions.Hashing.rd4(
+          (col("ssb_raw") - col("sx") * col("sx") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("strength"))
+
   /** SLO incident list (gaps-and-islands): consecutive BAD hours (error
     * fraction above budget) merge into incidents via the classic
     * bucket-minus-rank grouping; each incident reports its span and

@@ -412,6 +412,29 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(col("tot") / (col("k") * col("n_tokens"))).as("weight"))
   }
 
+  /** Vocabulary coverage / OOV rate: rank the corpus vocabulary by
+    * frequency (ties → lexicographic), keep the top `vocabSize` types,
+    * and report each doc's covered-token fraction — the report that
+    * sizes a tokenizer vocabulary (coverage vs table size). The rank
+    * window runs on the VOCABULARY (types, not tokens); at larger scale
+    * substitute a frequency threshold from a histogram for the exact
+    * global rank, the per-doc side is unchanged.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rnk") <= vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    tk.join(vocab, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+      .withColumn("coverage", graft.functions.Hashing.rd4(
+        lit(1.0) - col("n_oov") / col("n_tokens")))
+  }
+
   /** Per-language quality-score distribution: exact p10/p50/p90 of the
     * composite quality score plus the below-threshold fraction — the
     * report that decides where a curation pipeline's quality cut should

@@ -69,6 +69,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(declarative == batched)
   }
 
+  test("vocabCoverage: top-N vocab covers frequent tokens, flags OOV") {
+    // freq: a:3, b:2, c:1 → vocab of 2 = {a, b}; doc 2's 'c' is OOV
+    val d = docsDf(Seq((1L, "a a b"), (2L, "a b c")))
+    val r = graft.operators.TextAnalysis.vocabCoverage(d, 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_oov"), x.getAs[Double]("coverage"))).toMap
+    assert(r(1L) == (0L, 1.0))
+    assert(r(2L) == (1L, 0.6667))
+  }
+
   test("qualityPercentiles: identical docs collapse the distribution") {
     import spark.implicits._
     val d = Seq.tabulate(4)(i =>

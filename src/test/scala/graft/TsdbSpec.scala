@@ -477,6 +477,27 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_buckets") == 3L)
   }
 
+  test("seasonalityStrength: pure slot pattern → 1, flat series has no variance ratio") {
+    // two weeks, same (dow, hour) slots carry identical values 10/20 →
+    // all variance lives between slots → strength 1.0
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "view", 1L, 10.0),
+      ("2024-01-01 01:10:00", "view", 1L, 20.0),
+      ("2024-01-08 00:10:00", "view", 1L, 10.0),
+      ("2024-01-08 01:10:00", "view", 1L, 20.0)))
+    val r = Tsdb.seasonalityStrength(Tsdb.points1(ev)).head()
+    assert(r.getAs[Long]("n_buckets") == 4L)
+    assert(r.getAs[Double]("strength") == 1.0)
+    // same slots but week 2 doubled → within-slot variance appears
+    val noisy = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "view", 1L, 10.0),
+      ("2024-01-01 01:10:00", "view", 1L, 20.0),
+      ("2024-01-08 00:10:00", "view", 1L, 20.0),
+      ("2024-01-08 01:10:00", "view", 1L, 40.0)))
+    val s2 = Tsdb.seasonalityStrength(Tsdb.points1(noisy)).head().getAs[Double]("strength")
+    assert(s2 < 1.0 && s2 > 0.0)
+  }
+
   test("sloStreaks: consecutive bad hours merge into one incident") {
     // hours 0,1 bad (2 errors / 2 events), hour 2 good, hour 4 bad →
     // incidents [00-01] (2h) and [04] (1h)
