@@ -256,6 +256,15 @@ object PipelineOracles {
               min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1""",
 
+    "dedup_threshold_curve" -> s"""${minhashWith(0.2)},
+         bk AS (SELECT floor(jaccard * 10.0) / 10.0 AS j_bucket, count(*) AS n_pairs
+                FROM pairs GROUP BY 1)
+         SELECT j_bucket, n_pairs,
+                CAST(sum(n_pairs) OVER (ORDER BY j_bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_pairs_at_or_above
+         FROM bk""",
+
     "text_vocab_coverage" -> """WITH tk AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
            FROM documents),

@@ -224,6 +224,8 @@ object SparkEntry {
       Tsdb.seasonalityStrength(Tsdb.points1(t(s, dir, "events")))),
     "text_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), 40)),
+    "dedup_threshold_curve" -> ((s, dir) =>
+      Dedup.thresholdCurve(t(s, dir, "documents"), 0.2)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

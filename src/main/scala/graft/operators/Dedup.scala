@@ -111,6 +111,23 @@ object Dedup {
         lit(1.0) - col("n_dropped") / col("n_docs")))
   }
 
+  /** Threshold calibration curve: LSH-candidate pairs verified at a low
+    * floor, bucketed by Jaccard decile with cumulative pair counts —
+    * read it to see how many near-dup pairs each candidate threshold
+    * would keep BEFORE committing a full dedup run. The cumulative
+    * window runs over ≤10 decile rows.
+    */
+  def thresholdCurve(docs: DataFrame, floorJ: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("j_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    minhashLsh(docs, floorJ)
+      .withColumn("j_bucket", floor(col("jaccard") * 10.0) / 10.0)
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
+  }
+
   /** Jaccard for doc pairs from a cached shingle table. With `candidates`,
     * the shingle table is first restricted to candidate docs (MinHash-LSH
     * path) so the shingle join only touches candidate pairs.

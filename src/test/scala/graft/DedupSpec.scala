@@ -146,6 +146,17 @@ class DedupSpec extends SparkSpec {
       x.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("thresholdCurve: deciles bucket verified pairs, cumulative from the top") {
+    val r = Dedup.thresholdCurve(docs, 0.2).orderBy(col("j_bucket").desc).collect()
+    // docs 1/2 identical (J=1.0 → bucket 1.0); 1/3 and 2/3 near (one
+    // token differs); cumulative counts never decrease going down
+    assert(r.head.getAs[Double]("j_bucket") == 1.0)
+    assert(r.head.getAs[Long]("n_pairs") == 1L)
+    val cums = r.map(_.getAs[Long]("n_pairs_at_or_above")).toSeq
+    assert(cums == cums.sorted)
+    assert(cums.last == r.map(_.getAs[Long]("n_pairs")).sum)
+  }
+
   test("dedupReport: exact dups counted, near-dups dropped, keep rate") {
     import spark.implicits._
     val d = Seq(

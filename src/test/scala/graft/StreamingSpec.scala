@@ -293,4 +293,26 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_.alarm) == Seq(false, false, true, false))
     } finally q.stop()
   }
+
+  test("streaming quality gate: batch curation projections run on streams unchanged") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // withQuality/withLangId are pure projections (no shuffle, no state),
+    // so the BATCH operators gate a stream as-is — one code path for both
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.operators.TextAnalysis
+      .withQuality(input.toDF().toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.col("quality") >= 0.3)
+      .select("doc_id", "quality")
+    val q = gated.writeStream.format("memory").queryName("quality_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "the cat sat on the mat at the end of a story"),
+        (2L, "!!!! ???? ...."))  // low quality, filtered out
+      q.processAllAvailable()
+      val kept = spark.table("quality_gate").collect().map(_.getAs[Long]("doc_id"))
+      assert(kept.toSeq == Seq(1L))
+    } finally q.stop()
+  }
 }
