@@ -1023,6 +1023,45 @@ object PipelineOracles {
          LEFT JOIN ht ON ht.query_id = bf.query_id
          GROUP BY 1""",
 
+    "ann_recall_multiprobe" -> s"""WITH $nrm, $sigs,
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM bsc) WHERE rnk <= 5),
+         lq AS (SELECT q.query_id, q.qv, s.sig FROM q JOIN sigs s ON s.vec_id = q.query_id),
+         qp AS (SELECT query_id, qv,
+                       CASE WHEN g.p = -1 THEN sig
+                            ELSE xor(sig, CAST(1 AS BIGINT) << g.p) END AS probe
+                FROM lq CROSS JOIN (SELECT unnest(generate_series(-1, ${Similarity.NumPlanes - 1})) AS p) g),
+         msc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM qp
+                 JOIN sigs cs ON cs.sig = qp.probe
+                 JOIN embeddings c ON c.vec_id = cs.vec_id AND c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         ap AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM msc) WHERE rnk <= 5),
+         fnd AS (SELECT query_id, count(*) AS n_found FROM ap GROUP BY 1),
+         ht AS (SELECT query_id, count(*) AS n_hits
+                FROM bf JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT bf.query_id, count(*) AS n_true,
+                CAST(coalesce(max(fnd.n_found), 0) AS BIGINT) AS n_found,
+                CAST(coalesce(max(ht.n_hits), 0) AS BIGINT) AS n_hits,
+                floor((coalesce(max(ht.n_hits), 0) / 5.0) * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM bf
+         LEFT JOIN fnd ON fnd.query_id = bf.query_id
+         LEFT JOIN ht ON ht.query_id = bf.query_id
+         GROUP BY 1""",
+
     "seq_packing" -> """WITH t1 AS (
            SELECT doc_id, lang,
                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens

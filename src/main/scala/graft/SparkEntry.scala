@@ -226,6 +226,9 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), 40)),
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurve(t(s, dir, "documents"), 0.2)),
+    "ts_mttr" -> ((s, dir) => Tsdb.mttr(t(s, dir, "events"), 0.25)),
+    "ann_recall_multiprobe" -> ((s, dir) =>
+      Similarity.recallEvalMultiProbe(t(s, dir, "embeddings"), 10, 5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -1175,6 +1178,27 @@ object SparkEntry {
          SELECT min(h) AS incident_start, max(h) AS incident_end,
                 count(*) AS n_hours
          FROM g GROUP BY grp""",
+
+    "ts_mttr" ->
+      """WITH ph AS (SELECT date_trunc('hour', ts) AS h,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+                count(*) AS n_all
+              FROM events GROUP BY 1),
+         bad AS (SELECT h FROM ph WHERE n_err * 1.0 / n_all > 0.25),
+         g AS (SELECT h,
+                      CAST(epoch(h) AS BIGINT) // 3600
+                        - row_number() OVER (ORDER BY h) AS grp
+               FROM bad),
+         inc AS (SELECT min(h) AS incident_start, count(*) AS n_hours
+                 FROM g GROUP BY grp),
+         nx AS (SELECT n_hours, epoch(incident_start) AS st,
+                       lead(epoch(incident_start)) OVER (ORDER BY incident_start) AS next_st
+                FROM inc)
+         SELECT count(*) AS n_incidents,
+                CAST(sum(n_hours) AS BIGINT) AS total_bad_hours,
+                floor((sum(n_hours) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS mttr_hours,
+                floor(avg((next_st - st) / 3600.0) * 10000.0 + 0.5) / 10000.0 AS mtbf_hours
+         FROM nx""",
 
     "ts_props_funnel" ->
       """WITH fk AS (SELECT user_id,

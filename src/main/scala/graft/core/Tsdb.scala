@@ -1259,6 +1259,27 @@ object Tsdb {
       .select(col("incident_start"), col("incident_end"), col("n_hours"))
   }
 
+  /** Reliability summary over the [[sloStreaks]] incidents: incident
+    * count, total bad hours, MTTR (mean incident length) and MTBF (mean
+    * hours from one incident's start to the next's — NULL with fewer
+    * than two incidents). One more aggregation over the tiny incident
+    * table; means are rd4 ratios of integer sums.
+    */
+  def mttr(events: DataFrame, budget: Double): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    val inc = sloStreaks(events, budget)
+    val w = Window.orderBy(col("incident_start"))
+    inc
+      .withColumn("next_start",
+        lead(unix_timestamp(col("incident_start")), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_incidents"),
+        sum(col("n_hours")).as("total_bad_hours"),
+        rd4(sum(col("n_hours")) / count(lit(1))).as("mttr_hours"),
+        rd4(avg((col("next_start") - unix_timestamp(col("incident_start"))) / 3600.0))
+          .as("mtbf_hours"))
+  }
+
   /** Bounded-error distributed top-k (heavy hitters): each day keeps
     * only its local top-`k` users (plus that day's k-th count), and the
     * global estimate merges the per-day summaries — the classic

@@ -628,10 +628,20 @@ object Similarity {
     * with zero hits (left joins). Scale: ground truth is O(nQueries · n)
     * but nQueries is a fixed eval sample, never the corpus.
     */
-  def recallEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def recallEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallEvalOf(emb, nQueries, k, lshTopK)
+
+  /** [[recallEval]] for the multi-probe index — run both and diff the
+    * recall columns to price the (planes+1)× candidate cost.
+    */
+  def recallEvalMultiProbe(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallEvalOf(emb, nQueries, k, (e, n, kk) => multiProbeTopK(e, n, kk))
+
+  private def recallEvalOf(emb: DataFrame, nQueries: Int, k: Int,
+      ann: (DataFrame, Int, Int) => DataFrame): DataFrame = {
     val bf = bruteForceTopK(emb, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    val ap = lshTopK(emb, nQueries, k)
+    val ap = ann(emb, nQueries, k)
       .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
     val found = ap.groupBy(col("aq").as("query_id"))
       .agg(count(lit(1)).as("n_found"))

@@ -139,6 +139,15 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("recallEvalMultiProbe: multi-probe recall never below single-bucket") {
+    val single = Similarity.recallEval(emb, 2, 2).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    val multi = Similarity.recallEvalMultiProbe(emb, 2, 2).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    assert(multi.keySet == single.keySet)
+    assert(single.forall { case (q, r) => multi(q) >= r })
+  }
+
   test("knnLabel: majority vote of top-k neighbors predicts the label") {
     // query 0 (label 0), k=3 neighbors: 1 (label 0), 3 (label 1),
     // 2 (label 0) → votes {0: 2, 1: 1} → pred 0, correct

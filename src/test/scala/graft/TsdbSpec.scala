@@ -512,6 +512,20 @@ class TsdbSpec extends SparkSpec {
     assert(r.last.getAs[Long]("n_hours") == 1L)
   }
 
+  test("mttr: mean incident length and mean start-to-start gap") {
+    // incidents [00-01] (2h) and [04] (1h) → mttr 1.5h, mtbf 4h
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "error", 1L, 1.0),
+      ("2024-01-01 01:10:00", "error", 2L, 1.0),
+      ("2024-01-01 02:10:00", "view", 3L, 1.0),
+      ("2024-01-01 04:10:00", "error", 4L, 1.0)))
+    val r = Tsdb.mttr(ev, 0.25).head()
+    assert(r.getAs[Long]("n_incidents") == 2L)
+    assert(r.getAs[Long]("total_bad_hours") == 3L)
+    assert(r.getAs[Double]("mttr_hours") == 1.5)
+    assert(r.getAs[Double]("mtbf_hours") == 4.0)
+  }
+
   test("propsFunnel: conversion split by the FIRST event's prop segment") {
     import spark.implicits._
     // u1: first event k=80 (high), signup→purchase converts
