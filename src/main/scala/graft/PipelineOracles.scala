@@ -1062,6 +1062,52 @@ object PipelineOracles {
          LEFT JOIN ht ON ht.query_id = bf.query_id
          GROUP BY 1""",
 
+    "ann_recall_ivf" -> s"""WITH $nrm,
+         flat AS (SELECT label, i.pos, embedding[i.pos]::DOUBLE AS v
+                  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         cent AS (SELECT label, pos,
+                         CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 10000000.0 / count(*) AS cv
+                  FROM flat GROUP BY 1, 2),
+         cvecs AS (SELECT label, list(CAST(cv AS REAL) ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+         cn AS (SELECT label, cvec, sqrt(${dot64("cvec", "cvec")}) AS cnrm FROM cvecs),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM bsc) WHERE rnk <= 5),
+         pr AS (SELECT query_id, cn.label,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY ${dot64("qv", "cvec")} / (nq.nrm * cn.cnrm) DESC, cn.label) AS crnk
+                FROM q JOIN nrm nq ON nq.vec_id = query_id CROSS JOIN cn),
+         probes AS (SELECT query_id, label FROM pr WHERE crnk <= 2),
+         isc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM probes p JOIN q ON q.query_id = p.query_id
+                 JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+                 JOIN nrm nq ON nq.vec_id = p.query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         ap AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM isc) WHERE rnk <= 5),
+         fnd AS (SELECT query_id, count(*) AS n_found FROM ap GROUP BY 1),
+         ht AS (SELECT query_id, count(*) AS n_hits
+                FROM bf JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT bf.query_id, count(*) AS n_true,
+                CAST(coalesce(max(fnd.n_found), 0) AS BIGINT) AS n_found,
+                CAST(coalesce(max(ht.n_hits), 0) AS BIGINT) AS n_hits,
+                floor((coalesce(max(ht.n_hits), 0) / 5.0) * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM bf
+         LEFT JOIN fnd ON fnd.query_id = bf.query_id
+         LEFT JOIN ht ON ht.query_id = bf.query_id
+         GROUP BY 1""",
+
     "seq_packing" -> """WITH t1 AS (
            SELECT doc_id, lang,
                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens

@@ -229,6 +229,8 @@ object SparkEntry {
     "ts_mttr" -> ((s, dir) => Tsdb.mttr(t(s, dir, "events"), 0.25)),
     "ann_recall_multiprobe" -> ((s, dir) =>
       Similarity.recallEvalMultiProbe(t(s, dir, "embeddings"), 10, 5)),
+    "ann_recall_ivf" -> ((s, dir) =>
+      Similarity.recallEvalIvf(t(s, dir, "embeddings"), 10, 5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

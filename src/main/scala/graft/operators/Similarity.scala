@@ -637,6 +637,10 @@ object Similarity {
   def recallEvalMultiProbe(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
     recallEvalOf(emb, nQueries, k, (e, n, kk) => multiProbeTopK(e, n, kk))
 
+  /** [[recallEval]] for the label-partition IVF index (probe-2). */
+  def recallEvalIvf(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallEvalOf(emb, nQueries, k, (e, n, kk) => ivfTopK(e, n, kk))
+
   private def recallEvalOf(emb: DataFrame, nQueries: Int, k: Int,
       ann: (DataFrame, Int, Int) => DataFrame): DataFrame = {
     val bf = bruteForceTopK(emb, nQueries, k)
