@@ -265,13 +265,18 @@ object PipelineOracles {
                   AS n_pairs_at_or_above
          FROM bk""",
 
+    // band-threshold vocabulary (twin of TextAnalysis.vocabCoverage):
+    // admit whole frequency bands while the cumulative type count fits
     "text_vocab_coverage" -> """WITH tk AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
            FROM documents),
-         vocab AS (SELECT tok FROM (
-             SELECT tok, count(*) AS cnt,
-                    row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
-             FROM tk GROUP BY tok) WHERE rnk <= 40)
+         vc AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         ff AS (SELECT cnt, count(*) AS n_types FROM vc GROUP BY 1),
+         cum AS (SELECT cnt, sum(n_types) OVER (ORDER BY cnt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_or_above
+                 FROM ff),
+         cs AS (SELECT min(cnt) AS cstar FROM cum WHERE n_at_or_above <= 12),
+         vocab AS (SELECT tok FROM vc CROSS JOIN cs WHERE cnt >= cstar)
          SELECT doc_id, count(*) AS n_tokens,
                 CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                 floor((1.0 - sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0

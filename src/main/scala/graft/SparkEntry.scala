@@ -222,8 +222,10 @@ object SparkEntry {
     "q_order_gaps" -> (Analytics.orderGaps _),
     "ts_seasonality_strength" -> ((s, dir) =>
       Tsdb.seasonalityStrength(Tsdb.points1(t(s, dir, "events")))),
+    // 12 < |corpus vocabulary| at every test SF, so the band cutoff is
+    // genuinely exercised (40 admitted the whole synthetic vocabulary)
     "text_vocab_coverage" -> ((s, dir) =>
-      TextAnalysis.vocabCoverage(t(s, dir, "documents"), 40)),
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), 12)),
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurve(t(s, dir, "documents"), 0.2)),
     "ts_mttr" -> ((s, dir) => Tsdb.mttr(t(s, dir, "events"), 0.25)),

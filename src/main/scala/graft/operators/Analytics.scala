@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Ranking, Tables}
 
 /** General OLAP queries (TPC-H-shaped) over the star schema.
   *
@@ -433,14 +433,6 @@ object Analytics {
       .limit(20)
   }
 
-  /** Customer-value decile report: per-customer revenue → NTILE(10)
-    * deciles → per-decile volume/revenue summary (the marketing LTV
-    * cut). Revenue lands on the 2-dec grid BEFORE ranking and the tie
-    * break is the key, so decile boundaries are deterministic on any
-    * engine. The global ntile sort runs on the per-customer aggregate
-    * (|customers| rows), never on lineitem; at larger scale swap ntile
-    * for a quantile-sketch cut of the same aggregate.
-    */
   /** Inter-order gap analysis: days between a customer's consecutive
     * orders (lag window per customer), summarized per market segment —
     * the purchase-cadence read behind retention/replenishment models.
@@ -481,12 +473,25 @@ object Analytics {
         (col("revenue") - col("prev_revenue")) / col("prev_revenue")))
   }
 
+  /** Per-customer revenue aggregate shared by the decile / pareto cuts:
+    * revenue lands on the 2-dec grid BEFORE ranking and the tie break is
+    * the key, so rank order is deterministic on any engine.
+    */
+  private def customerRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
   /** RFM segmentation: per-customer Recency (last order date),
     * Frequency (order count) and Monetary (total spend), each quartiled
-    * by NTILE(4) with key tie-breaks (1 = best), concatenated into the
-    * classic 'rfm' segment code. Windows run on the |customers|-row
-    * aggregate; at larger scale replace ntile with quantile-sketch cuts
-    * of the same aggregate.
+    * with key tie-breaks (1 = best), concatenated into the classic 'rfm'
+    * segment code. Quartiles are EXACT NTILE(4) semantics but computed by
+    * [[graft.core.Ranking.withGlobalRank]] — a range shuffle + broadcast
+    * offsets, NOT an unpartitioned window — so no |customers|-sized table
+    * ever funnels through one task; the three rank passes and the final
+    * key joins are all 32-way parallel.
     */
   def rfm(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
@@ -494,55 +499,50 @@ object Analytics {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
-    def quartile(order: Seq[org.apache.spark.sql.Column]) =
-      ntile(4).over(Window.orderBy(order: _*)).cast("long")
+      .localCheckpoint() // computed once, read by three rank passes
+    def quartile(order: Seq[org.apache.spark.sql.Column], name: String) =
+      Ranking.withGlobalRank(base, order, "__rnk", Some("__tot"))
+        .select(col("o_custkey"),
+          Ranking.ntileOfRank(4, col("__rnk"), col("__tot")).as(name))
     base
-      .withColumn("r_score", quartile(Seq(col("last_order").desc, col("o_custkey"))))
-      .withColumn("f_score", quartile(Seq(col("frequency").desc, col("o_custkey"))))
-      .withColumn("m_score", quartile(Seq(col("monetary").desc, col("o_custkey"))))
+      .join(quartile(Seq(col("last_order").desc, col("o_custkey")), "r_score"), "o_custkey")
+      .join(quartile(Seq(col("frequency").desc, col("o_custkey")), "f_score"), "o_custkey")
+      .join(quartile(Seq(col("monetary").desc, col("o_custkey")), "m_score"), "o_custkey")
       .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
   }
 
   /** Pareto analysis: the smallest customer set covering 80% of revenue.
-    * Cumulative share runs over the ORDERED per-customer aggregate
-    * (revenue desc, key tie-break), so the window summation order — and
-    * with it every cumulative value — is identical on any engine. A
-    * customer is kept while the share BEFORE them is under the cut, so
-    * the row that crosses 80% is included. Windows run on |customers|
-    * rows, never on lineitem.
+    * The cumulative sum over the ORDERED per-customer aggregate (revenue
+    * desc, key tie-break) runs through [[graft.core.Ranking.withRunningSum]]
+    * — per-range-partition running sums plus broadcast partial-sum offsets
+    * — so the scan is 32-way parallel instead of one unpartitioned window
+    * task. Summation grouping differs from a sequential scan only at the
+    * 1e-13 ULP level, absorbed by the rd4 grid (5e-5 slack). A customer is
+    * kept while the share BEFORE them is under the cut, so the row that
+    * crosses 80% is included.
     */
-  def paretoCustomers(s: SparkSession, dir: String, cut: Double = 0.8): DataFrame = {
-    val rev = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
-    val ordered = Window.orderBy(col("revenue").desc, col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(lit(1))
-    rev
-      .withColumn("cum", sum(col("revenue")).over(ordered))
-      .withColumn("tot", sum(col("revenue")).over(all))
+  def paretoCustomers(s: SparkSession, dir: String, cut: Double = 0.8): DataFrame =
+    Ranking.withRunningSum(customerRevenue(s, dir), None,
+        Seq(col("revenue").desc, col("o_custkey")), col("revenue"), "cum", Some("tot"))
       .filter((col("cum") - col("revenue")) / col("tot") < cut)
       .select(col("o_custkey"), col("revenue"),
         graft.functions.Hashing.rd4(col("cum") / col("tot")).as("cum_share"))
-  }
 
-  def revenueDeciles(s: SparkSession, dir: String): DataFrame = {
-    val rev = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
-    rev
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("revenue").desc, col("o_custkey"))).cast("long"))
+  /** Customer-value decile report: per-customer revenue → exact NTILE(10)
+    * deciles → per-decile volume/revenue summary (the marketing LTV cut).
+    * Decile assignment is rank-based via [[graft.core.Ranking]] (range
+    * shuffle + broadcast offsets, no unpartitioned window), then a
+    * 10-group aggregate.
+    */
+  def revenueDeciles(s: SparkSession, dir: String): DataFrame =
+    Ranking.withGlobalRank(customerRevenue(s, dir),
+        Seq(col("revenue").desc, col("o_custkey")), "__rnk", Some("__tot"))
+      .withColumn("decile", Ranking.ntileOfRank(10, col("__rnk"), col("__tot")))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("revenue")), 2).as("total_revenue"),
         min(col("revenue")).as("min_revenue"),
         max(col("revenue")).as("max_revenue"))
-  }
 }

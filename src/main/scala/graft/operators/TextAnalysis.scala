@@ -375,16 +375,18 @@ object TextAnalysis {
     * reports its stream offset and the first/last sequence it lands in
     * (docs cross sequence boundaries, as in standard pretraining
     * packing). All integer arithmetic (prefix sum + integer division) —
-    * exact on any engine. The running sum partitions by language, so
-    * each stratum packs independently and in parallel; no global window.
+    * exact on any engine. The per-language prefix sum runs through
+    * [[graft.core.Ranking.withRunningSum]]: range partitioning on
+    * (lang, doc_id) lets ONE language span MANY partitions, with
+    * broadcast partial-sum offsets stitching the stream back together —
+    * a mono-lingual corpus no longer serializes into one task.
     */
   def seqPack(docs: DataFrame, budget: Int): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val base = docs
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("end_off", sum(col("n_tokens")).over(w))
+    graft.core.Ranking
+      .withRunningSum(base, Some("lang"), Seq(col("doc_id")), col("n_tokens"), "end_off")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("end_off") - col("n_tokens")).as("start_off"),
         expr(s"(end_off - n_tokens) div $budget").as("first_seq"),
@@ -412,20 +414,29 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(col("tot") / (col("k") * col("n_tokens"))).as("weight"))
   }
 
-  /** Vocabulary coverage / OOV rate: rank the corpus vocabulary by
-    * frequency (ties → lexicographic), keep the top `vocabSize` types,
-    * and report each doc's covered-token fraction — the report that
-    * sizes a tokenizer vocabulary (coverage vs table size). The rank
-    * window runs on the VOCABULARY (types, not tokens); at larger scale
-    * substitute a frequency threshold from a histogram for the exact
-    * global rank, the per-doc side is unchanged.
+  /** Vocabulary coverage / OOV rate: keep the most frequent types and
+    * report each doc's covered-token fraction — the report that sizes a
+    * tokenizer vocabulary (coverage vs table size). The vocabulary cut is
+    * a FREQUENCY THRESHOLD from the frequency-of-frequencies histogram:
+    * whole frequency bands are admitted while the running type count
+    * stays ≤ `vocabSize` (so the kept set has ≤ vocabSize types — a band
+    * that would overflow the table is dropped entirely). No exact global
+    * rank over the vocabulary: the histogram has one row per DISTINCT
+    * frequency (≈√total tokens by Zipf — thousands, not billions), its
+    * descending cumulative count runs through
+    * [[graft.core.Ranking.withRunningSum]], and the threshold comes back
+    * as a 1-row broadcast.
     */
   def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
     val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok"))))
-      .filter(col("rnk") <= vocabSize)
+    val vocabCnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ff = vocabCnt.groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
+    val cstar = graft.core.Ranking
+      .withRunningSum(ff, None, Seq(col("cnt").desc), col("n_types"), "n_at_or_above")
+      .filter(col("n_at_or_above") <= vocabSize)
+      .agg(min(col("cnt")).as("cstar"))
+    val vocab = vocabCnt.crossJoin(broadcast(cstar))
+      .filter(col("cnt") >= col("cstar"))
       .select(col("tok"), lit(true).as("in_vocab"))
     tk.join(vocab, Seq("tok"), "left")
       .groupBy(col("doc_id"))

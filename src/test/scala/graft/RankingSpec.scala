@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Ranking
+
+/** Two-phase rank / running-sum helpers must be bit-identical to the
+  * single-task window shapes they replace (row_number / NTILE / running
+  * sum), across partition boundaries, strata, and bucket-remainder cases.
+  */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample(n: Int) =
+    (1 to n).map(i => ((i * 7919) % 1000, i.toLong)).toDF("v", "k")
+
+  test("withGlobalRank equals global row_number for a total order") {
+    val df = sample(257)
+    val got = Ranking.withGlobalRank(df, Seq(col("v").desc, col("k")), "rnk",
+      Some("tot"), numParts = 7)
+    val want = df.withColumn("rnk",
+      row_number().over(Window.orderBy(col("v").desc, col("k"))).cast("long"))
+    assert(got.select("k", "rnk").except(want.select("k", "rnk")).isEmpty)
+    assert(got.select("tot").distinct().as[Long].collect().toSeq == Seq(257L))
+  }
+
+  test("ntileOfRank matches window NTILE incl. remainder buckets") {
+    for (n <- Seq(4, 10); rows <- Seq(7, 40, 257)) {
+      val df = sample(rows)
+      val got = Ranking.withGlobalRank(df, Seq(col("v"), col("k")), "rnk",
+          Some("tot"), numParts = 5)
+        .select(col("k"), Ranking.ntileOfRank(n, col("rnk"), col("tot")).as("b"))
+      val want = df.select(col("k"),
+        ntile(n).over(Window.orderBy(col("v"), col("k"))).cast("long").as("b"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"ntile($n) over $rows rows diverged")
+    }
+  }
+
+  test("withRunningSum equals sequential running sum (global, long)") {
+    val df = sample(100).withColumn("val", col("v").cast("long"))
+    val got = Ranking.withRunningSum(df, None, Seq(col("k")), col("val"),
+      "cum", Some("tot"), numParts = 6)
+    val want = df.withColumn("cum", sum(col("val")).over(
+      Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.select("k", "cum").except(want.select("k", "cum")).isEmpty)
+    val t = df.agg(sum("val")).as[Long].head()
+    assert(got.select("tot").distinct().as[Long].collect().toSeq == Seq(t))
+  }
+
+  test("withRunningSum restarts per stratum and spreads one stratum over partitions") {
+    // one fat stratum ("en") dominating — the exact shape that used to be
+    // a one-task-per-language window
+    val df = (1 to 300).map(i => (if (i % 10 == 0) "de" else "en", i.toLong, (i % 13).toLong))
+      .toDF("lang", "k", "val")
+    val got = Ranking.withRunningSum(df, Some("lang"), Seq(col("k")), col("val"),
+      "cum", Some("tot"), numParts = 8)
+    val w = Window.partitionBy(col("lang")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("val")).over(w))
+      .withColumn("tot", sum(col("val")).over(Window.partitionBy(col("lang"))))
+    assert(got.select("lang", "k", "cum", "tot")
+      .except(want.select("lang", "k", "cum", "tot")).isEmpty)
+  }
+
+  test("rewritten decile/rfm/pareto queries match their old window semantics") {
+    val dir = "/root/testdata/sf0.001"
+    // deciles: rank-based NTILE(10) must reproduce the window ntile version
+    val rev = SparkEntry.queries("q_revenue_deciles")(spark, dir)
+    val oldRev = graft.core.Tables.load(spark, dir, "orders")
+      .join(graft.core.Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("revenue").desc, col("o_custkey"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("revenue")), 2).as("total_revenue"),
+        min(col("revenue")).as("min_revenue"),
+        max(col("revenue")).as("max_revenue"))
+    assert(rev.except(oldRev).isEmpty && oldRev.except(rev).isEmpty)
+
+    // rfm: spot-check quartile population sizes (NTILE balance property)
+    val rfm = SparkEntry.queries("q_rfm")(spark, dir)
+    val byScore = rfm.groupBy("r_score").count().as[(Long, Long)].collect().toMap
+    assert(byScore.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byScore.values.max - byScore.values.min <= 1)
+
+    // pareto: kept set ends exactly where cumulative share crosses the cut
+    val p = SparkEntry.queries("q_pareto_customers")(spark, dir)
+      .orderBy(col("cum_share")).as[(Long, Double, Double)].collect()
+    assert(p.last._3 >= 0.8 && p.init.forall(_._3 < 0.8))
+  }
+}
