@@ -969,8 +969,10 @@ object SparkEntry {
                FROM fc JOIN store st2
                  ON st2.f1 = fc.f1 AND st2.bucket = fc.bucket + INTERVAL 1 HOUR)
          SELECT f1, count(*) AS n_evals,
+                CAST(sum(CASE WHEN actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_actual,
                 floor(avg(abs(forecast - actual)) * 10000.0 + 0.5) / 10000.0 AS mae,
-                floor(avg(abs(forecast - actual) / actual) * 10000.0 + 0.5) / 10000.0 AS mape
+                floor(avg(CASE WHEN actual <> 0
+                          THEN abs(forecast - actual) / actual END) * 10000.0 + 0.5) / 10000.0 AS mape
          FROM j GROUP BY 1""",
 
     "ts_pivot_wide" -> s"""$store1

@@ -134,6 +134,9 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
 
   /** Expire: physically drop epoch partitions older than `retentionEpochs`
     * counting back from the newest epoch present. Returns dropped epochs.
+    * The cascade materialization is invalidated in the same call: an
+    * expired epoch's cascade partition is dropped too, so [[cascade]]
+    * never serves epochs [[points]] no longer has.
     */
   def expire(): Seq[String] = {
     val root = Paths.get(dataDir)
@@ -146,7 +149,24 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     dropped.foreach { case (_, dir) =>
       Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
     }
+    dropEpochDirs(cascadeDir, dropped.map(_._1).toSet)
     dropped.map(_._1).sorted
+  }
+
+  private def cascadeDir = s"$path/cascade"
+
+  /** Drop the named epoch partition directories under `base` (no-op for
+    * epochs/dirs that don't exist) — the shared invalidation primitive
+    * for expire / deleteSeries.
+    */
+  private def dropEpochDirs(base: String, epochs: Set[String]): Unit = {
+    val root = Paths.get(base)
+    if (epochs.isEmpty || !Files.exists(root)) return
+    listEpochDirs(root)
+      .filter { case (e, _) => epochs.contains(e) }
+      .foreach { case (_, dir) =>
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      }
   }
 
   /** Sync: parquet appends are already durable; kept for API parity with
@@ -224,6 +244,13 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
 
   /** The materialized cascade (see [[refreshCascade]]); epoch kept as an
     * ISO string like [[points]].
+    *
+    * Invalidation contract: [[refreshCascade]] must be called after
+    * track/trackIncrements appends (naming the touched epochs);
+    * [[expire]] and [[deleteSeries]] maintain the cascade THEMSELVES
+    * (dropping expired / fully-deleted epoch partitions and re-deriving
+    * partially-deleted ones), so a cascade read never serves points that
+    * were expired or deleted from the store.
     */
   def cascade(): DataFrame =
     spark.read.parquet(s"$path/cascade")
@@ -287,6 +314,18 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
       .foreach { case (_, dir) =>
         Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
       }
+    // cascade invalidation: re-derive touched epochs that still have
+    // points (at the slot set the cascade was built with) and drop the
+    // partitions of epochs the delete emptied — refreshCascade's dynamic
+    // overwrite writes only partitions PRESENT in its output, so an
+    // emptied epoch must be dropped explicitly, like the points path.
+    if (Files.exists(Paths.get(cascadeDir))) {
+      val slots = cascade().select(col("res_hours")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val refreshable = touched.filter(surviving.contains)
+      if (refreshable.nonEmpty && slots.nonEmpty) refreshCascade(refreshable, slots)
+      dropEpochDirs(cascadeDir, touched.toSet -- surviving)
+    }
     victims.unpersist()
     nDeleted
   }

@@ -1020,9 +1020,11 @@ object Tsdb {
     * an alert fires only when BOTH windows burn faster than budget — the
     * standard fast-burn page condition (short window for speed, long
     * window to suppress blips). All rates are ratios of INTEGER window
-    * sums, so the doubles are bit-identical cross-engine. One small
-    * aggregation to per-bucket counts, one ordered window over the tiny
-    * bucket table.
+    * sums, so the doubles are bit-identical cross-engine. The hourly
+    * bucket table grows with retained history, so the trailing sums come
+    * from [[graft.core.Ranking.withRankAndSums]] — consecutive global
+    * ranks + cumulative counts, `trailing(r) = cum(r) - cum(r-longW)` by
+    * an equi-join on the rank — instead of a single-task ordered window.
     */
   def burnRate(events: DataFrame, budget: Double = 0.05, longW: Int = 6): DataFrame = {
     val perBucket = events
@@ -1030,13 +1032,16 @@ object Tsdb {
       .agg(
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
         count(lit(1)).as("n_all"))
-    val wl = Window.orderBy(col("bucket")).rowsBetween(-(longW - 1), Window.currentRow)
+    val ranked = graft.core.Ranking.withRankAndSums(perBucket, Seq(col("bucket")),
+      "__r", Seq(col("n_err") -> "__cerr", col("n_all") -> "__call"))
+    val lagged = ranked.select((col("__r") + longW).as("__r"),
+      col("__cerr").as("__lerr"), col("__call").as("__lall"))
     val rd4 = graft.functions.Hashing.rd4 _
     val burn1 = col("n_err").cast("double") / col("n_all") / budget
     val burnL = col("err_l").cast("double") / col("all_l") / budget
-    perBucket
-      .withColumn("err_l", sum(col("n_err")).over(wl))
-      .withColumn("all_l", sum(col("n_all")).over(wl))
+    ranked.join(lagged, Seq("__r"), "left")
+      .withColumn("err_l", col("__cerr") - coalesce(col("__lerr"), lit(0L)))
+      .withColumn("all_l", col("__call") - coalesce(col("__lall"), lit(0L)))
       .select(col("bucket"), col("n_err"), col("n_all"),
         rd4(burn1).as("burn_short"),
         rd4(burnL).as("burn_long"),
@@ -1196,7 +1201,11 @@ object Tsdb {
     * forecaster needs before its numbers are trusted. The forecast
     * column is already grid-rounded and bit-stable cross-engine, so the
     * per-row errors are deterministic; only the final averages need the
-    * rd4 grid. One self-join of two post-agg tables.
+    * rd4 grid. One self-join of two post-agg tables. MAPE is undefined
+    * where the actual is 0 — those buckets are EXCLUDED from the mape
+    * mean explicitly (and counted in n_zero_actual) on both engines;
+    * relying on the engine's division-by-zero convention would diverge
+    * (Spark NULL-drops the row, DuckDB propagates ±inf).
     */
   def forecastEval(pts1: DataFrame, alpha: Double): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
@@ -1208,8 +1217,10 @@ object Tsdb {
     fc.join(actual, Seq("f1", "bucket"))
       .groupBy(col("f1"))
       .agg(count(lit(1)).as("n_evals"),
+        sum(when(col("actual") === 0.0, 1L).otherwise(0L)).as("n_zero_actual"),
         rd4(avg(abs(col("forecast") - col("actual")))).as("mae"),
-        rd4(avg(abs(col("forecast") - col("actual")) / col("actual"))).as("mape"))
+        rd4(avg(when(col("actual") =!= 0.0,
+          abs(col("forecast") - col("actual")) / col("actual")))).as("mape"))
   }
 
   /** Seasonality strength per series: the fraction of hourly-total
@@ -1240,8 +1251,10 @@ object Tsdb {
     * fraction above budget) merge into incidents via the classic
     * bucket-minus-rank grouping; each incident reports its span and
     * length. The paging/alert-fatigue read on top of
-    * [[sloAvailability]]; all-integer bucket arithmetic, windows over
-    * the tiny bad-hour table only.
+    * [[sloAvailability]]; all-integer bucket arithmetic. The bad-hour
+    * table grows with retained history, so the island id comes from a
+    * [[graft.core.Ranking.withGlobalRank]] consecutive rank (range
+    * shuffle + broadcast offsets), not a single-task ordered window.
     */
   def sloStreaks(events: DataFrame, budget: Double): DataFrame = {
     val bad = events
@@ -1249,9 +1262,7 @@ object Tsdb {
       .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
         count(lit(1)).as("n_all"))
       .filter(col("n_err").cast("double") / col("n_all") > budget)
-    val w = Window.orderBy(col("h"))
-    bad
-      .withColumn("rn", row_number().over(w))
+    graft.core.Ranking.withGlobalRank(bad, Seq(col("h")), "rn")
       .withColumn("grp", expr("(unix_timestamp(h) div 3600) - rn"))
       .groupBy(col("grp"))
       .agg(min(col("h")).as("incident_start"), max(col("h")).as("incident_end"),
@@ -1262,16 +1273,18 @@ object Tsdb {
   /** Reliability summary over the [[sloStreaks]] incidents: incident
     * count, total bad hours, MTTR (mean incident length) and MTBF (mean
     * hours from one incident's start to the next's — NULL with fewer
-    * than two incidents). One more aggregation over the tiny incident
-    * table; means are rd4 ratios of integer sums.
+    * than two incidents). One more aggregation over the incident table;
+    * means are rd4 ratios of integer sums. `lead(incident_start)` is a
+    * rank-consecutive self-join (see [[burnRate]]) — no global window
+    * even if the incident list grows with retained history.
     */
   def mttr(events: DataFrame, budget: Double): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
-    val inc = sloStreaks(events, budget)
-    val w = Window.orderBy(col("incident_start"))
-    inc
-      .withColumn("next_start",
-        lead(unix_timestamp(col("incident_start")), 1).over(w))
+    val inc = graft.core.Ranking.withGlobalRank(
+      sloStreaks(events, budget), Seq(col("incident_start")), "__r")
+    val nxt = inc.select((col("__r") - 1).as("__r"),
+      unix_timestamp(col("incident_start")).as("next_start"))
+    inc.join(nxt, Seq("__r"), "left")
       .agg(
         count(lit(1)).as("n_incidents"),
         sum(col("n_hours")).as("total_bad_hours"),

@@ -224,4 +224,28 @@ class MetricStoreSpec extends SparkSpec {
     // a slot that crosses the epoch/day boundary is rejected
     intercept[IllegalArgumentException](store.refreshCascade(Seq("2024-01-01"), Seq(7)))
   }
+
+  test("expire and deleteSeries invalidate the cascade materialization") {
+    val dir = Files.createTempDirectory("graftstore_casc_inv").toString
+    val store = new MetricStore(spark, dir, StoreParams(retentionEpochs = 2))
+    store.track(mkEvents(Seq(
+      ("2024-01-01 01:00:00", "cpu", "alice", 8.0),
+      ("2024-01-02 02:00:00", "cpu", "alice", 2.0),
+      ("2024-01-02 03:00:00", "cpu", "bob", 5.0),
+      ("2024-01-03 04:00:00", "mem", "alice", 1.0))))
+    store.refreshCascade(Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+
+    // expire drops 2024-01-01 from points AND from the cascade
+    assert(store.expire() == Seq("2024-01-01"))
+    assert(store.cascade().filter(col("epoch") === "2024-01-01").isEmpty)
+
+    // deleting alice refreshes the partially-affected epoch (bob's rows
+    // survive with recomputed totals) and DROPS the epoch the delete
+    // emptied (2024-01-03 was alice-only) instead of leaving it stale
+    assert(store.deleteSeries(Seq(None, Some("alice"))) == 2L)
+    val day2 = store.cascade().filter(col("epoch") === "2024-01-02"
+      && col("res_hours") === 24 && col("depth") === 1).collect()
+    assert(day2.map(_.getAs[Double]("total")).toSeq == Seq(5.0))
+    assert(store.cascade().filter(col("epoch") === "2024-01-03").isEmpty)
+  }
 }
