@@ -459,9 +459,10 @@ object Tsdb {
 
   /** Contiguous runs of hourly buckets whose series total exceeds
     * `mult`×(series mean), merged into [win_start, win_end) intervals via
-    * islands-and-gaps. The threshold is a 1-row broadcast; the global
-    * window runs over qualifying *buckets* of one rolled-up series —
-    * bounded metadata, not raw events.
+    * islands-and-gaps. The threshold is a 1-row broadcast; the island id
+    * comes from a [[graft.core.Ranking.withGlobalRank]] consecutive rank
+    * (the qualifying-bucket list grows with retained history — no
+    * single-task ordered window).
     */
   def activityWindows(pts1: DataFrame, f1: String, mult: Double): DataFrame = {
     val ser = pts1.filter(col("f1") === f1)
@@ -469,9 +470,7 @@ object Tsdb {
     val qualifying = ser.crossJoin(broadcast(thr))
       .filter(col("total") > col("thr"))
       .select(col("bucket"))
-    val w = Window.orderBy(col("bucket"))
-    qualifying
-      .withColumn("rn", row_number().over(w))
+    graft.core.Ranking.withGlobalRank(qualifying, Seq(col("bucket")), "rn")
       .withColumn("island", (epochSec(col("bucket")) / 3600L).cast("long") - col("rn"))
       .groupBy(col("island"))
       .agg(min(col("bucket")).as("win_start"), max(col("bucket")).as("win_max"))

@@ -30,6 +30,84 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("EqualTo(event_type,purchase)"), "pattern predicate not pushed")
   }
 
+  test("no unpartitioned window over an unbounded input in any query plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    // A Window with an empty (or all-constant — partitionBy(lit(1)) is the
+    // same single task) partitionSpec funnels its whole input through ONE
+    // task. That is only acceptable when the input is bounded by
+    // construction: under a Limit, or named here with the reason the
+    // input cannot grow with the corpus.
+    val bounded: Map[String, String] = Map(
+      "domain_mix_weights" -> "input = per-source aggregate; sources are a fixed enum",
+      "dedup_threshold_curve" -> "input = fixed 10-row threshold-bucket grid")
+    def hasLimit(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, f) =>
+      val plan = f(spark, dir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if (w.partitionSpec.isEmpty ||
+          w.partitionSpec.forall(_.foldable)) && !hasLimit(w.child) => w
+      }
+      if (bad.nonEmpty && !bounded.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: ${offenders.mkString(", ")}")
+  }
+
+  test("explicit broadcast hints build only bounded tables") {
+    // A broadcast() HINT overrides Spark's size checks at ANY scale (a
+    // size-estimate auto-broadcast is AQE's call and reverses itself on a
+    // big cluster — hints don't). So every hinted build side must be
+    // bounded by construction: a Limit; an Aggregate (ours all group to
+    // bounded key spaces — centroids, sketches, thresholds, per-partition
+    // offsets); a driver-created local/RDD table; a fixed dim
+    // (nation/region); or the fixed query-vector sample (vec_id < k). A
+    // corpus-sized scan behind a hint fails here before it OOMs the
+    // driver of a 1000-executor job.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def bounded(p: LogicalPlan): Boolean = {
+      val shaped = p.collectFirst {
+        case _: GlobalLimit | _: LocalLimit => ()
+        case _: Aggregate => ()
+        case _: LocalRelation => ()
+        case _: LogicalRDD => ()
+        case f: Filter if f.condition.collectFirst {
+          case LessThan(a, _: Literal) if a.toString.contains("vec_id") => ()
+        }.nonEmpty => ()
+      }.nonEmpty
+      def dimOnly = {
+        val leaves = p.collectLeaves()
+        leaves.nonEmpty && leaves.forall {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.forall { rp =>
+                val s = rp.toString
+                s.contains("nation.parquet") || s.contains("region.parquet")
+              }
+            case _ => false
+          }
+          case _ => false
+        }
+      }
+      shaped || dimOnly
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, f) =>
+      val plan = f(spark, dir).queryExecution.optimizedPlan
+      val bad = plan.collect { case j: Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+          case (Some(h), side) if h.strategy.exists(_.toString.contains("broadcast"))
+            && !bounded(side) => side
+        }
+      }.flatten
+      if (bad.nonEmpty) Some(s"$name (${bad.size})") else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded explicit broadcast in: ${offenders.mkString(", ")}")
+  }
+
   test("column pruning: single-column projections do not scan full rows") {
     val plan = SparkEntry.queries("dedup_exact")(spark, dir)
       .queryExecution.executedPlan.toString
