@@ -1222,8 +1222,9 @@ object PipelineOracles {
          FROM st GROUP BY 1""",
 
     // SemDeDup replay: the same hash-seeded 2-round Lloyd training as
-    // ann_kmeans_topk, then within-cluster pairs instead of the IVF tail
-    "dedup_semantic" -> s"""WITH $nrm,
+    // ann_kmeans_topk, then within-cluster pairs — clusters over the size
+    // cap (64) are sub-blocked by LSH band exactly like the Spark side
+    "dedup_semantic" -> s"""WITH $nrm, $sigs,
          sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv
                 FROM embeddings),
          seeds AS (SELECT vec_id, embedding, hv,
@@ -1238,13 +1239,26 @@ object PipelineOracles {
                   ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
                 FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
          asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
-         pairs AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         szs AS (SELECT cid, count(*) AS csize FROM asnf GROUP BY 1),
+         cs AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM asnf a JOIN asnf b ON b.cid = a.cid AND a.vec_id < b.vec_id
+                JOIN szs ON szs.cid = a.cid AND szs.csize <= 64),
+         bnd AS (SELECT a.cid, a.vec_id, bb.band, (s.sig >> (2 * bb.band)) & 3 AS key
+                 FROM asnf a
+                 JOIN szs ON szs.cid = a.cid AND szs.csize > 64
+                 JOIN sigs s ON s.vec_id = a.vec_id
+                 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         cb AS (SELECT DISTINCT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b
+                FROM bnd x JOIN bnd y ON y.cid = x.cid AND y.band = x.band
+                  AND y.key = x.key AND x.vec_id < y.vec_id),
+         cand AS (SELECT * FROM cs UNION ALL SELECT * FROM cb),
+         pairs AS (SELECT c.cid, c.vec_a, c.vec_b,
                           ${dot64("ea.embedding", "eb.embedding")} / (na.nrm * nb.nrm) AS cos
-                   FROM asnf a JOIN asnf b ON b.cid = a.cid AND a.vec_id < b.vec_id
-                   JOIN embeddings ea ON ea.vec_id = a.vec_id
-                   JOIN embeddings eb ON eb.vec_id = b.vec_id
-                   JOIN nrm na ON na.vec_id = a.vec_id
-                   JOIN nrm nb ON nb.vec_id = b.vec_id)
+                   FROM cand c
+                   JOIN embeddings ea ON ea.vec_id = c.vec_a
+                   JOIN embeddings eb ON eb.vec_id = c.vec_b
+                   JOIN nrm na ON na.vec_id = c.vec_a
+                   JOIN nrm nb ON nb.vec_id = c.vec_b)
          SELECT cid, vec_a, vec_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
          FROM pairs WHERE cos >= 0.4""",
 

@@ -23,7 +23,7 @@ object Similarity {
     V.dotF(a, b) / (V.normF(a) * V.normF(b))
 
   /** Project (vec_id, embedding, label, nrm) once. */
-  private def withNorm(emb: DataFrame): DataFrame =
+  private[graft] def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", V.normF(col("embedding")))
 
   /** Embedding near-dup pairs, cos ≥ threshold, blocked by
@@ -112,7 +112,7 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment (max cosine, tie-break centroid id). */
-  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
     val wa = Window.partitionBy(col("vec_id")).orderBy(
       (V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
     e.crossJoin(broadcast(cent))
@@ -176,23 +176,58 @@ object Similarity {
     * the embeddings (no labels needed), then search for near-duplicate
     * pairs (cos ≥ threshold) ONLY within each learned cluster — the
     * cluster assignment is the blocking key, so the pair join is
-    * O(Σ cluster²) instead of O(n²), and at scale nCent grows with the
-    * corpus to keep clusters bounded. This is the shape of embedding-level
-    * dedup when no metadata blocking key exists ([[embeddingDedup]]'s
-    * label column is a luxury real corpora lack).
+    * O(Σ cluster²) instead of O(n²). Two guards keep that bound real at
+    * 100 TB: `nCent` is a parameter that grows with the corpus, and any
+    * cluster larger than `clusterCap` is SUB-BLOCKED by hyperplane-LSH
+    * band ([[embeddingDedup]]'s banding, keyed by (cid, band, key)) so a
+    * single fat cluster can never go all-pairs — its candidate count is
+    * bounded by its band-bucket sizes instead of its square. Pairs inside
+    * capped clusters trade recall < 1 for the bound (band-match
+    * probability p^rowsPerBand per band); the oracle replicates the
+    * identical banding, so results still match exactly. The per-cluster
+    * size table is nCent rows — broadcast, never shuffled.
     */
   def semanticDedup(emb: DataFrame, threshold: Double, nCent: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, clusterCap: Int = 5000,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= NumPlanes, s"needs <= $NumPlanes planes")
     val e = withNorm(emb)
     val cent = kmeansCentroids(e, nCent, iters)
     val asg = assignToCentroids(e, cent)
-      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
-    val left = asg.select(col("cid"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val right = asg.select(col("cid"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    left.join(right, Seq("cid"))
-      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_id"), col("cid"))
+    val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
+    val keyed = asg.join(broadcast(sizes), "cid")
+    // small clusters: within-cluster all pairs (≤ cap²/2 each, bounded)
+    val small = keyed.filter(col("csize") <= clusterCap)
+      .select(col("cid"), col("vec_id"))
+    val smallPairs = small.as("a")
+      .join(small.as("b"), col("a.cid") === col("b.cid")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"))
+    // fat clusters: candidates must ALSO share an LSH band bucket; band
+    // only the narrow (cid, vec_id, sig) projection (see embeddingDedup)
+    val bigSig = keyed.filter(col("csize") > clusterCap)
+      .join(emb.select(col("vec_id"), lshSignature(col("embedding")).as("sig")), "vec_id")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(sig div ${1L << (b * rowsPerBand)}) % ${1L << rowsPerBand}").as("key"))
+    }
+    val banded = bigSig
+      .select(col("cid"), col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("cid"), col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bigPairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.cid") === col("y.cid") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cid").as("cid"), col("x.vec_id").as("vec_a"),
+        col("y.vec_id").as("vec_b"))
+      .distinct()
+    smallPairs.unionByName(bigPairs)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("cos", V.dotF(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("cid"), col("vec_a"), col("vec_b"),

@@ -139,6 +139,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("semanticDedup: LSH sub-blocking bounds fat-cluster pair counts") {
+    val big = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // threshold -2 keeps every candidate → counts compare candidate sets
+    val allPairs = Similarity.semanticDedup(big, -2.0, clusterCap = Int.MaxValue).count()
+    val capped = Similarity.semanticDedup(big, -2.0, clusterCap = 0).count()
+    assert(capped < allPairs, "banding must prune within-cluster candidates")
+    assert(capped > 0)
+    // identical vectors agree on every hyperplane → share every band;
+    // the cap can never lose a true duplicate pair
+    val r = Similarity.semanticDedup(emb, 0.95, clusterCap = 0).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("cos") == 1.0)
+  }
+
   test("recallEvalMultiProbe: multi-probe recall never below single-bucket") {
     val single = Similarity.recallEval(emb, 2, 2).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
