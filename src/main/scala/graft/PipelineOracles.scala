@@ -178,26 +178,48 @@ object PipelineOracles {
        SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
        FROM rk WHERE rnk <= 5"""
 
-  /** Greedy farthest-point seeding chain s1..s`nCent` — the DuckDB twin of
-    * Similarity.farthestPointSeeds (same hash-min first seed, same
-    * argmin-of-max-cos step, same tie-breaks).
+  /** k-means‖-style seeding replay, ending in CTE s`nCent` — the DuckDB
+    * twin of Similarity.kmeansParSeeds: hash-min first candidate, `rounds`
+    * oversampling passes that each add the `ell` farthest vectors
+    * (min max-cos, ties → vec_id), then the greedy farthest-point
+    * reduction of the constant-sized candidate sample to nCent seeds
+    * (cids in selection order) — the same chain the Spark side runs
+    * driver-side on its collected sample.
     */
-  private def fpSeedSql(nCent: Int): String = {
-    val s1 = s"""s1 AS (SELECT 1 AS cid, e.embedding AS cvec, n.nrm AS cnrm
+  private def kparSeedSql(nCent: Int, ell: Int, rounds: Int): String = {
+    val c0 = s"""cand0 AS MATERIALIZED (SELECT e.vec_id, e.embedding AS cvec, n.nrm AS cnrm
          FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
          ORDER BY ${h60("CAST(e.vec_id AS VARCHAR)")}, e.vec_id LIMIT 1)"""
-    val steps = (2 to nCent).map { j =>
-      s"""f$j AS (SELECT e.vec_id,
-               max(${dot64("e.embedding", "s.cvec")} / (n.nrm * s.cnrm)) AS closest
-             FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN s${j - 1} s
-             GROUP BY 1),
-         p$j AS (SELECT vec_id FROM f$j ORDER BY closest ASC, vec_id LIMIT 1),
-         s$j AS (SELECT * FROM s${j - 1} UNION ALL
-                 SELECT $j AS cid, e.embedding AS cvec, n.nrm AS cnrm
+    val roundCtes = (1 to rounds).map { r =>
+      s"""rf$r AS (SELECT e.vec_id,
+             max(${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm)) AS closest
+           FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN cand${r - 1} c
+           GROUP BY 1),
+         rp$r AS (SELECT vec_id FROM rf$r ORDER BY closest ASC, vec_id LIMIT $ell),
+         cand$r AS MATERIALIZED (SELECT * FROM cand${r - 1} UNION ALL
+                 SELECT e.vec_id, e.embedding AS cvec, n.nrm AS cnrm
                  FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
-                 JOIN p$j ON p$j.vec_id = e.vec_id)"""
+                 JOIN rp$r ON rp$r.vec_id = e.vec_id)"""
     }
-    (s1 +: steps).mkString(",\n")
+    // duplicate candidate rows (a re-picked vector) collapse by id; the
+    // duplicates are identical rows, so any_value is deterministic here
+    val cset =
+      s"""cset AS MATERIALIZED (SELECT vec_id, any_value(cvec) AS cvec, any_value(cnrm) AS cnrm
+           FROM cand$rounds GROUP BY 1)"""
+    val g1 = s"""g1 AS MATERIALIZED (SELECT 1 AS cid, vec_id, cvec, cnrm FROM cand0)"""
+    val gsteps = (2 to nCent).map { j =>
+      s"""gf$j AS (SELECT c.vec_id,
+             max(${dot64("c.cvec", "g.cvec")} / (c.cnrm * g.cnrm)) AS closest
+           FROM cset c CROSS JOIN g${j - 1} g
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM g${j - 1})
+           GROUP BY 1),
+         gp$j AS (SELECT vec_id FROM gf$j ORDER BY closest ASC, vec_id LIMIT 1),
+         g$j AS MATERIALIZED (SELECT * FROM g${j - 1} UNION ALL
+                 SELECT $j AS cid, c.vec_id, c.cvec, c.cnrm
+                 FROM cset c JOIN gp$j ON gp$j.vec_id = c.vec_id)"""
+    }
+    val fin = s"""s$nCent AS (SELECT cid, cvec, cnrm FROM g$nCent)"""
+    ((c0 +: roundCtes) ++ Seq(cset, g1) ++ gsteps :+ fin).mkString(",\n")
   }
 
   /** Per-doc quality + language scoring CTEs (t2 → scored), the DuckDB
@@ -765,11 +787,12 @@ object PipelineOracles {
          ${kmeansIterSql(2, "c1")},
          ${ivfTail("c2")}""",
 
-    // farthest-point seeding + 3 unrolled Lloyd rounds. The Spark side may
-    // stop earlier on a stable assignment — updateCentroids is a fixpoint
-    // there, so the extra unrolled rounds are no-ops and results agree.
+    // k-means|| oversampled seeding + 3 unrolled Lloyd rounds. The Spark
+    // side may stop earlier on a stable assignment — updateCentroids is a
+    // fixpoint there, so the extra unrolled rounds are no-ops and results
+    // agree.
     "ann_kmeanspp_topk" -> s"""WITH $nrm,
-         ${fpSeedSql(8)},
+         ${kparSeedSql(8, 8, 2)},
          ${kmeansIterSql(1, "s8")},
          ${kmeansIterSql(2, "c1")},
          ${kmeansIterSql(3, "c2")},

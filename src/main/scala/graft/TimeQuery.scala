@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness: `runMain graft.TimeQuery <name>...` times
+  * the named SparkEntry queries at SPARK_GRAFT_SF_DIR (default sf0.1) with
+  * Bench's protocol (untimed warmup, best-of-2, cache cleared between
+  * passes) — the iterate-on-one-operator loop without a full bench run.
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { name =>
+      SparkEntry.queries(name)(spark, dir).count()
+      spark.catalog.clearCache()
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: ${ts.min}%.2f s (passes: ${ts.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

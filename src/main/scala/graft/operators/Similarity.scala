@@ -259,41 +259,81 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
-  /** Greedy farthest-point seeds (the deterministic k-means++ variant:
-    * argmax of min-distance instead of D²-probability sampling, so the
-    * choice is exactly replayable by the oracle). Seed 1 is the hash-min
-    * vector; each next seed is the vector whose best cosine to the
-    * current seed set is smallest (ties → min vec_id). Each step is one
-    * pass: broadcast the tiny seed table, map-side max-cos per vector,
-    * TakeOrdered(1).
+  /** Deterministic k-means‖-style seeding (Bahmani et al.'s oversampling
+    * shape, made exactly replayable): instead of nCent-1 sequential
+    * full-corpus passes (the greedy k-means++ chain), run `rounds`
+    * oversampling passes that each TakeOrdered the `ell` vectors whose
+    * best cosine to the current candidate set is smallest (the farthest
+    * ones, ties → min vec_id), then REDUCE the 1 + rounds·ell candidate
+    * sample to nCent seeds by greedy farthest-point selection — on the
+    * candidate sample only, driver-side (it is constant-sized: ~17 rows
+    * at the defaults, vs thousands of corpus passes at realistic nCent).
+    * Seed 1 is the hash-min vector; every argmin/argmax tie-breaks on
+    * vec_id and every cosine is the same left-to-right double dot the
+    * oracle's SQL computes, so DuckDB replays seeding bit-for-bit.
+    * Corpus passes: `rounds` (+1 TakeOrdered for seed 1), independent of
+    * nCent — the fix for "seeding cost scales with centroid count".
     *
-    * Each step's seed table is eagerly localCheckpoint'ed: step j's plan
-    * references step j-1 TWICE (union branch + the broadcast inside the
-    * argmin), so without truncating the *logical* plan the analyzed tree
-    * — and with it per-step planning time — doubles every step
-    * (cache substitution only prunes execution, after analysis has been
-    * paid). The checkpoint makes every step O(1) to plan and execute.
-    * On a multi-executor cluster prefer reliable `checkpoint()` if
-    * executor loss during the short seeding phase matters.
+    * Each round's candidate table is eagerly localCheckpoint'ed so the
+    * next round's plan stays O(1) (the round references it twice). On a
+    * multi-executor cluster prefer reliable `checkpoint()` if executor
+    * loss during seeding matters.
     */
-  private[graft] def farthestPointSeeds(e: DataFrame, nCent: Int): DataFrame = {
-    var seeds = e
+  private[graft] def kmeansParSeeds(e: DataFrame, nCent: Int,
+      ell: Int = 8, rounds: Int = 2): DataFrame = {
+    require(1 + rounds * ell >= nCent,
+      s"oversample too small: 1 + $rounds*$ell < $nCent candidates")
+    val spark = e.sparkSession
+    var cands = e
       .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
       .orderBy(col("hv"), col("vec_id")).limit(1)
-      .select(lit(1).as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      .select(col("vec_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
       .localCheckpoint()
-    for (j <- 2 to nCent) {
-      val far = e.crossJoin(broadcast(seeds))
+    for (_ <- 1 to rounds) {
+      val far = e.crossJoin(broadcast(cands.select(col("cvec"), col("cnrm"))))
         .groupBy(col("vec_id"))
         .agg(max(V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")))
           .as("closest"))
-        .orderBy(col("closest").asc, col("vec_id")).limit(1)
+        .orderBy(col("closest").asc, col("vec_id")).limit(ell)
         .select(col("vec_id"))
         .join(e, "vec_id")
-        .select(lit(j).as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
-      seeds = seeds.union(far).localCheckpoint()
+        .select(col("vec_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      cands = cands.unionByName(far).localCheckpoint()
     }
-    seeds
+    // greedy farthest-point reduction on the constant-sized sample —
+    // plain Scala, mirroring the oracle's CTE chain exactly (same dot
+    // order, same (closest, vec_id) tie-breaks)
+    val sample = cands.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)): Double =
+      dot(a._2, b._2) / (a._3 * b._3)
+    val seed1 = sample.minBy(c => (Hashing.h60jvm(c._1.toString), c._1))
+    val sel = scala.collection.mutable.ArrayBuffer(seed1)
+    var rest = sample.filterNot(_._1 == seed1._1)
+    for (_ <- 2 to nCent) {
+      val pick = rest.map(c => (sel.map(s => cos(c, s)).max, c._1, c))
+        .minBy(t => (t._1, t._2))
+      sel += pick._3
+      rest = rest.filterNot(_._1 == pick._2)
+    }
+    val rows = sel.toSeq.zipWithIndex.map { case ((_, emb, nrm), i) =>
+      org.apache.spark.sql.Row(i + 1, emb.toSeq, nrm)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("cnrm",
+          org.apache.spark.sql.types.DoubleType))))
   }
 
   /** k-means IVF with farthest-point (k-means++-style) seeding and
@@ -307,24 +347,31 @@ object Similarity {
   def kmeansPpIvfTopK(emb: DataFrame, nQueries: Int, k: Int, nCent: Int = 8,
       iters: Int = 3, nProbe: Int = 2): DataFrame = {
     val e = withNorm(emb).persist()
-    var cent = farthestPointSeeds(e, nCent)
+    var cent = kmeansParSeeds(e, nCent)
     // eager localCheckpoint per round: each round's plan references the
     // previous round's tables multiple times, so truncating the logical
-    // plan keeps per-round planning O(1) (see farthestPointSeeds)
+    // plan keeps per-round planning O(1) (see kmeansParSeeds)
     var prev = assignToCentroids(e, cent).localCheckpoint()
     var it = 0
     var stable = false
     while (it < iters && !stable) {
-      cent = updateCentroids(prev).localCheckpoint()
+      // cent is an 8-row aggregate OVER the checkpointed prev — leave it
+      // lazy so update+assign materialize as ONE job per round (the probe
+      // tail re-derives the tiny agg rather than paying a round-trip here)
+      cent = updateCentroids(prev)
       val asn = assignToCentroids(e, cent).localCheckpoint()
-      stable = asn.select(col("vec_id"), col("cid"))
+      it += 1
+      // the check only exists to break EARLIER — on the last round the
+      // assignment is final either way, so skip the join there
+      stable = it == iters || asn.select(col("vec_id"), col("cid"))
         .join(prev.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
         .filter(col("cid") =!= col("pcid")).isEmpty
       prev = asn
-      it += 1
     }
-    val asn = assignToCentroids(e, cent).select(col("vec_id"), col("cid"))
-    centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
+    // `prev` IS the assignment against the final `cent` (computed right
+    // after the last update) — re-assigning would repeat a corpus pass
+    centroidProbeSearch(e, cent, prev.select(col("vec_id"), col("cid")),
+      nQueries, k, nProbe)
   }
 
   /** Symmetric int8 scalar quantization: per-vector scale = max|v|/127,
