@@ -194,43 +194,59 @@ object StreamingTracker {
       b_ts: Option[java.sql.Timestamp], b_value: Option[Double])
 
   /** Streaming as-of join — the live twin of Tsdb.asofJoin. Both streams
-    * arrive union-tagged (side 0 = build, 1 = probe) and keyed by series;
-    * per-key state is ONLY the latest build point, so state size is
-    * O(|keys|) regardless of throughput. Within a micro-batch events are
-    * replayed in (ts, side) order — build before probe on ties, matching
-    * the batch operator's inclusive ≥ semantics. A probe with no prior
-    * build emits an unmatched row (left semantics).
+    * arrive union-tagged (side 0 = build, 1 = probe) and keyed by series.
+    * Per-key state is a BOUNDED buffer of recent build points: every
+    * build within `horizonMs` of the key's newest build is retained
+    * (plus one floor entry just past the horizon, so a probe at the
+    * boundary still has its as-of match). State size is
+    * O(|keys| · builds-per-horizon) regardless of throughput. Within a
+    * micro-batch events are replayed in (ts, side) order — build before
+    * probe on ties, matching the batch operator's inclusive ≥ semantics;
+    * a probe with no prior build emits an unmatched row (left semantics).
     *
-    * Parity scope: batch-equivalent results require builds to arrive
-    * in timestamp order ACROSS micro-batches (out-of-order within one
-    * batch is handled by the replay sort). Because state keeps only the
-    * newest build, a probe delivered after a newer build was applied
-    * matches that newer build, and a build arriving late (behind an
-    * already-applied newer one) is discarded — late cross-batch data
-    * degrades to latest-known-build semantics rather than erroring. For
-    * unordered sources, buffer/repartition upstream (e.g. Kafka
-    * per-key ordering) or use the batch Tsdb.asofJoin on the sealed data.
+    * Parity scope: a build or probe arriving OUT OF ORDER across
+    * micro-batches matches batch semantics as long as it lands within
+    * the horizon — a late build is inserted into the buffer (probes
+    * processed AFTER it match it exactly as batch would; append mode
+    * means rows already emitted are not retracted), and a late probe
+    * finds the correct older build in the buffer rather than the newest
+    * one. Only data later than the horizon degrades (a beyond-horizon
+    * build inserts after the floor entry was compacted; size the horizon
+    * to the source's max disorder, e.g. the Kafka retention of a
+    * partition-skewed topic). For fully sealed data use the batch
+    * Tsdb.asofJoin.
     */
-  def asofStream(spark: SparkSession,
-      points: Dataset[TaggedPoint]): Dataset[AsofMatch] = {
+  def asofStream(spark: SparkSession, points: Dataset[TaggedPoint],
+      horizonMs: Long = 3600000L): Dataset[AsofMatch] = {
     import spark.implicits._
     points
       .groupByKey(_.f2)
-      .flatMapGroupsWithState[(java.sql.Timestamp, Double), AsofMatch](
+      .flatMapGroupsWithState[List[(java.sql.Timestamp, Double)], AsofMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (f2, it, state: GroupState[(java.sql.Timestamp, Double)]) =>
+        case (f2, it, state: GroupState[List[(java.sql.Timestamp, Double)]]) =>
           val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.side))
-          var cur = state.getOption
+          var buf = state.getOption.getOrElse(Nil) // ascending by ts
           val out = Seq.newBuilder[AsofMatch]
           ordered.foreach { e =>
             if (e.side == 0) {
-              if (cur.forall(_._1.getTime <= e.ts.getTime)) cur = Some((e.ts, e.value))
+              // insert keeping ascending order; an equal-ts re-delivery
+              // replaces the old value (last write wins, like batch
+              // replay order)
+              buf = (buf.filterNot(_._1.getTime == e.ts.getTime)
+                :+ ((e.ts, e.value))).sortBy(_._1.getTime)
             } else {
-              val m = cur.filter(_._1.getTime <= e.ts.getTime)
+              val m = buf.filter(_._1.getTime <= e.ts.getTime).lastOption
               out += AsofMatch(f2, e.ts, e.value, m.map(_._1), m.map(_._2))
             }
           }
-          cur.foreach(state.update)
+          if (buf.nonEmpty) {
+            // evict below (newest build - horizon), keeping the newest
+            // evictee as the floor match for boundary probes
+            val cut = buf.last._1.getTime - horizonMs
+            val (old, recent) = buf.partition(_._1.getTime < cut)
+            buf = old.lastOption.toList ++ recent
+            state.update(buf)
+          }
           out.result().iterator
       }
   }

@@ -193,6 +193,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofStream: late cross-batch build inside the horizon matches like batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.{AsofMatch, TaggedPoint}
+    val input = MemoryStream[TaggedPoint]
+    val joined = StreamingTracker.asofStream(spark, input.toDS())
+    val q = joined.writeStream.format("memory").queryName("asof_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a NEWER build is applied first
+      input.addData(TaggedPoint("u1", 0, ts("2024-01-01 10:50:00"), 5.0))
+      q.processAllAvailable()
+      // batch 2: an OLDER build arrives late (within the 1h horizon) —
+      // the old latest-build-only state would have discarded it
+      input.addData(TaggedPoint("u1", 0, ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      // batch 3: a probe BETWEEN the two builds must match the late one
+      // (batch parity), and a probe after both still gets the newest
+      input.addData(
+        TaggedPoint("u1", 1, ts("2024-01-01 10:30:00"), 9.0),  // → 2.0
+        TaggedPoint("u1", 1, ts("2024-01-01 10:55:00"), 7.0))  // → 5.0
+      q.processAllAvailable()
+      val rows = spark.table("asof_late").as[AsofMatch].collect()
+      assert(rows.find(_.value == 9.0).get.b_value.contains(2.0))
+      assert(rows.find(_.value == 7.0).get.b_value.contains(5.0))
+    } finally q.stop()
+  }
+
+  test("asofStream: builds beyond the horizon are evicted to a single floor entry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.{AsofMatch, TaggedPoint}
+    val input = MemoryStream[TaggedPoint]
+    val joined = StreamingTracker.asofStream(spark, input.toDS(), horizonMs = 600000L)
+    val q = joined.writeStream.format("memory").queryName("asof_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        TaggedPoint("u1", 0, ts("2024-01-01 08:00:00"), 1.0),
+        TaggedPoint("u1", 0, ts("2024-01-01 08:01:00"), 2.0))
+      q.processAllAvailable()
+      // a build far past the 10-min horizon compacts the old entries to
+      // one floor (2.0) — a probe before the new build still matches it
+      input.addData(TaggedPoint("u1", 0, ts("2024-01-01 10:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData(TaggedPoint("u1", 1, ts("2024-01-01 09:00:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_evict").as[AsofMatch].collect()
+      assert(rows.find(_.value == 4.0).get.b_value.contains(2.0))
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated content within the watermark horizon") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
