@@ -473,16 +473,23 @@ object Analytics {
         (col("revenue") - col("prev_revenue")) / col("prev_revenue")))
   }
 
-  /** Per-customer revenue aggregate shared by the decile / pareto cuts:
-    * revenue lands on the 2-dec grid BEFORE ranking and the tie break is
-    * the key, so rank order is deterministic on any engine.
+  /** Per-customer revenue aggregate shared by the decile / pareto cuts.
+    * The money sum runs in DECIMAL: price and discount are 2-dec grid
+    * values, so the decimal product/sum is EXACT and order-independent —
+    * a double sum here drifts with partial-aggregation order and, across
+    * ~150k customers, lands a few sums close enough to a .005 rounding
+    * boundary to round differently than the oracle's sequential sum
+    * (observed at sf0.1). Revenue lands on the 2-dec grid BEFORE ranking
+    * and the tie break is the key, so rank order is deterministic on any
+    * engine.
     */
   private def customerRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
+        .cast("double").as("revenue"))
 
   /** RFM segmentation: per-customer Recency (last order date),
     * Frequency (order count) and Monetary (total spend), each quartiled
@@ -542,7 +549,9 @@ object Analytics {
       .withColumn("decile", Ranking.ntileOfRank(10, col("__rnk"), col("__tot")))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("revenue")), 2).as("total_revenue"),
+        // 2-dec doubles cast back to decimal exactly → exact decile sums
+        round(sum(col("revenue").cast("decimal(18,2)")), 2)
+          .cast("double").as("total_revenue"),
         min(col("revenue")).as("min_revenue"),
         max(col("revenue")).as("max_revenue"))
 }

@@ -71,12 +71,15 @@ class RankingSpec extends SparkSpec {
     val oldRev = graft.core.Tables.load(spark, dir, "orders")
       .join(graft.core.Tables.load(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
+        .cast("double").as("revenue"))
       .withColumn("decile", ntile(10).over(
         Window.orderBy(col("revenue").desc, col("o_custkey"))).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("revenue")), 2).as("total_revenue"),
+        round(sum(col("revenue").cast("decimal(18,2)")), 2)
+          .cast("double").as("total_revenue"),
         min(col("revenue")).as("min_revenue"),
         max(col("revenue")).as("max_revenue"))
     assert(rev.except(oldRev).isEmpty && oldRev.except(rev).isEmpty)
