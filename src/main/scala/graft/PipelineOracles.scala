@@ -1266,11 +1266,11 @@ object PipelineOracles {
          cs AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
                 FROM asnf a JOIN asnf b ON b.cid = a.cid AND a.vec_id < b.vec_id
                 JOIN szs ON szs.cid = a.cid AND szs.csize <= 64),
-         bnd AS (SELECT a.cid, a.vec_id, bb.band, (s.sig >> (2 * bb.band)) & 3 AS key
+         bnd AS (SELECT a.cid, a.vec_id, bb.band, (s.sig >> (4 * bb.band)) & 15 AS key
                  FROM asnf a
                  JOIN szs ON szs.cid = a.cid AND szs.csize > 64
                  JOIN sigs s ON s.vec_id = a.vec_id
-                 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb),
+                 CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) bb),
          cb AS (SELECT DISTINCT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b
                 FROM bnd x JOIN bnd y ON y.cid = x.cid AND y.band = x.band
                   AND y.key = x.key AND x.vec_id < y.vec_id),

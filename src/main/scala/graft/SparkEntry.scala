@@ -199,9 +199,13 @@ object SparkEntry {
     "ts_sax" -> ((s, dir) => Tsdb.sax(Tsdb.points1(t(s, dir, "events")), 6)),
     "ann_multiprobe_topk" -> ((s, dir) => Similarity.multiProbeTopK(t(s, dir, "embeddings"), 10, 5)),
     // cap 64 sits inside the 53-70 cluster-size spread at test SFs, so
-    // BOTH the all-pairs and the LSH-sub-blocked path run under the oracle
+    // BOTH the all-pairs and the LSH-sub-blocked path run under the
+    // oracle. 2 bands x 4 sign bits: 16 buckets per band — selective
+    // enough that a fat cluster's candidates shrink ~8x vs all-pairs
+    // (4 bands x 2 bits multiplies the 4-way splits right back)
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), 0.4, clusterCap = 64)),
+      Similarity.semanticDedup(t(s, dir, "embeddings"), 0.4, clusterCap = 64,
+        bands = 2, rowsPerBand = 4)),
     "ts_slo_availability" -> ((s, dir) => Tsdb.sloAvailability(t(s, dir, "events"), 0.25)),
     "dedup_edit_distance" -> ((s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"), 0.5)),
     "ts_type_overlap" -> ((s, dir) => Tsdb.typeOverlap(t(s, dir, "events"))),

@@ -506,7 +506,7 @@ object Analytics {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
-      .localCheckpoint() // computed once, read by three rank passes
+      .localCheckpoint(eager = false) // computed once, read by three rank passes
     def quartile(order: Seq[org.apache.spark.sql.Column], name: String) =
       Ranking.withGlobalRank(base, order, "__rnk", Some("__tot"))
         .select(col("o_custkey"),
