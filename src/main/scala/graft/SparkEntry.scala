@@ -1137,9 +1137,9 @@ object SparkEntry {
 
     "q_pareto_customers" ->
       """WITH rev AS (SELECT o_custkey,
-                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                  AS DOUBLE) AS revenue
+                ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0
+                  AS revenue
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               GROUP BY 1),
          w AS (SELECT o_custkey, revenue,
@@ -1283,16 +1283,16 @@ object SparkEntry {
 
     "q_revenue_deciles" ->
       """WITH rev AS (SELECT o_custkey,
-                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                  AS DOUBLE) AS revenue
+                ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0
+                  AS revenue
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               GROUP BY 1),
          d AS (SELECT o_custkey, revenue,
                       ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
                FROM rev)
          SELECT decile, count(*) AS n_customers,
-                CAST(round(sum(CAST(revenue AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
+                sum(CAST(round(revenue * 100) AS BIGINT)) / 100.0 AS total_revenue,
                 min(revenue) AS min_revenue, max(revenue) AS max_revenue
          FROM d GROUP BY 1""",
   ) ++ PipelineOracles.all

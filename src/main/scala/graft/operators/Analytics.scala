@@ -474,22 +474,26 @@ object Analytics {
   }
 
   /** Per-customer revenue aggregate shared by the decile / pareto cuts.
-    * The money sum runs in DECIMAL: price and discount are 2-dec grid
-    * values, so the decimal product/sum is EXACT and order-independent —
-    * a double sum here drifts with partial-aggregation order and, across
-    * ~150k customers, lands a few sums close enough to a .005 rounding
-    * boundary to round differently than the oracle's sequential sum
-    * (observed at sf0.1). Revenue lands on the 2-dec grid BEFORE ranking
-    * and the tie break is the key, so rank order is deterministic on any
-    * engine.
+    * The money sum must be EXACT and order-independent — a double sum
+    * drifts with partial-aggregation order and, across ~150k customers,
+    * lands a few sums close enough to a .005 rounding boundary to round
+    * differently than the oracle's sequential sum (observed at sf0.1).
+    * Price and discount are 2-dec grid values, so the sum runs in integer
+    * 1e-4 units (cents × discount-percent): exact LONG arithmetic with
+    * the codegen fast path decimal aggregation lacks (~3× faster here),
+    * and the half-up round to cents is integer math — no double-rounding
+    * knife edge for DuckDB to disagree with. Revenue lands on the 2-dec
+    * grid BEFORE ranking and the tie break is the key, so rank order is
+    * deterministic on any engine. Overflow headroom: 1e-4 units overflow
+    * LONG at ~9e14 dollars per customer.
     */
   private def customerRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))), 2)
-        .cast("double").as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("__e4"))
+      .select(col("o_custkey"), (expr("(__e4 + 50) div 100") / 100.0).as("revenue"))
 
   /** RFM segmentation: per-customer Recency (last order date),
     * Frequency (order count) and Monetary (total spend), each quartiled
@@ -549,9 +553,8 @@ object Analytics {
       .withColumn("decile", Ranking.ntileOfRank(10, col("__rnk"), col("__tot")))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
-        // 2-dec doubles cast back to decimal exactly → exact decile sums
-        round(sum(col("revenue").cast("decimal(18,2)")), 2)
-          .cast("double").as("total_revenue"),
+        // 2-dec grid doubles → exact cents recovery → exact LONG sums
+        (sum(round(col("revenue") * 100).cast("long")) / 100.0).as("total_revenue"),
         min(col("revenue")).as("min_revenue"),
         max(col("revenue")).as("max_revenue"))
 }
