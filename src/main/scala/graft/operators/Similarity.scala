@@ -160,16 +160,30 @@ object Similarity {
     * rounds (fixed-point integer component means → bit-identical
     * regardless of partitioning; the oracle replays the loop exactly).
     */
+  /** Pull a centroid table (nCent rows — metadata-bounded, like
+    * Ranking's offsets) onto the driver and re-emit it as a local
+    * relation. Lazily chaining the Lloyd rounds instead builds a plan
+    * whose depth grows per round and whose centroid subtree is re-planned
+    * and re-broadcast at every reference — at toy scale that driver-side
+    * planning dwarfs the actual work, and MLlib's KMeans keeps centers on
+    * the driver for the same reason. Values are unchanged (fixed-point
+    * integer means), so the oracle replay is unaffected.
+    */
+  private def localized(c: DataFrame): DataFrame =
+    c.sparkSession.createDataFrame(
+      java.util.Arrays.asList(c.collect(): _*), c.schema)
+
   private[graft] def kmeansCentroids(e: DataFrame, nCent: Int, iters: Int): DataFrame = {
     // TakeOrdered(nCent) — no global sort; the window numbering only the
     // nCent seed rows
     val seeds = e
       .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
       .orderBy(col("hv"), col("vec_id")).limit(nCent)
-    val cent0 = seeds
+    val cent0 = localized(seeds
       .withColumn("cid", row_number().over(Window.orderBy(col("hv"), col("vec_id"))))
-      .select(col("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
-    (1 to iters).foldLeft(cent0)((c, _) => updateCentroids(assignToCentroids(e, c)))
+      .select(col("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm")))
+    (1 to iters).foldLeft(cent0)((c, _) =>
+      localized(updateCentroids(assignToCentroids(e, c))))
   }
 
   /** SemDeDup-style semantic deduplication: learn k-means clusters over
