@@ -510,15 +510,28 @@ object Analytics {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
-      .localCheckpoint(eager = false) // computed once, read by three rank passes
+      // eager: materialized once BEFORE the three concurrent rank passes
+      // below — lazy would let all three threads race into computing it
+      .localCheckpoint()
     def quartile(order: Seq[org.apache.spark.sql.Column], name: String) =
       Ranking.withGlobalRank(base, order, "__rnk", Some("__tot"))
         .select(col("o_custkey"),
           Ranking.ntileOfRank(4, col("__rnk"), col("__tot")).as(name))
+    // the three rank passes are independent — submit their eager jobs
+    // (range sampling + offset collect) from parallel threads so they
+    // overlap instead of serializing three driver round-trips
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val Seq(rq, fq, mq) = Await.result(Future.sequence(Seq(
+      Future(quartile(Seq(col("last_order").desc, col("o_custkey")), "r_score")),
+      Future(quartile(Seq(col("frequency").desc, col("o_custkey")), "f_score")),
+      Future(quartile(Seq(col("monetary").desc, col("o_custkey")), "m_score")))),
+      Duration.Inf)
     base
-      .join(quartile(Seq(col("last_order").desc, col("o_custkey")), "r_score"), "o_custkey")
-      .join(quartile(Seq(col("frequency").desc, col("o_custkey")), "f_score"), "o_custkey")
-      .join(quartile(Seq(col("monetary").desc, col("o_custkey")), "m_score"), "o_custkey")
+      .join(rq, "o_custkey")
+      .join(fq, "o_custkey")
+      .join(mq, "o_custkey")
       .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
