@@ -207,9 +207,14 @@ object Similarity {
     require(bands * rowsPerBand <= NumPlanes, s"needs <= $NumPlanes planes")
     val e = withNorm(emb)
     val cent = kmeansCentroids(e, nCent, iters)
+    // narrow (vec_id, cid) assignment, checkpointed: both the size table
+    // and the two pair paths read it, so without the checkpoint the
+    // corpus-wide assignment pass runs once per reference (the size
+    // table's broadcast subtree re-computed it in full)
     val asg = assignToCentroids(e, cent)
-      .select(col("vec_id"), col("cid"))
-    val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
+      .select(col("vec_id"), col("cid")).localCheckpoint()
+    // nCent rows — driver-localized like the centroids themselves
+    val sizes = localized(asg.groupBy(col("cid")).agg(count(lit(1)).as("csize")))
     val keyed = asg.join(broadcast(sizes), "cid")
     // small clusters: within-cluster all pairs (≤ cap²/2 each, bounded)
     val small = keyed.filter(col("csize") <= clusterCap)
