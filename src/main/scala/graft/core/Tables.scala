@@ -25,6 +25,21 @@ object Tables {
     else df
   }
 
+  /** Ensure a CPU-heavy projection's input has at least the session's
+    * shuffle-partition parallelism. Parquet splits at row-group
+    * granularity, so a small file arrives as ONE scan task and
+    * serializes per-row regex/shingling work onto one core while the
+    * rest idle. At real corpus scale the scan already has more splits
+    * than the session width and this is a no-op (nothing moves); call it
+    * on the NARROW projection only, so the conditional shuffle carries
+    * just the columns the hot expression needs.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // no .rdd on a stream; micro-batches size themselves
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   import org.apache.spark.sql.types._
 
   /** Source schema for text-format event feeds (`ts` as an ISO-8601

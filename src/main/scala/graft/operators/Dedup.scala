@@ -44,7 +44,7 @@ object Dedup {
     * short docs.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+    graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(
@@ -507,7 +507,7 @@ object Dedup {
     * O(n²/64) candidate pairs.
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
       .select(col("doc_id"), explode(expr("array_distinct(tk)")).as("tok"))
       .withColumn("hm", Hashing.h60(col("tok")))
