@@ -44,7 +44,18 @@ object Dedup {
     * short docs.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
+    shinglesFrom(graft.core.Tables.spread(docs.select(col("doc_id"), col("text"))), n)
+
+  /** [[shingles]] without the scan-width floor — for inputs that are
+    * small BY CONSTRUCTION (an arriving batch, a candidate semi-join
+    * fetch), where the conditional repartition only buys planning and
+    * shuffle overhead.
+    */
+  private[graft] def shinglesSmall(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesFrom(docs.select(col("doc_id"), col("text")), n)
+
+  private def shinglesFrom(d: DataFrame, n: Int): DataFrame =
+    d
       .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(
@@ -390,7 +401,7 @@ object Dedup {
   def incrementalDedupAgainst(corpus: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     val index = lshIndex(corpus) // production: read back from the store
-    val shB = shingles(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val shB = shinglesSmall(batch).persist(StorageLevel.MEMORY_AND_DISK)
     val bandsB = lshBands(minhashSignaturesFrom(shB))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candCorpus = bandsB.as("x")
@@ -405,7 +416,7 @@ object Dedup {
     val cand = candCorpus.union(candBatch).distinct()
     val touched = corpus.join(
       cand.select(col("doc_a").as("doc_id")), Seq("doc_id"), "left_semi")
-    val sh = shB.union(shingles(touched))
+    val sh = shB.union(shinglesSmall(touched))
     val best = pairJaccard(sh, Some(cand))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("doc_b").as("doc_id"))
