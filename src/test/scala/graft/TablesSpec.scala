@@ -70,4 +70,19 @@ class TablesSpec extends SparkSpec {
     // partition pruning still applies on the epoch column
     assert(all.filter(col("epoch") === "2024-01-02").count() == 1L)
   }
+
+  test("spread widens a narrow scan to the session width and no-ops otherwise") {
+    import spark.implicits._
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val narrow = (1 to 100).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
+      .coalesce(1)
+    val wide = Tables.spread(narrow)
+    assert(wide.rdd.getNumPartitions == width, "sub-width input must widen")
+    // identical content, only the layout changes
+    assert(wide.except(narrow).isEmpty && narrow.except(wide).isEmpty)
+    // an input already at (or above) the width is returned as-is: the
+    // 100-TB path, where the scan has more splits than the session width
+    val already = narrow.repartition(width)
+    assert(Tables.spread(already) eq already, "at-width input must be untouched")
+  }
 }
