@@ -236,7 +236,13 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = candFromBands(lshBands(minhashSignaturesFrom(sh)))
+    // persist the band table too: the candidate self-join reads it on
+    // BOTH sides, and without the cache each side recomputes the 16-way
+    // min-hash aggregation (AQE submits the two scans concurrently, so
+    // they race past an unmaterialized cache and double the CPU)
+    val bands = lshBands(minhashSignaturesFrom(sh))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candFromBands(bands)
     pairJaccard(sh, Some(cand))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
