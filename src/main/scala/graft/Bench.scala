@@ -30,9 +30,11 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache() // warmup must not hand cached tables to the timed pass
     }
-    // best-of-2 timed passes: single-shot numbers on a shared box carry
-    // multi-second noise spikes; min-of-passes reports reproducible cost
-    val passes = (1 to 2).map { _ =>
+    // best-of-3 timed passes: single-shot numbers on a shared box carry
+    // multi-second noise spikes (observed: whole-run totals swinging
+    // ±12% between consecutive runs); min-of-passes reports
+    // reproducible cost
+    val passes = (1 to 3).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
