@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Similarity
+
+/** Scale sanity harness for the ANN path: runs unsupervised-IVF top-k
+  * (hash-seeded k-means coarse quantizer + nProbe probing) against exact
+  * brute force on a synthetic corpus ~2-3 orders of magnitude larger than
+  * the sf0.1 `embeddings` table (default 1M vectors), with PLANTED
+  * cluster structure, and asserts the properties the 100-TB design
+  * claims:
+  *
+  *   - recall@k vs exact brute force stays high (planted clusters are
+  *     what real embedding corpora look like — ANN on structureless
+  *     uniform noise is meaningless);
+  *   - the learned coarse cells stay balanced enough that probing
+  *     nProbe of nCent cells scans a bounded corpus fraction — the
+  *     claim "candidates ≈ nProbe/nCent of the corpus";
+  *   - no degenerate cell absorbs the corpus (the failure mode that
+  *     silently turns IVF back into brute force).
+  *
+  * Planted layout: `C` ground-truth clusters; vector i belongs to
+  * cluster i % C and is its center plus ±0.15 uniform noise per
+  * component (centers are ±1.0 uniform — far apart in 64-dim, so true
+  * neighbors are overwhelmingly same-cluster). Queries are corpus
+  * members (vec_id < nQueries), matching the operator contract.
+  *
+  * `runMain graft.AnnScaleCheck [nVec]`.
+  */
+object AnnScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val nVec = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dim = 64
+    val C = 64        // planted clusters
+    val nQueries = 32
+    val k = 10
+    val nCent = 16    // learned coarse cells (each covers ~C/nCent planted clusters)
+    val nProbe = 4
+
+    val emb = spark.range(nVec)
+      .withColumn("cid0", pmod(col("id"), lit(C.toLong)))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(1, $dim), j -> CAST(
+              (pmod(xxhash64(cid0 + 1000003, j), 2000) - 1000) / 1000.0 +
+              (pmod(xxhash64(id, j + 100), 2000) - 1000) / 1000.0 * 0.15
+            AS FLOAT))"""))
+      .select(col("id").as("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    // --- 1. coarse-cell balance: the probe-cost bound is only real if
+    // no learned cell degenerates into "most of the corpus".
+    val e = Similarity.withNorm(emb)
+    val cent = timed(s"k-means coarse quantizer over $nVec vectors") {
+      Similarity.kmeansCentroids(e, nCent, 2)
+    }
+    val cells = Similarity.assignToCentroids(e, cent)
+      .groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+      .collect()
+    val maxCell = cells.map(_.getLong(1)).max
+    println(s"  ${cells.length} non-empty cells, max cell = $maxCell " +
+      s"(${100.0 * maxCell / nVec}% of corpus; uniform would be ${100 / nCent}%)")
+    require(cells.length >= nCent / 2,
+      s"only ${cells.length} of $nCent cells survived training — quantizer collapsed")
+    require(maxCell <= nVec / 2,
+      s"one cell holds $maxCell of $nVec vectors — IVF degenerated to brute force")
+
+    // --- 2. recall@k vs exact brute force over the same corpus.
+    val truth = timed(s"bruteForceTopK over $nVec vectors × $nQueries queries") {
+      val t = Similarity.bruteForceTopK(emb, nQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      t.count(); t
+    }
+    val approx = timed(s"kmeansIvfTopK (nCent=$nCent, nProbe=$nProbe)") {
+      val a = Similarity.kmeansIvfTopK(emb, nQueries, k, nCent, 2, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      a.count(); a
+    }
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / (nQueries.toLong * k)
+    println(f"  recall@$k: $hits/${nQueries * k} = $recall%.4f")
+    require(recall >= 0.95,
+      f"IVF recall $recall%.4f below 0.95 on clustered data — probing lost signal")
+
+    println(s"AnnScaleCheck OK at $nVec vectors")
+    spark.stop()
+  }
+}
