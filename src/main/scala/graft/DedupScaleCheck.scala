@@ -30,21 +30,16 @@ import graft.operators.Dedup
   * `runMain graft.DedupScaleCheck [nDocs]`.
   */
 object DedupScaleCheck {
-  def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
-    val L = 40          // tokens per doc → L-2 = 38 distinct 3-gram shingles
-    val V = 50000L      // vocabulary; 3-gram space V^3 → disjoint random docs
-    val threshold = 0.85
+  val L = 40          // tokens per doc → L-2 = 38 distinct 3-gram shingles
+  val V = 50000L      // vocabulary; 3-gram space V^3 → disjoint random docs
 
-    // Deterministic synthetic corpus: tokens are xxhash64-derived words,
-    // variants re-use the BASE doc's seed then mutate 2 tokens with
-    // doc-unique markers (no accidental cross-group shingle sharing).
-    val docs = spark.range(nDocs)
+  /** The planted-group corpus: ids [0, nDocs), tokens xxhash64-derived
+    * words; variants re-use the BASE doc's seed then mutate 2 tokens with
+    * doc-unique markers (no accidental cross-group shingle sharing).
+    */
+  private def corpus(spark: SparkSession, nDocs: Long) =
+    spark.range(nDocs)
       .withColumn("variant",
         when(pmod(col("id"), lit(50L)) <= 2, pmod(col("id"), lit(50L)))
           .otherwise(lit(0L)))
@@ -60,6 +55,40 @@ object DedupScaleCheck {
                              slice(tk, 3, ${L - 2}))
                 ELSE tk END"""))
       .select(col("id").as("doc_id"), array_join(col("tk"), " ").as("text"))
+
+  /** An arriving batch of nDocs/100 docs, ids [nDocs, nDocs + batch):
+    * EVEN batch ids are tail-mutated near-dups (J = 0.9) of a pseudo-
+    * random PLAIN corpus doc (id ≡ 3 mod 50 — never itself a planted
+    * variant, so the expected `dup_of` is exactly that doc); ODD batch
+    * ids are novel random docs that must come back `dup_of` NULL.
+    */
+  private def batch(spark: SparkSession, nDocs: Long) = {
+    val b = nDocs / 100
+    spark.range(nDocs, nDocs + b)
+      .withColumn("src",
+        expr(s"(pmod(xxhash64(id, 7), ${nDocs / 50 * 50}) div 50) * 50 + 3"))
+      .withColumn("seed", when(pmod(col("id"), lit(2L)) === 0, col("src"))
+        .otherwise(col("id")))
+      .withColumn("tk", expr(
+        s"transform(sequence(1, $L), i -> concat('w', pmod(xxhash64(seed, i), $V)))"))
+      .withColumn("tk", expr(
+        s"""CASE WHEN id % 2 = 0
+                 THEN concat(slice(tk, 1, ${L - 2}),
+                             array(concat('mb1_', id), concat('mb2_', id)))
+                ELSE tk END"""))
+      .select(col("id").as("doc_id"), array_join(col("tk"), " ").as("text"),
+        col("src"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val threshold = 0.85
+    val docs = corpus(spark, nDocs)
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -139,6 +168,45 @@ object DedupScaleCheck {
       "(analytic ≈ 0.986² = 0.972; v1~v2 joined ONLY via the base edge)")
     require(tripleRate >= 0.90,
       f"triple rate $tripleRate%.4f below 0.90 — transitive merge failing at scale")
+
+    // --- 4. incremental ingestion: decide a 1% arriving batch against
+    // the standing corpus. Every even batch doc is a planted J=0.9
+    // near-dup of a known plain corpus doc and must come back with
+    // dup_of = exactly that doc (when its bands collide — same 0.986
+    // analytic rate as phase 2); every odd doc is novel and must come
+    // back NULL. Wrong-partner matches must be zero. The decision joins
+    // are batch-sized: the corpus contributes its band index and a
+    // candidate semi-join fetch, never a corpus-wide pair join.
+    val arr = batch(spark, nDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    val decided = timed(s"incrementalDedupAgainst (${nDocs / 100} new vs $nDocs corpus)") {
+      val d = Dedup.incrementalDedupAgainst(
+        docs, arr.select(col("doc_id"), col("text")), threshold)
+        .join(arr.select(col("doc_id"), col("src")), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      d.count(); d
+    }
+    // Legitimate partners: the planted src, or a batch SIBLING that
+    // near-dup'ed the same src (two tail-mutated copies of one doc are
+    // J = 0.9 near-dups of each other; if the corpus edge's bands miss
+    // but the sibling edge hits, dup_of correctly names the sibling).
+    val wrongPartner = decided.as("d")
+      .join(arr.select(col("doc_id").as("dup_of"), col("src").as("dup_src")),
+        Seq("dup_of"), "left")
+      .filter(pmod(col("d.doc_id"), lit(2L)) === 0 && col("dup_of").isNotNull &&
+        col("dup_of") =!= col("d.src") &&
+        (col("dup_src").isNull || col("dup_src") =!= col("d.src"))).count()
+    require(wrongPartner == 0L, s"$wrongPartner batch docs matched the wrong corpus doc")
+    val novelFp = decided.filter(pmod(col("doc_id"), lit(2L)) === 1 &&
+      col("dup_of").isNotNull).count()
+    require(novelFp == 0L, s"$novelFp novel batch docs falsely flagged as dups")
+    val evens = decided.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val evenHits = evens.filter(col("dup_of").isNotNull).count()
+    val evenTotal = evens.count()
+    val incRecall = evenHits.toDouble / evenTotal
+    println(f"  incremental dup_of recall: $evenHits/$evenTotal = $incRecall%.4f " +
+      "(analytic ≈ 0.986)")
+    require(incRecall >= 0.95,
+      f"incremental recall $incRecall%.4f below 0.95 — batch-vs-index path lost signal")
 
     println(s"DedupScaleCheck OK at $nDocs docs")
     spark.stop()
