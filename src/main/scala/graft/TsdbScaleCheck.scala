@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{MetricStore, StoreParams}
+
+/** Scale sanity harness for the TSDB store path — the reference's core
+  * workload (kadiyadb Track/Fetch/Expire) at ~3 orders of magnitude
+  * above the sf0.1 events table (default 50M observations, 10k series,
+  * 8 daily epochs at hourly resolution). Asserts the properties the
+  * store's 100-TB layout claims:
+  *
+  *   - Track's grouping-sets rollup lands EXACTLY one row per occupied
+  *     (prefix, bucket) cell — row counts match the closed form, and
+  *     totals/counts are conserved from raw events through the store;
+  *   - Fetch prunes by epoch partition (the plan carries a
+  *     PartitionFilters entry on the epoch range) and a narrow
+  *     one-host/one-day fetch returns its exact closed-form row count
+  *     fast, independent of corpus size;
+  *   - Expire physically drops whole epoch directories and the
+  *     surviving store still reconciles exactly;
+  *   - compact() bounds per-epoch file counts without changing any
+  *     aggregate.
+  *
+  * `runMain graft.TsdbScaleCheck [nEvents]`.
+  */
+object TsdbScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val hosts = 500
+    val metrics = 20 // 10k (host, metric) series
+    val days = 8     // epochs; hourly buckets → 192 buckets
+    val dir = "/tmp/graft_tsdb_scale"
+    deleteRec(dir)
+
+    // Deterministic synthetic feed: uniform over series × the 8-day span.
+    val events = spark.range(nEvents)
+      .withColumn("off", pmod(xxhash64(col("id"), lit(1)), lit(days * 86400L)))
+      .withColumn("ts", expr("timestampadd(SECOND, off, TIMESTAMP_NTZ'2026-01-01 00:00:00')"))
+      .withColumn("f1", concat(lit("host"), pmod(col("id"), lit(hosts.toLong))))
+      .withColumn("f2", concat(lit("m"), expr(s"(id div $hosts) % $metrics")))
+      .withColumn("value", pmod(xxhash64(col("id"), lit(2)), lit(1000L)) / 100.0)
+      .select(col("ts"), col("f1"), col("f2"), col("value"))
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    val store = new MetricStore(spark, dir,
+      StoreParams("hour", "day", retentionEpochs = 5, fields = Seq("f1", "f2")))
+
+    // --- 1. ingest + closed-form reconciliation.
+    timed(s"track $nEvents events into $dir") { store.track(events) }
+    val cells = events
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .agg(countDistinct(col("f1"), col("bucket")).as("c1"),
+        countDistinct(col("f1"), col("f2"), col("bucket")).as("c2"),
+        sum(col("value")).as("tot"))
+      .collect().head
+    val (c1, c2, rawTotal) = (cells.getLong(0), cells.getLong(1), cells.getDouble(2))
+    val stored = store.points().count()
+    println(s"  store rows = $stored (depth-1 cells $c1 + depth-2 cells $c2)")
+    require(stored == c1 + c2,
+      s"store holds $stored rows, expected ${c1 + c2} — rollup dropped or duplicated cells")
+    if (nEvents >= 20000000L) {
+      // full occupancy at this rate → the pure closed form must hold too
+      require(c2 == days * 24L * hosts * metrics,
+        s"depth-2 cells $c2 != ${days * 24 * hosts * metrics} — series×bucket grid not covered")
+    }
+
+    // --- 2. conservation through the store: a full-range depth-1 fetch
+    // re-sums segments back to exactly the raw feed's mass.
+    val full = timed("fetch full range, depth 1 (all hosts)") {
+      store.fetch("2026-01-01", s"2026-01-0${days + 1}", Seq(None))
+        .agg(count(lit(1)).as("rows"), sum(col("total")).as("tot"),
+          sum(col("cnt")).as("cnt"))
+        .collect().head
+    }
+    require(full.getLong(0) == c1, s"depth-1 fetch rows ${full.getLong(0)} != $c1")
+    require(full.getLong(2) == nEvents,
+      s"fetched cnt ${full.getLong(2)} != $nEvents — observations lost")
+    val drift = math.abs(full.getDouble(1) - rawTotal) / rawTotal
+    require(drift < 1e-9, s"fetched total drifted by $drift from the raw feed")
+
+    // --- 3. pruned narrow fetch: one host, one day. Exact closed-form
+    // rows, and the scan must carry an epoch PartitionFilters entry (the
+    // pruning that makes this O(1 epoch), not O(corpus)).
+    val narrow = store.fetch("2026-01-03", "2026-01-04", Seq(Some("host42"), None))
+    val plan = narrow.queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters") && !plan.contains("PartitionFilters: []"),
+      "narrow fetch plan has no epoch partition filter — fetch would scan every epoch")
+    val nNarrow = timed("fetch 1 host × 1 day, depth 2") { narrow.count() }
+    println(s"  narrow fetch rows = $nNarrow")
+    if (nEvents >= 20000000L)
+      require(nNarrow == 24L * metrics,
+        s"narrow fetch rows $nNarrow != ${24 * metrics}")
+
+    // --- 4. expire: retention 5 of 8 epochs → the 3 oldest drop.
+    val dropped = timed("expire to 5 epochs") { store.expire() }
+    println(s"  dropped: ${dropped.mkString(", ")}")
+    require(dropped == Seq("2026-01-01", "2026-01-02", "2026-01-03"),
+      s"expire dropped ${dropped.mkString(",")}, expected the 3 oldest epochs")
+    val survivors = store.points()
+      .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("cnt")).collect().head
+    val expCells = events.filter(col("ts") >= lit("2026-01-04").cast("timestamp_ntz"))
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .agg(countDistinct(col("f1"), col("bucket")) +
+        countDistinct(col("f1"), col("f2"), col("bucket")), count(lit(1)))
+      .collect().head
+    require(survivors.getLong(0) == expCells.getLong(0),
+      s"post-expire rows ${survivors.getLong(0)} != ${expCells.getLong(0)}")
+    require(survivors.getLong(1) == 2 * expCells.getLong(1),
+      s"post-expire cnt ${survivors.getLong(1)} != ${2 * expCells.getLong(1)} " +
+        "(each observation counts once at each surviving depth)")
+
+    // --- 5. compact one epoch: file count bounded, aggregates unchanged.
+    val ep = "2026-01-05"
+    def epochAgg() = store.points().filter(col("epoch") === ep)
+      .agg(count(lit(1)), sum(col("total")), sum(col("cnt"))).collect().head
+    val before = epochAgg()
+    timed(s"compact epoch $ep to 8 files") { store.compact(ep, targetFiles = 8) }
+    val nFiles = Files.list(Paths.get(s"$dir/points/epoch=$ep")).filter(
+      p => p.getFileName.toString.endsWith(".parquet")).count()
+    println(s"  files after compact = $nFiles")
+    require(nFiles <= 8, s"epoch still has $nFiles files after compact")
+    val after = epochAgg()
+    require(after.getLong(0) == before.getLong(0) && after.getLong(2) == before.getLong(2) &&
+      math.abs(after.getDouble(1) - before.getDouble(1)) <= math.abs(before.getDouble(1)) * 1e-12,
+      s"compact changed the epoch aggregate: $before -> $after")
+
+    println(s"TsdbScaleCheck OK at $nEvents events")
+    deleteRec(dir)
+    spark.stop()
+  }
+
+  private def deleteRec(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
+}
