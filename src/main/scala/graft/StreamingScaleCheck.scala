@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.MetricStore
+import graft.streaming.StreamingTracker
+import graft.streaming.StreamingTracker.Point
+
+/** Scale sanity harness for the streaming Track path: pushes millions of
+  * points (default 2M — ~3 orders of magnitude above the StreamingSpec
+  * feeds) through `startIntoStore`'s watermarked dual-depth aggregation
+  * in time-ordered micro-batch chunks, then reconciles the resulting
+  * MetricStore against driver-side closed forms. Asserts the properties
+  * the streaming design claims:
+  *
+  *   - exactness: every observation lands exactly once (the foreachBatch
+  *     stage→move→marker commit), so fetched counts/totals equal the
+  *     feed's, and store rows equal the occupied (prefix, bucket) cells;
+  *   - watermark eviction: peak streaming state stays bounded by
+  *     series × live-window-horizon, never series × all-windows-ever —
+  *     the difference between "runs forever" and "state grows forever";
+  *   - unclosed windows leak nothing: the flush sentinel's own window
+  *     never emits.
+  *
+  * `runMain graft.StreamingScaleCheck [nPoints]`.
+  */
+object StreamingScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val nPoints = args.headOption.map(_.toInt).getOrElse(2000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val metrics = 20
+    val hosts = 500 // 10k (f1, f2) series
+    val chunks = 4
+    val chunkHours = 12 // 4 time-ordered chunks × 12h = 48 hourly buckets
+    val baseSec = java.time.LocalDateTime.parse("2026-01-01T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+
+    def mix(i: Long): Long = { // splitmix-style deterministic offset
+      val h = (i + 1) * 0x9E3779B97F4A7C15L
+      val x = (h ^ (h >>> 31)) & Long.MaxValue
+      x % (chunkHours * 3600L)
+    }
+    def pointAt(i: Long): Point = {
+      val chunk = i % chunks // i mod chunks → chunk, so every chunk sees all series
+      val off = chunk * chunkHours * 3600L + mix(i)
+      Point(s"m${i % metrics}", s"h${(i / metrics) % hosts}",
+        new Timestamp((baseSec + off) * 1000L), (i % 1000) / 100.0)
+    }
+
+    // driver-side closed forms over the identical feed
+    val cells1 = new scala.collection.mutable.HashSet[(String, Long)]
+    val cells2 = new scala.collection.mutable.HashSet[(String, String, Long)]
+    var rawTotal = 0.0
+    var m7Count = 0L
+    val m7Cells = new scala.collection.mutable.HashSet[(String, Long)]
+    (0L until nPoints).foreach { i =>
+      val p = pointAt(i)
+      val bucketSec = p.ts.getTime / 1000L / 3600L * 3600L
+      cells1.add((p.f1, bucketSec))
+      cells2.add((p.f1, p.f2, bucketSec))
+      rawTotal += p.value
+      if (p.f1 == "m7") { m7Count += 1; m7Cells.add((p.f2, bucketSec)) }
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_scale").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_stream_chk").toString
+    val input = MemoryStream[Point]
+    val t0 = System.nanoTime()
+    val qs = StreamingTracker.startIntoStore(input.toDF(), root, chk,
+      resolution = "1 hour", watermark = "1 hour")
+    try {
+      // arrival follows event time (each chunk is one 12h tranche, shuffled
+      // inside) — the shape a real feed has, and what keeps the 1h
+      // watermark from classifying whole tranches as late
+      (0 until chunks).foreach { c =>
+        input.addData((0L until nPoints.toLong).filter(_ % chunks == c).map(pointAt))
+        qs.foreach(_.processAllAvailable())
+      }
+      // flush sentinel: 2h past the end closes every real window; its own
+      // window must never emit
+      input.addData(Point("zz", "zz",
+        new Timestamp((baseSec + 50L * 3600L) * 1000L), 0.0))
+      qs.foreach(_.processAllAvailable())
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"streamed $nPoints points through startIntoStore: $secs%.1f s " +
+        f"(${nPoints / secs}%.0f points/s)")
+
+      val peakState = qs.flatMap(_.recentProgress).map(p =>
+        p.stateOperators.map(_.numRowsTotal).sum).max
+      val horizon = (chunkHours + 2) * (metrics * hosts + metrics)
+      println(s"  peak streaming state = $peakState rows " +
+        s"(live-horizon bound $horizon; unbounded would reach " +
+        s"${(chunkHours * chunks + 1) * (metrics * hosts + metrics)})")
+      require(peakState <= horizon,
+        s"peak state $peakState exceeds the live-window horizon $horizon — " +
+          "watermark eviction is not bounding state")
+
+      val store = new MetricStore(spark, root)
+      val got = store.points()
+        .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("cnt"),
+          sum(when(col("depth") === 2, col("total"))).as("tot2"),
+          sum(when(col("f1") === "zz", 1L).otherwise(0L)).as("zz"))
+        .collect().head
+      require(got.getLong(3) == 0L, "sentinel's unclosed window leaked into the store")
+      require(got.getLong(0) == cells1.size + cells2.size,
+        s"store rows ${got.getLong(0)} != ${cells1.size + cells2.size} occupied cells")
+      require(got.getLong(1) == 2L * nPoints,
+        s"store cnt ${got.getLong(1)} != ${2L * nPoints} (each point once per depth)")
+      val drift = math.abs(got.getDouble(2) - rawTotal) / rawTotal
+      require(drift < 1e-9, s"streamed depth-2 total drifted by $drift from the feed")
+
+      val m7 = store.fetch("2026-01-01", "2026-01-03", Seq(Some("m7"), None))
+        .agg(count(lit(1)), sum(col("cnt"))).collect().head
+      require(m7.getLong(0) == m7Cells.size && m7.getLong(1) == m7Count,
+        s"m7 fetch (${m7.getLong(0)} rows, cnt ${m7.getLong(1)}) != " +
+          s"closed form (${m7Cells.size}, $m7Count)")
+
+      println(s"StreamingScaleCheck OK at $nPoints points")
+    } finally {
+      qs.foreach(_.stop())
+      spark.stop()
+    }
+  }
+}
