@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Single-query timing harness: `runMain graft.TimeQuery <name>...` times
   * the named SparkEntry queries at SPARK_GRAFT_SF_DIR (default sf0.1) with
-  * Bench's protocol (untimed warmup, best-of-2, cache cleared between
+  * Bench's protocol (untimed warmup, best-of-3, cache cleared between
   * passes) — the iterate-on-one-operator loop without a full bench run.
   */
 object TimeQuery {
@@ -18,7 +18,7 @@ object TimeQuery {
     args.foreach { name =>
       SparkEntry.queries(name)(spark, dir).count()
       spark.catalog.clearCache()
-      val ts = (1 to 2).map { _ =>
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         spark.catalog.clearCache()

@@ -309,17 +309,17 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    listEpochDirs(Paths.get(dataDir))
-      .filter { case (e, _) => touched.contains(e) && !surviving.contains(e) }
-      .foreach { case (_, dir) =>
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
-      }
+    dropEpochDirs(dataDir, touched.toSet -- surviving)
     // cascade invalidation: re-derive touched epochs that still have
     // points (at the slot set the cascade was built with) and drop the
     // partitions of epochs the delete emptied — refreshCascade's dynamic
     // overwrite writes only partitions PRESENT in its output, so an
     // emptied epoch must be dropped explicitly, like the points path.
-    if (Files.exists(Paths.get(cascadeDir))) {
+    // The listEpochDirs guard also covers a cascade dir whose every
+    // epoch partition was already expired away: reading it would throw
+    // "unable to infer schema", and there is nothing left to refresh.
+    if (Files.exists(Paths.get(cascadeDir)) &&
+        listEpochDirs(Paths.get(cascadeDir)).nonEmpty) {
       val slots = cascade().select(col("res_hours")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       val refreshable = touched.filter(surviving.contains)

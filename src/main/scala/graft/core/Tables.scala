@@ -36,6 +36,20 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // no .rdd on a stream; micro-batches size themselves
+    // If the plan already contains a shuffle-inducing operator, its output
+    // is at shuffle width by construction — and, under AQE, the .rdd width
+    // probe below would eagerly EXECUTE those upstream stages at plan time
+    // just to read a partition count, doubling the work. Probe only
+    // shuffle-free (scan + narrow) inputs, where .rdd is pure planning.
+    // (coalesce — Repartition with shuffle=false — is NOT wide: it narrows
+    // without an exchange, exactly the sub-width shape spread exists for)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.optimizedPlan.collectFirst {
+      case _: Aggregate | _: Join | _: Window | _: Sort | _: Deduplicate => ()
+      case r: Repartition if r.shuffle => ()
+      case _: RepartitionByExpression => ()
+    }.isDefined
+    if (wide) return df
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -335,7 +335,10 @@ object Similarity {
     val seed1 = sample.minBy(c => (Hashing.h60jvm(c._1.toString), c._1))
     val sel = scala.collection.mutable.ArrayBuffer(seed1)
     var rest = sample.filterNot(_._1 == seed1._1)
-    for (_ <- 2 to nCent) {
+    // `rest.nonEmpty` guard: a corpus smaller than nCent yields fewer
+    // candidates than seats — stop early with what exists (the oracle's
+    // seed CTEs likewise just stop growing) instead of empty.minBy
+    for (_ <- 2 to nCent if rest.nonEmpty) {
       val pick = rest.map(c => (sel.map(s => cos(c, s)).max, c._1, c))
         .minBy(t => (t._1, t._2))
       sel += pick._3
