@@ -248,4 +248,22 @@ class MetricStoreSpec extends SparkSpec {
     assert(day2.map(_.getAs[Double]("total")).toSeq == Seq(5.0))
     assert(store.cascade().filter(col("epoch") === "2024-01-03").isEmpty)
   }
+
+  test("deleteSeries survives a cascade emptied by expire") {
+    val dir = Files.createTempDirectory("graftstore_casc_empty").toString
+    val store = new MetricStore(spark, dir, StoreParams(retentionEpochs = 1))
+    store.track(mkEvents(Seq(
+      ("2024-01-01 01:00:00", "cpu", "alice", 8.0),
+      ("2024-01-03 02:00:00", "cpu", "alice", 2.0),
+      ("2024-01-03 03:00:00", "cpu", "bob", 5.0))))
+    // cascade built only for the epoch expire() is about to drop — after
+    // expire the cascade dir still exists but holds no epoch partitions
+    store.refreshCascade(Seq("2024-01-01"))
+    assert(store.expire() == Seq("2024-01-01"))
+    // must not throw "unable to infer schema" reading the emptied cascade
+    assert(store.deleteSeries(Seq(None, Some("alice"))) == 1L)
+    val left = store.fetch("2024-01-03", "2024-01-04", Seq(Some("cpu"), None))
+      .collect()
+    assert(left.map(_.getAs[String]("f2")).toSeq == Seq("bob"))
+  }
 }

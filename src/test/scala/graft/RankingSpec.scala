@@ -95,4 +95,16 @@ class RankingSpec extends SparkSpec {
       .orderBy(col("cum_share")).as[(Long, Double, Double)].collect()
     assert(p.last._3 >= 0.8 && p.init.forall(_._3 < 0.8))
   }
+
+  test("withRunningSum keeps long sums exact past 2^53") {
+    // per-partition partial = 2*(2^53 + 1): a Double cannot hold it (the
+    // old driver-side Double round-trip lost the +2), a Long can
+    val b = (1L << 53) + 1L
+    val df = (1 to 4).map(i => (i.toLong, b)).toDF("k", "val")
+    val got = Ranking.withRunningSum(df, None, Seq(col("k")), col("val"),
+        "cum", Some("tot"), numParts = 2)
+      .orderBy(col("k")).select(col("cum")).as[Long].collect().toSeq
+    assert(got == Seq(b, 2 * b, 3 * b, 4 * b),
+      s"long running sum drifted: $got")
+  }
 }

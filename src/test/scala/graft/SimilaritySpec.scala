@@ -192,4 +192,12 @@ class SimilaritySpec extends SparkSpec {
     assert(pairCluster.getAs[Double]("min_cos") == 1.0)
     assert(r.forall(_.getAs[Double]("min_cos") <= 1.0))
   }
+
+  test("kmeansPpIvfTopK degrades gracefully when the corpus is smaller than nCent") {
+    // 4 vectors, 8 requested centroids: the seed sample runs out — the
+    // seeding must stop with the vectors it has, not crash on empty.minBy
+    val r = Similarity.kmeansPpIvfTopK(emb, 1, 3, nCent = 8, iters = 2, nProbe = 8)
+      .collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L))
+  }
 }
