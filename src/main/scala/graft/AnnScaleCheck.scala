@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -33,10 +32,7 @@ import graft.operators.Similarity
 object AnnScaleCheck {
   def main(args: Array[String]): Unit = {
     val nVec = args.headOption.map(_.toLong).getOrElse(1000000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Harness.session()
 
     val dim = 64
     val C = 64        // planted clusters
@@ -55,10 +51,7 @@ object AnnScaleCheck {
       .select(col("id").as("vec_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
+    import Harness.timed
 
     // --- 1. coarse-cell balance: the probe-cost bound is only real if
     // no learned cell degenerates into "most of the corpus".

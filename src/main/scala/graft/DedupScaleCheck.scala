@@ -82,18 +82,12 @@ object DedupScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Harness.session()
 
     val threshold = 0.85
     val docs = corpus(spark, nDocs)
 
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
+    import Harness.timed
 
     // --- 1. candidate volume: bucket histogram over the LSH band table.
     // Sum of c*(c-1)/2 over buckets IS the per-band candidate pair mass;
@@ -143,8 +137,12 @@ object DedupScaleCheck {
         col("jaccard") < 0.85 || col("jaccard") > 0.95).count()
     require(bad == 0L, s"$bad non-planted or out-of-band pairs emitted")
     val found = pairs.count()
-    val groups = (nDocs + 49) / 50 // every group is complete: seed+2 < nDocs
-    val expected = 2.0 * groups
+    // plantable edges: base→v1 exists iff an id ≡ 1 (mod 50) < nDocs, and
+    // base→v2 iff an id ≡ 2 (mod 50) < nDocs — the last group may be
+    // truncated when nDocs % 50 ∈ {1, 2}, so count each edge kind exactly
+    val e1 = (nDocs + 48) / 50
+    val e2 = (nDocs + 47) / 50
+    val expected = (e1 + e2).toDouble
     val recall = found / expected
     println(f"  planted-edge recall: $found/${expected.toLong} = $recall%.4f " +
       "(analytic band-collision rate ≈ 0.986)")
@@ -163,8 +161,8 @@ object DedupScaleCheck {
     val maxSize = clusters.agg(max(col("csize"))).collect().head.getLong(0)
     require(maxSize <= 3L, s"cluster of size $maxSize — groups bled together")
     val triples = clusters.filter(col("csize") === 3).count() / 3
-    val tripleRate = triples.toDouble / groups
-    println(f"  full 3-doc clusters: $triples/$groups = $tripleRate%.4f " +
+    val tripleRate = triples.toDouble / e2 // only full 3-doc groups can triple
+    println(f"  full 3-doc clusters: $triples/$e2 = $tripleRate%.4f " +
       "(analytic ≈ 0.986² = 0.972; v1~v2 joined ONLY via the base edge)")
     require(tripleRate >= 0.90,
       f"triple rate $tripleRate%.4f below 0.90 — transitive merge failing at scale")

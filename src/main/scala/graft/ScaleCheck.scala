@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Ranking
@@ -16,10 +15,7 @@ import graft.core.Ranking
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(50000000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Harness.session()
 
     // skewed synthetic revenue: xxhash noise, heavy-ish tail via square
     val df = spark.range(rows).select(
@@ -27,10 +23,7 @@ object ScaleCheck {
       (pmod(xxhash64(col("id")), lit(1000000L)) * pmod(xxhash64(col("id"), lit(1)),
         lit(1000L))).cast("double").as("revenue"))
 
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
+    import Harness.timed
 
     val ranked = timed(s"withGlobalRank over $rows rows") {
       val r = Ranking.withGlobalRank(df, Seq(col("revenue").desc, col("id")),

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Skew
@@ -26,12 +25,9 @@ import graft.core.Skew
 object SkewScaleCheck {
   def main(args: Array[String]): Unit = {
     val nRows = args.headOption.map(_.toLong).getOrElse(50000000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Harness.session(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
     val nKeys = 100000L
     // key 0 takes 20% of rows; the rest spread uniformly
@@ -41,10 +37,7 @@ object SkewScaleCheck {
       (col("id") % 1000L).as("v"))
     val small = spark.range(nKeys).select(col("id").as("k"), (col("id") * 7L).as("w"))
 
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
+    import Harness.timed
     /** (rows, payload checksum, per-partition row counts) of a join result. */
     def profile(df: org.apache.spark.sql.DataFrame): (Long, Long, Seq[Long]) = {
       val parts = df.select((col("v") + col("w")).as("p"))

@@ -1138,18 +1138,18 @@ object SparkEntry {
     "q_pareto_customers" ->
       """WITH rev AS (SELECT o_custkey,
                 ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0
-                  AS revenue
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)
+                  AS cents
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               GROUP BY 1),
-         w AS (SELECT o_custkey, revenue,
-                      sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+         w AS (SELECT o_custkey, cents / 100.0 AS revenue, cents,
+                      sum(cents) OVER (ORDER BY cents DESC, o_custkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-                      sum(revenue) OVER () AS tot
+                      sum(cents) OVER () AS tot
                FROM rev)
          SELECT o_custkey, revenue,
                 floor((cum / tot) * 10000.0 + 0.5) / 10000.0 AS cum_share
-         FROM w WHERE (cum - revenue) / tot < 0.8""",
+         FROM w WHERE (cum - cents) / tot < 0.8""",
 
     "ts_topk_approx" ->
       """WITH pd AS (SELECT date_trunc('day', ts) AS day, user_id, count(*) AS cnt
@@ -1268,7 +1268,8 @@ object SparkEntry {
 
     "q_rfm" ->
       """WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order,
-                count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+                count(*) AS frequency,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS monetary
               FROM orders GROUP BY 1),
          sc AS (SELECT o_custkey, last_order, frequency, monetary,
                        ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,

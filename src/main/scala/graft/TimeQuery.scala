@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Single-query timing harness: `runMain graft.TimeQuery <name>...` times
   * the named SparkEntry queries at SPARK_GRAFT_SF_DIR (default sf0.1) with
@@ -10,11 +9,7 @@ import org.apache.spark.sql.SparkSession
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Harness.session("spark.sql.session.timeZone" -> "UTC")
     args.foreach { name =>
       SparkEntry.queries(name)(spark, dir).count()
       spark.catalog.clearCache()

@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{MetricStore, StoreParams}
@@ -30,10 +29,7 @@ import graft.core.{MetricStore, StoreParams}
 object TsdbScaleCheck {
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toLong).getOrElse(50000000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Harness.session()
 
     val hosts = 500
     val metrics = 20 // 10k (host, metric) series
@@ -50,10 +46,7 @@ object TsdbScaleCheck {
       .withColumn("value", pmod(xxhash64(col("id"), lit(2)), lit(1000L)) / 100.0)
       .select(col("ts"), col("f1"), col("f2"), col("value"))
 
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
+    import Harness.timed
 
     val store = new MetricStore(spark, dir,
       StoreParams("hour", "day", retentionEpochs = 5, fields = Seq("f1", "f2")))

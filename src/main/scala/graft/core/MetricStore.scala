@@ -250,11 +250,27 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     * [[expire]] and [[deleteSeries]] maintain the cascade THEMSELVES
     * (dropping expired / fully-deleted epoch partitions and re-deriving
     * partially-deleted ones), so a cascade read never serves points that
-    * were expired or deleted from the store.
+    * were expired or deleted from the store. A cascade that was never
+    * built — or whose every epoch partition was invalidated away — reads
+    * as an EMPTY frame with the cascade schema (parquet schema inference
+    * would otherwise throw on the partitionless directory).
     */
-  def cascade(): DataFrame =
-    spark.read.parquet(s"$path/cascade")
+  def cascade(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = Paths.get(cascadeDir)
+    if (!Files.exists(root) || listEpochDirs(root).isEmpty) {
+      val schema = StructType(
+        params.fields.map(f => StructField(f, StringType)) ++ Seq(
+          StructField("res_hours", IntegerType),
+          StructField("bucket", TimestampNTZType),
+          StructField("total", DoubleType), StructField("cnt", LongType),
+          StructField("depth", IntegerType), StructField("epoch", StringType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    spark.read.parquet(cascadeDir)
       .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
+  }
 
   /** Targeted series deletion — the right-to-be-forgotten path a
     * training-data store needs (the reference can only Expire whole

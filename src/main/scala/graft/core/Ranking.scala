@@ -93,9 +93,12 @@ object Ranking {
       require(r.schema(s"__v$i").dataType == LongType,
         s"withRankAndSums value ${values(i)._2} must be LongType")
     }
+    // coalesce: a partition whose values are all NULL sums to NULL, which
+    // would NPE the driver-side getLong — treat it as 0, matching the
+    // null-skipping window sum this helper replaces
     val partials = r.groupBy(col("__pid"))
       .agg(count(lit(1)).as("c"),
-        values.indices.map(i => sum(col(s"__v$i")).as(s"s$i")): _*)
+        values.indices.map(i => coalesce(sum(col(s"__v$i")), lit(0L)).as(s"s$i")): _*)
       .collect().map(x => (x.getLong(0), x.getLong(1),
         values.indices.map(i => x.getLong(2 + i))))
       .sortBy(_._1)
@@ -144,8 +147,12 @@ object Ranking {
     // this is ≤ numParts + |strata| rows — metadata-bounded
     // null-safe string key: the stratum column may contain nulls
     val partKey = coalesce(partCol.map(col).getOrElse(lit("")).cast("string"), lit("\u0000null"))
+    // coalesce: an all-NULL (partition, stratum) cell sums to NULL, which
+    // would NPE the driver-side getLong/getDouble — treat it as 0,
+    // matching the null-skipping window sum this helper replaces
+    val zero = if (isLong) lit(0L) else lit(0.0)
     val partialRows = r.groupBy(col("__pid"), partKey.cast("string").as("__k"))
-      .agg(sum(col("__v")).as("s"))
+      .agg(coalesce(sum(col("__v")), zero).as("s"))
       .collect()
     // prefix offsets per stratum, in pid order (earlier range partitions
     // hold strictly earlier rows of the stratum). Two typed accumulation

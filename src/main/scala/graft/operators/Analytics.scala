@@ -493,7 +493,11 @@ object Analytics {
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")
           * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("__e4"))
-      .select(col("o_custkey"), (expr("(__e4 + 50) div 100") / 100.0).as("revenue"))
+      // keep the exact integer cents alongside: downstream running sums
+      // and share filters stay in LONG arithmetic (order-independent),
+      // only display values go through the one exact /100.0 division
+      .select(col("o_custkey"), expr("(__e4 + 50) div 100").as("__cents"),
+        (expr("(__e4 + 50) div 100") / 100.0).as("revenue"))
 
   /** RFM segmentation: per-customer Recency (last order date),
     * Frequency (order count) and Monetary (total spend), each quartiled
@@ -509,7 +513,11 @@ object Analytics {
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
-        round(sum(col("o_totalprice")), 2).as("monetary"))
+        // exact LONG cents sum (o_totalprice is a 2-dec grid value), like
+        // customerRevenue: a double sum is partial-aggregation-ordered and
+        // can round differently than the oracle's sequential sum at a
+        // .005 boundary, flipping monetary (and the m_score rank) by 0.01
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("monetary"))
       // eager: materialized once BEFORE the three concurrent rank passes
       // below — lazy would let all three threads race into computing it
       .localCheckpoint()
@@ -542,15 +550,18 @@ object Analytics {
     * desc, key tie-break) runs through [[graft.core.Ranking.withRunningSum]]
     * — per-range-partition running sums plus broadcast partial-sum offsets
     * — so the scan is 32-way parallel instead of one unpartitioned window
-    * task. Summation grouping differs from a sequential scan only at the
-    * 1e-13 ULP level, absorbed by the rd4 grid (5e-5 slack). A customer is
-    * kept while the share BEFORE them is under the cut, so the row that
+    * task. The sum runs over the EXACT integer cents (long path — order-
+    * independent, no summation-grouping ULPs), so the kept-set filter
+    * compares a deterministic double quotient of identical integers on
+    * both engines; a double revenue sum here could flip a row whose
+    * exclusive share sits within ULPs of the cut. A customer is kept
+    * while the share BEFORE them is under the cut, so the row that
     * crosses 80% is included.
     */
   def paretoCustomers(s: SparkSession, dir: String, cut: Double = 0.8): DataFrame =
     Ranking.withRunningSum(customerRevenue(s, dir), None,
-        Seq(col("revenue").desc, col("o_custkey")), col("revenue"), "cum", Some("tot"))
-      .filter((col("cum") - col("revenue")) / col("tot") < cut)
+        Seq(col("revenue").desc, col("o_custkey")), col("__cents"), "cum", Some("tot"))
+      .filter((col("cum") - col("__cents")) / col("tot") < cut)
       .select(col("o_custkey"), col("revenue"),
         graft.functions.Hashing.rd4(col("cum") / col("tot")).as("cum_share"))
 
@@ -566,8 +577,8 @@ object Analytics {
       .withColumn("decile", Ranking.ntileOfRank(10, col("__rnk"), col("__tot")))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
-        // 2-dec grid doubles → exact cents recovery → exact LONG sums
-        (sum(round(col("revenue") * 100).cast("long")) / 100.0).as("total_revenue"),
+        // exact LONG cents sum, carried through from customerRevenue
+        (sum(col("__cents")) / 100.0).as("total_revenue"),
         min(col("revenue")).as("min_revenue"),
         max(col("revenue")).as("max_revenue"))
 }

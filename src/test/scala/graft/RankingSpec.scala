@@ -96,6 +96,19 @@ class RankingSpec extends SparkSpec {
     assert(p.last._3 >= 0.8 && p.init.forall(_._3 < 0.8))
   }
 
+  test("withRunningSum tolerates all-NULL value cells like the window it replaces") {
+    // a stratum whose only row has a NULL value: the per-cell partial sum
+    // is NULL and must not NPE the driver-side offset collect
+    val df = Seq(("de", 1L, Option.empty[Long]), ("en", 2L, Some(5L)),
+      ("en", 3L, Some(7L))).toDF("lang", "k", "val")
+    val got = Ranking.withRunningSum(df, Some("lang"), Seq(col("k")), col("val"),
+        "cum", Some("tot"), numParts = 3)
+      .orderBy(col("k")).select(col("cum")).collect()
+    assert(got.head.isNullAt(0)) // NULL-valued row: window sum over nothing
+    assert(got.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq ==
+      Seq(-1L, 5L, 12L))
+  }
+
   test("withRunningSum keeps long sums exact past 2^53") {
     // per-partition partial = 2*(2^53 + 1): a Double cannot hold it (the
     // old driver-side Double round-trip lost the +2), a Long can
