@@ -195,17 +195,32 @@ object Analytics {
     * per-part minimum (the correlated-min subquery shape, decorrelated
     * into an aggregate + self-join that Catalyst plans as two shuffles on
     * l_partkey — no per-row subquery execution).
+    *
+    * The part predicate is applied BEFORE the fact aggregate: lineitem is
+    * semi-joined against the filtered part keys, so the
+    * (l_partkey, l_suppkey) groupBy only shuffles lines of qualifying
+    * parts — per-part min cost is unaffected by dropping other parts. No
+    * broadcast hint: the filtered part side still grows with the corpus,
+    * so the build-vs-shuffle choice is left to AQE's size estimate.
     */
   def q2(s: SparkSession, dir: String): DataFrame = {
+    val wantedParts = t(s, dir, "part")
+      .filter(col("p_size") <= 5 && col("p_type") === "STANDARD")
     val supply = t(s, dir, "lineitem")
+      .join(wantedParts.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
-    val minCost = supply.groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
+    // min-cost-per-part as a l_partkey-partitioned window over the
+    // aggregated supply (|qualifying parts x suppliers| rows), not a
+    // self-join back to the fact — the self-join shape scans lineitem
+    // twice because the two branches' pushed filters differ and defeat
+    // exchange reuse.
     supply
-      .join(minCost, Seq("l_partkey"))
+      .withColumn("min_cost",
+        min(col("cost")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))))
       .filter(col("cost") === col("min_cost"))
-      .join(t(s, dir, "part").filter(col("p_size") <= 5 && col("p_type") === "STANDARD"),
-        col("l_partkey") === col("p_partkey"))
+      .join(wantedParts, col("l_partkey") === col("p_partkey"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),

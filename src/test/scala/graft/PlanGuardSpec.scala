@@ -108,6 +108,37 @@ class PlanGuardSpec extends SparkSpec {
       s"unbounded explicit broadcast in: ${offenders.mkString(", ")}")
   }
 
+  test("q2 prunes lineitem by the part predicate below its first aggregate") {
+    // The r4 plan aggregated ALL of lineitem by (l_partkey, l_suppkey)
+    // and only then joined the filtered part table — a full-fact shuffle
+    // and a |parts x suppliers| aggregate for a query touching a small
+    // fraction of parts. Guard: every Aggregate whose subtree scans
+    // lineitem must also contain, BELOW it, the p_size/p_type filter
+    // (i.e. the semi-join against qualifying part keys).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def scansLineitem(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectLeaves().exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("lineitem.parquet"))
+          case _ => false
+        }
+        case _ => false
+      }
+    val plan = SparkEntry.queries("q2_min_cost_supplier")(spark, dir)
+      .queryExecution.optimizedPlan
+    val factAggs = plan.collect { case a: Aggregate if scansLineitem(a.child) => a }
+    assert(factAggs.nonEmpty, "q2 lost its lineitem aggregate")
+    val unpruned = factAggs.filterNot { a =>
+      a.child.collect {
+        case f: Filter if f.condition.toString.contains("p_size") => f
+      }.nonEmpty
+    }
+    assert(unpruned.isEmpty,
+      s"q2 aggregates lineitem without the part predicate below it (${unpruned.size} aggregate(s))")
+  }
+
   test("column pruning: single-column projections do not scan full rows") {
     val plan = SparkEntry.queries("dedup_exact")(spark, dir)
       .queryExecution.executedPlan.toString
