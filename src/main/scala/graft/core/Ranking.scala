@@ -1,34 +1,44 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Exact distributed ranking and prefix sums WITHOUT a single-task global
   * window (the `Window.orderBy(...)`-with-no-partitionBy shape funnels the
   * whole input through one task — the classic 100×-scale killer).
   *
-  * Shape shared by both helpers (the textbook two-phase scan):
+  * Shape shared by all helpers (the textbook two-phase scan):
   *   1. `repartitionByRange` on the sort key — order across partitions,
   *      balanced by construction (range boundaries come from sampling);
   *   2. `sortWithinPartitions` + `monotonically_increasing_id()` — the id
   *      encodes (partitionId << 33 | rowIndexInPartition), so after the
-  *      eager `localCheckpoint` freezes it, both the offset pass and the
-  *      final pass read the SAME partition/row numbering;
-  *   3. one tiny driver-side collect of per-partition counts/partial sums
-  *      (one row per shuffle partition — metadata-bounded, like the epoch
-  *      lists in MetricStore), turned into broadcast offsets;
-  *   4. a map-side broadcast join adds each partition's offset to its
-  *      local index / running sum. Ranks need NO window at all; running
-  *      sums use a window partitioned by `__pid` (32-way parallel, never
-  *      one task).
+  *      lazy `localCheckpoint` freezes the RDD, every branch of the plan
+  *      reads the SAME partition/row numbering;
+  *   3. per-partition counts/partial sums as a TINY IN-PLAN aggregate
+  *      (≤ one row per shuffle partition per stratum — metadata-bounded,
+  *      like the epoch lists in MetricStore), prefix-summed by a window
+  *      over that bounded aggregate and broadcast-joined back. No driver
+  *      collect, no second driver job: the offsets branch and the final
+  *      pass fold into ONE action (they share the checkpointed RDD, and
+  *      the DAG scheduler runs its shuffle once);
+  *   4. the broadcast join adds each partition's offset to its local
+  *      index / running sum. Ranks need NO window at all; running sums
+  *      use a window partitioned by `__pid` (32-way parallel, never one
+  *      task).
+  *
+  * `order` must be a TOTAL order (include a unique tie-break key): with
+  * the offsets branch and the final pass both reading the checkpointed
+  * partitions, a non-total order could let two branches see tied rows in
+  * different positions before the persist settles.
   *
   * On a multi-executor cluster prefer reliable `checkpoint()` over
-  * `localCheckpoint()` if executor loss during the two passes matters.
+  * `localCheckpoint()` if executor loss during the pass matters.
   * Row-index overflow needs > 2^33 rows in ONE partition — size numParts
   * so partitions stay far below that (32 parts × 8.6 B rows each covers
-  * any realistic aggregate).
+  * any realistic aggregate); the offsets pass raises a loud runtime error
+  * (not silent rank corruption) if a partition ever exceeds the mask.
   */
 object Ranking {
 
@@ -44,9 +54,9 @@ object Ranking {
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
   /** Range-shuffle on `order`, stamp the frozen (pid, idx) id. The
-    * checkpoint is LAZY: the offsets pass right after is always the first
-    * action, so materialization folds into that job instead of paying a
-    * separate round-trip.
+    * checkpoint is LAZY: materialization folds into the caller's first
+    * action, and both the offsets branch and the final pass read the one
+    * shared RDD.
     */
   private def ranged(df: DataFrame, order: Seq[Column], numParts: Int): DataFrame =
     df.repartitionByRange(numParts, order: _*)
@@ -55,64 +65,95 @@ object Ranking {
       .localCheckpoint(eager = false)
       .withColumn("__pid", shiftright(col("__mid"), 33))
 
+  /** Overflow guard as an in-plan expression: adds 0 when the partition's
+    * row count fits the 33-bit local index, raises a runtime error
+    * otherwise — silent rank corruption becomes a loud failure for free
+    * (the guard rides the already-computed per-partition count).
+    */
+  private def overflowGuard(c: Column, maxIdx: Long): Column =
+    coalesce(
+      assert_true(c <= lit(maxIdx + 1),
+        concat(lit(s"Ranking: partition row count "), c.cast("string"),
+          lit(s" exceeds the ${maxIdx + 1}-row local-index capacity; raise numParts"))
+      ).cast("long"),
+      lit(0L))
+
+  /** Per-partition counts of `r` with exclusive prefix offsets and the
+    * grand total, as a bounded in-plan table: Aggregate(__pid) has at
+    * most `numParts` rows by construction, `limit(numParts)` states that
+    * bound in the plan (it can never drop a row), and the unpartitioned
+    * prefix window above it is therefore over a bounded input — the
+    * documented PlanGuard exemption, not an unbounded global window. The
+    * full-frame total uses the SAME pid order, so its fold matches the
+    * offset accumulation exactly (no summation-order ULP drift).
+    */
+  private def partitionOffsets(r: DataFrame, numParts: Int, maxIdx: Long): DataFrame = {
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .limit(numParts)
+      .select(col("__pid"),
+        (coalesce(sum(col("__c")).over(wOff), lit(0L)) + overflowGuard(col("__c"), maxIdx))
+          .as("__off"),
+        sum(col("__c")).over(wTot).as("__tot"))
+  }
+
   /** Exact global `row_number()` over `order` (a TOTAL order — include a
     * unique tie-break key) as column `rankCol`; `totalCol`, when set, adds
     * the total row count (needed by [[ntileOfRank]]). Plan shape: one
-    * range shuffle, no window, no global sort. Ranks are CONSECUTIVE, so
-    * lead/lag/rolling shapes become plain equi-joins on `rank ± k`.
+    * range shuffle, no global window, no global sort, no driver collect —
+    * offsets come from a broadcast-joined bounded aggregate, so the whole
+    * pass is ONE action. Ranks are CONSECUTIVE, so lead/lag/rolling
+    * shapes become plain equi-joins on `rank ± k`.
     */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
-      totalCol: Option[String] = None, numParts: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val r = ranged(df, order, resolveParts(df, numParts))
-    val counts = r.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offRows = counts.map { case (pid, c) => val o = acc; acc += c; Row(pid, o) }
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows.toSeq, 1),
-      StructType(Seq(StructField("__pid", LongType), StructField("__off", LongType))))
-    val out = r.join(broadcast(offDf), "__pid")
+      totalCol: Option[String] = None, numParts: Int = 0): DataFrame =
+    withGlobalRankBounded(df, order, rankCol, totalCol, numParts, IdxMask)
+
+  /** [[withGlobalRank]] with an explicit local-index capacity — the test
+    * hook for the overflow guard (production callers use the 2^33 mask).
+    */
+  private[graft] def withGlobalRankBounded(df: DataFrame, order: Seq[Column],
+      rankCol: String, totalCol: Option[String], numParts: Int,
+      maxIdx: Long): DataFrame = {
+    val parts = resolveParts(df, numParts)
+    val r = ranged(df, order, parts)
+    val out = r.join(broadcast(partitionOffsets(r, parts, maxIdx)), "__pid")
       .withColumn(rankCol, col("__off") + col("__mid").bitwiseAND(lit(IdxMask)) + 1)
-      .drop("__pid", "__off", "__mid")
-    totalCol.fold(out)(tc => out.withColumn(tc, lit(acc)))
+    (totalCol match {
+      case Some(tc) => out.withColumnRenamed("__tot", tc)
+      case None => out.drop("__tot")
+    }).drop("__pid", "__off", "__mid")
   }
 
   /** [[withGlobalRank]] plus exact inclusive running sums of each
-    * `(valueCol, cumName)` pair, all from ONE range shuffle — the building
-    * block for trailing-window rollups without any global window:
-    * `trailing_k_sum(r) = cum(r) - cum(r-k)` via an equi-join on the
-    * consecutive rank. Values must be LongType (exact).
+    * `(valueCol, cumName)` pair, all from ONE range shuffle and ONE
+    * action — the building block for trailing-window rollups without any
+    * global window: `trailing_k_sum(r) = cum(r) - cum(r-k)` via an
+    * equi-join on the consecutive rank. Values must be LongType (exact).
     */
   def withRankAndSums(df: DataFrame, order: Seq[Column], rankCol: String,
       values: Seq[(Column, String)], numParts: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    var r = ranged(df, order, resolveParts(df, numParts))
+    val parts = resolveParts(df, numParts)
+    var r = ranged(df, order, parts)
     values.zipWithIndex.foreach { case ((v, _), i) => r = r.withColumn(s"__v$i", v) }
     values.indices.foreach { i =>
       require(r.schema(s"__v$i").dataType == LongType,
         s"withRankAndSums value ${values(i)._2} must be LongType")
     }
-    // coalesce: a partition whose values are all NULL sums to NULL, which
-    // would NPE the driver-side getLong — treat it as 0, matching the
-    // null-skipping window sum this helper replaces
-    val partials = r.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("c"),
-        values.indices.map(i => coalesce(sum(col(s"__v$i")), lit(0L)).as(s"s$i")): _*)
-      .collect().map(x => (x.getLong(0), x.getLong(1),
-        values.indices.map(i => x.getLong(2 + i))))
-      .sortBy(_._1)
-    var accC = 0L
-    val accS = Array.fill(values.size)(0L)
-    val offRows = partials.map { case (pid, c, ss) =>
-      val row = Row.fromSeq(pid +: accC +: accS.toSeq)
-      accC += c; ss.zipWithIndex.foreach { case (s, i) => accS(i) += s }
-      row
-    }
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows.toSeq, 1),
-      StructType(StructField("__pid", LongType) +: StructField("__off", LongType) +:
-        values.indices.map(i => StructField(s"__soff$i", LongType))))
+    // coalesce: a partition whose values are all NULL sums to NULL — treat
+    // it as 0, matching the null-skipping window sum this helper replaces
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = r.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"),
+        values.indices.map(i => coalesce(sum(col(s"__v$i")), lit(0L)).as(s"__s$i")): _*)
+      .limit(parts) // exact bound: ≤ one row per shuffle partition
+      .select(col("__pid") +:
+        (coalesce(sum(col("__c")).over(wOff), lit(0L)) + overflowGuard(col("__c"), IdxMask))
+          .as("__off") +:
+        values.indices.map(i =>
+          coalesce(sum(col(s"__s$i")).over(wOff), lit(0L)).as(s"__soff$i")): _*)
     val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var out = r.join(broadcast(offDf), "__pid")
@@ -131,58 +172,41 @@ object Ranking {
     * the fix for "one task per language"). `cumCol` is the inclusive
     * running sum; `totCol`, when set, adds the per-stratum (or global)
     * total. Value must be LongType or DoubleType; long sums are exact,
-    * double sums differ from a sequential scan only by summation-grouping
-    * ULPs (absorbed by any downstream rounding grid).
+    * and the double path folds the per-partition partials in the same
+    * pid order for both the offsets and the total, so `cum(last) == tot`
+    * bit-exactly.
     */
   def withRunningSum(df: DataFrame, partCol: Option[String], order: Seq[Column],
       value: Column, cumCol: String, totCol: Option[String] = None,
       numParts: Int = 0): DataFrame = {
-    val spark = df.sparkSession
+    val parts = resolveParts(df, numParts)
     val keyed = partCol.map(p => col(p) +: order).getOrElse(order)
-    val r = ranged(df, keyed, resolveParts(df, numParts)).withColumn("__v", value)
+    val r = ranged(df, keyed, parts).withColumn("__v", value)
     val isLong = r.schema("__v").dataType == LongType
     require(isLong || r.schema("__v").dataType == DoubleType,
       s"running-sum value must be long or double, got ${r.schema("__v").dataType}")
-    // one row per (partition, stratum): strata are range-contiguous, so
-    // this is ≤ numParts + |strata| rows — metadata-bounded
     // null-safe string key: the stratum column may contain nulls
-    val partKey = coalesce(partCol.map(col).getOrElse(lit("")).cast("string"), lit("\u0000null"))
-    // coalesce: an all-NULL (partition, stratum) cell sums to NULL, which
-    // would NPE the driver-side getLong/getDouble — treat it as 0,
-    // matching the null-skipping window sum this helper replaces
+    val partKey = coalesce(partCol.map(col).getOrElse(lit("")).cast("string"), lit(" null"))
     val zero = if (isLong) lit(0L) else lit(0.0)
-    val partialRows = r.groupBy(col("__pid"), partKey.cast("string").as("__k"))
-      .agg(coalesce(sum(col("__v")), zero).as("s"))
-      .collect()
+    // one row per (partition, stratum): strata are range-contiguous, so
+    // this is ≤ numParts + |strata| rows — metadata-bounded. With a real
+    // stratum column the prefix windows below partition on __k (bounded
+    // per-stratum row sets); in the global case __k is a literal, so the
+    // aggregate has ≤ numParts rows and carries that bound as a limit.
+    var partials = r.groupBy(col("__pid"), partKey.cast("string").as("__k"))
+      .agg(coalesce(sum(col("__v")), zero).as("__s"))
+    if (partCol.isEmpty) partials = partials.limit(parts)
     // prefix offsets per stratum, in pid order (earlier range partitions
-    // hold strictly earlier rows of the stratum). Two typed accumulation
-    // paths: long partials never round-trip through Double, so long sums
-    // stay exact past 2^53.
-    val offRows =
-      if (isLong)
-        partialRows.map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
-          .groupBy(_._2).toSeq.flatMap { case (k, rows) =>
-            var acc = 0L
-            val tot = rows.map(_._3).sum
-            rows.sortBy(_._1).map { case (pid, _, s) =>
-              val o = acc; acc += s; Row(pid, k, o, tot)
-            }
-          }
-      else
-        partialRows.map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
-          .groupBy(_._2).toSeq.flatMap { case (k, rows) =>
-            var acc = 0.0
-            val tot = rows.map(_._3).sum
-            rows.sortBy(_._1).map { case (pid, _, s) =>
-              val o = acc; acc += s; Row(pid, k, o, tot)
-            }
-          }
-    val vt = if (isLong) LongType else DoubleType
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows, 1),
-      StructType(Seq(StructField("__pid", LongType),
-        StructField("__k", org.apache.spark.sql.types.StringType),
-        StructField("__off", vt), StructField("__tot", vt))))
+    // hold strictly earlier rows of the stratum); the full-frame total
+    // folds the SAME pid-ordered partials, so for doubles the last row's
+    // cum equals tot exactly.
+    val wOff = Window.partitionBy(col("__k")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("__k")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offDf = partials.select(col("__pid"), col("__k"),
+      coalesce(sum(col("__s")).over(wOff), zero).as("__off"),
+      sum(col("__s")).over(wTot).as("__tot"))
     val w = Window.partitionBy(col("__pid"), col("__k")).orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = r.withColumn("__k", partKey.cast("string"))

@@ -109,6 +109,28 @@ class RankingSpec extends SparkSpec {
       Seq(-1L, 5L, 12L))
   }
 
+  test("local-index overflow raises a loud error instead of corrupting ranks") {
+    // forge a tiny 7-row local-index capacity: 100 rows over 2 partitions
+    // must trip the in-plan guard (production capacity is 2^33 rows per
+    // partition — unreachable at test scale, hence the hook)
+    val df = sample(100)
+    // consume the rank column: the guard rides the offset expression, so
+    // a plan that prunes the ranks away (they can't corrupt anything
+    // unused) also prunes the check
+    val e = intercept[Exception] {
+      Ranking.withGlobalRankBounded(df, Seq(col("v"), col("k")), "rnk",
+        None, numParts = 2, maxIdx = 7).agg(max(col("rnk"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("local-index capacity")),
+      s"unexpected error: $e")
+    // and the untripped guard is invisible: same data, capacity fits
+    val ok = Ranking.withGlobalRankBounded(df, Seq(col("v"), col("k")), "rnk",
+      None, numParts = 2, maxIdx = 127)
+    assert(ok.count() == 100)
+  }
+
   test("withRunningSum keeps long sums exact past 2^53") {
     // per-partition partial = 2*(2^53 + 1): a Double cannot hold it (the
     // old driver-side Double round-trip lost the +2), a Long can
