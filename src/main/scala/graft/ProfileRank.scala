@@ -24,7 +24,10 @@ object ProfileRank {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val d = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
-        println(f"    stage ${si.stageId}%3d ${si.numTasks}%3d tasks  $d%6.3f s  ${si.name.take(60)}")
+        val ops = si.rddInfos.map(_.name).filter(n =>
+          n != null && !n.startsWith("MapPartitions") && !n.startsWith("Shuffled"))
+          .distinct.take(6).mkString("|")
+        println(f"    stage ${si.stageId}%3d ${si.numTasks}%3d tasks  $d%6.3f s  $ops")
       }
     }
     args.foreach { name =>

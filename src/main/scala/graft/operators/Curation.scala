@@ -17,10 +17,17 @@ object Curation {
 
   /** Materialize the curated corpus: unique content, predicted language
     * = `lang`, quality ≥ `minQuality`.
+    *
+    * The probe side gets the scan-width floor: a small corpus file is one
+    * parquet row group = ONE scan task, and the broadcast semi-join plus
+    * the post-join quality/langid regexes would all run in that single
+    * task (profiled: a ~1 s one-task stage at sf0.1 while 31 cores sat
+    * idle). At real corpus scale the scan is already wide and spread() is
+    * a no-op.
     */
   def materialize(docs: DataFrame, minQuality: Double, lang: String): DataFrame = {
     val keepers = Dedup.exact(docs).select(col("keeper").as("doc_id"))
-    docs
+    graft.core.Tables.spread(docs.select(col("doc_id"), col("source"), col("text")))
       .join(keepers, Seq("doc_id"), "left_semi")
       .transform(TextAnalysis.withQuality)
       .transform(TextAnalysis.withLangId)
@@ -40,8 +47,8 @@ object Curation {
     val keepers = Dedup.exact(docs).select(col("keeper").as("doc_id"))
     val nearDrop = Dedup.minhashLsh(docs, nearThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    docs
-      .join(keepers, Seq("doc_id"), "left_semi")
+    graft.core.Tables.spread(docs.select(col("doc_id"), col("source"), col("text")))
+      .join(keepers, Seq("doc_id"), "left_semi") // scan-width floor — see [[materialize]]
       .join(nearDrop, Seq("doc_id"), "left_anti")
       .transform(TextAnalysis.withQuality)
       .transform(TextAnalysis.withLangId)

@@ -80,7 +80,13 @@ object Dedup {
     sh.join(rare, Seq("shingle")).select(col("doc_id"), col("shingle"))
   }
 
-  /** Exact dedup: md5 hash-groupBy; keeper = min doc_id per content hash. */
+  /** Exact dedup: md5 hash-groupBy; keeper = min doc_id per content hash.
+    * Deliberately NO scan-width floor here: the md5 partial aggregation
+    * runs in the scan stage, so only 16-byte hashes ever shuffle — at
+    * corpus scale the scan is wide and the hashing parallel, and at toy
+    * scale a spread() would shuffle the full text just to parallelize a
+    * sub-second hash (measured net loss).
+    */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
