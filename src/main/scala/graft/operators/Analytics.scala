@@ -514,6 +514,26 @@ object Analytics {
       .select(col("o_custkey"), expr("(__e4 + 50) div 100").as("__cents"),
         (expr("(__e4 + 50) div 100") / 100.0).as("revenue"))
 
+  /** The per-customer revenue aggregate, materialized ONCE for reuse: the
+    * decile, pareto and RFM-style reports all start from this orders ⋈
+    * lineitem aggregate, and a real workload running several of them
+    * should pay its fact shuffle once, not once per report (the
+    * registered bench queries stay cold-start on purpose — each measures
+    * its own full cost). Eager local checkpoint, like MetricStore's
+    * materialized rollups: |customers|-sized, partition-distributed, and
+    * frozen so every consumer reads the same aggregate. On a
+    * multi-executor cluster prefer writing it to a table/checkpoint dir.
+    */
+  def customerRevenueView(s: SparkSession, dir: String): DataFrame =
+    customerRevenue(s, dir).localCheckpoint()
+
+  /** [[revenueDeciles]] over a precomputed [[customerRevenueView]]. */
+  def revenueDecilesOf(rev: DataFrame): DataFrame = decilesFrom(rev)
+
+  /** [[paretoCustomers]] over a precomputed [[customerRevenueView]]. */
+  def paretoCustomersOf(rev: DataFrame, cut: Double = 0.8): DataFrame =
+    paretoFrom(rev, cut)
+
   /** RFM segmentation: per-customer Recency (last order date),
     * Frequency (order count) and Monetary (total spend), each quartiled
     * with key tie-breaks (1 = best), concatenated into the classic 'rfm'
@@ -574,7 +594,10 @@ object Analytics {
     * crosses 80% is included.
     */
   def paretoCustomers(s: SparkSession, dir: String, cut: Double = 0.8): DataFrame =
-    Ranking.withRunningSum(customerRevenue(s, dir), None,
+    paretoFrom(customerRevenue(s, dir), cut)
+
+  private def paretoFrom(rev: DataFrame, cut: Double): DataFrame =
+    Ranking.withRunningSum(rev, None,
         Seq(col("revenue").desc, col("o_custkey")), col("__cents"), "cum", Some("tot"))
       .filter((col("cum") - col("__cents")) / col("tot") < cut)
       .select(col("o_custkey"), col("revenue"),
@@ -587,7 +610,10 @@ object Analytics {
     * 10-group aggregate.
     */
   def revenueDeciles(s: SparkSession, dir: String): DataFrame =
-    Ranking.withGlobalRank(customerRevenue(s, dir),
+    decilesFrom(customerRevenue(s, dir))
+
+  private def decilesFrom(rev: DataFrame): DataFrame =
+    Ranking.withGlobalRank(rev,
         Seq(col("revenue").desc, col("o_custkey")), "__rnk", Some("__tot"))
       .withColumn("decile", Ranking.ntileOfRank(10, col("__rnk"), col("__tot")))
       .groupBy(col("decile"))
