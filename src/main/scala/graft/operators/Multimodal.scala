@@ -118,8 +118,16 @@ object Multimodal {
     * the patch-pixel decode is the same md5 stub as binaryMeta.
     */
   def imageTiles(docs: DataFrame, patch: Int): DataFrame =
-    binaryMeta(docs)
-      .select(col("doc_id"), col("content_hash"), col("width"), col("height"))
+    tilesFrom(binaryMeta(docs)
+      .select(col("doc_id"), col("content_hash"), col("width"), col("height")), patch)
+
+  /** [[imageTiles]] over already-decoded metadata — the entry a real-codec
+    * pipeline uses: decode once (e.g. [[decodeBatched]] with [[PngCodec]]),
+    * tile the (doc_id, content_hash, width, height) result. The tiling
+    * itself is codec-agnostic.
+    */
+  def tilesFrom(meta: DataFrame, patch: Int): DataFrame =
+    meta
       .withColumn("tile_x", explode(expr(s"sequence(0, (width - 1) div $patch)")))
       .withColumn("tile_y", explode(expr(s"sequence(0, (height - 1) div $patch)")))
       .select(col("doc_id"),
@@ -136,19 +144,60 @@ object Multimodal {
   final case class DecodedMedia(
       doc_id: Long, byte_len: Int, width: Int, height: Int, n_frames: Int)
 
-  /** Batch decode via mapPartitions — the shape a real codec integration
-    * takes (per-partition codec init, row-batch iteration). The decode body
-    * is the same deterministic stub as binaryMeta.
+  /** A media codec: payload bytes → decoded metadata. Implementations
+    * must be Serializable (they ship to executors inside the
+    * mapPartitions closure) and cheap to construct — expensive native
+    * state belongs in [[Codec.open]], called once per partition.
     */
-  def decodeBatched(spark: SparkSession, media: Dataset[MediaBatch]): Dataset[DecodedMedia] = {
+  trait Codec extends Serializable {
+    /** Per-partition initialization hook (native contexts, thread-local
+      * decoders); default no-op. Called once before the row iterator.
+      */
+    def open(): Unit = ()
+    def decode(docId: Long, payload: Array[Byte]): DecodedMedia
+  }
+
+  /** The declared deterministic STUB codec (hash-derived dimensions) —
+    * the oracle contract for every mm_* query, unchanged since round 1.
+    */
+  object StubCodec extends Codec {
+    def decode(docId: Long, payload: Array[Byte]): DecodedMedia = {
+      val h = Hashing.h60jvm(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      DecodedMedia(docId, payload.length,
+        (64 + h % 512).toInt, (64 + (h / 512) % 512).toInt, (1 + h % 8).toInt)
+    }
+  }
+
+  /** A REAL image codec over `javax.imageio` (PNG/JPEG/GIF — whatever
+    * ImageIO readers the JVM ships): width/height from the actual pixel
+    * raster, n_frames = 1 (still images). This is the codec the
+    * [[decodeBatched]] seam was built for; the oracle queries keep the
+    * stub so results stay engine-portable, and the real path is proven by
+    * spec on generated PNGs.
+    */
+  object ImageIoCodec extends Codec {
+    override def open(): Unit =
+      // per-partition init: ImageIO's disk cache is pure overhead for
+      // in-memory byte-array decodes
+      javax.imageio.ImageIO.setUseCache(false)
+    def decode(docId: Long, payload: Array[Byte]): DecodedMedia = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"doc $docId: payload is not a decodable image")
+      DecodedMedia(docId, payload.length, img.getWidth, img.getHeight, 1)
+    }
+  }
+
+  /** Batch decode via mapPartitions — the shape a real codec integration
+    * takes (per-partition codec init, row-batch iteration). Defaults to
+    * the declared [[StubCodec]]; pass [[ImageIoCodec]] for real PNG/JPEG
+    * decoding.
+    */
+  def decodeBatched(spark: SparkSession, media: Dataset[MediaBatch],
+      codec: Codec = StubCodec): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // real impl: initialize the (expensive) codec once per partition here
-      it.map { m =>
-        val h = Hashing.h60jvm(new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
-        DecodedMedia(m.doc_id, m.payload.length,
-          (64 + h % 512).toInt, (64 + (h / 512) % 512).toInt, (1 + h % 8).toInt)
-      }
+      codec.open()
+      it.map(m => codec.decode(m.doc_id, m.payload))
     }
   }
 }
