@@ -18,6 +18,20 @@ object Harness {
       .config("spark.ui.enabled", "false")
     val s = extra.foldLeft(b)((bb, kv) => bb.config(kv._1, kv._2)).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // getOrCreate silently ignores builder configs when a SparkSession
+    // already exists in the JVM; re-apply runtime-settable extras and fail
+    // LOUDLY on static ones, so a harness premise (AQE off, broadcast
+    // disabled, …) surfaces here instead of as a confusing downstream
+    // require() against a stale session.
+    extra.foreach { case (k, v) =>
+      if (!s.conf.getOption(k).contains(v)) {
+        if (s.conf.isModifiable(k)) s.conf.set(k, v)
+        else throw new IllegalStateException(
+          s"Harness.session: pre-existing SparkSession pins static conf $k=" +
+            s"${s.conf.getOption(k).getOrElse("<unset>")} (wanted '$v'); " +
+            "stop the existing session before this harness")
+      }
+    }
     s
   }
 

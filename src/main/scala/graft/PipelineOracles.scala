@@ -288,7 +288,10 @@ object PipelineOracles {
          FROM bk""",
 
     // band-threshold vocabulary (twin of TextAnalysis.vocabCoverage):
-    // admit whole frequency bands while the cumulative type count fits
+    // admit whole frequency bands while the cumulative type count fits.
+    // Degenerate case shared with the Spark side: if no band fits the
+    // table, cstar is NULL, cnt >= NULL admits nothing, and every doc
+    // reports coverage 0.0 — the size bound is never violated
     "text_vocab_coverage" -> """WITH tk AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
            FROM documents),

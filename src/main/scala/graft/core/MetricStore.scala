@@ -231,8 +231,9 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
         .agg(round(sum(col("total")), 2).as("total"), sum(col("cnt")).as("cnt"))
         .withColumn("res_hours", lit(h))
     }.reduce(_ union _)
-      .select((fieldCols ++ Seq(col("res_hours"), col("bucket"), col("total"),
-        col("cnt"), col("depth"), col("epoch"))): _*)
+      // column order derives from the one cascade schema, so the written
+      // layout and the empty-read fallback cannot drift apart
+      .select(cascadeSchema.fieldNames.map(col).toSeq: _*)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try out.write.mode("overwrite").partitionBy("epoch").parquet(s"$path/cascade")
@@ -255,19 +256,26 @@ final class MetricStore(spark: SparkSession, path: String, params: StoreParams =
     * as an EMPTY frame with the cascade schema (parquet schema inference
     * would otherwise throw on the partitionless directory).
     */
-  def cascade(): DataFrame = {
+  /** The cascade's one schema: [[refreshCascade]]'s written column order
+    * and [[cascade]]'s empty-frame fallback both derive from it, so
+    * adding or retyping a cascade column cannot desynchronize the two
+    * paths silently.
+    */
+  private def cascadeSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
+    StructType(
+      params.fields.map(f => StructField(f, StringType)) ++ Seq(
+        StructField("res_hours", IntegerType),
+        StructField("bucket", TimestampNTZType),
+        StructField("total", DoubleType), StructField("cnt", LongType),
+        StructField("depth", IntegerType), StructField("epoch", StringType)))
+  }
+
+  def cascade(): DataFrame = {
     val root = Paths.get(cascadeDir)
-    if (!Files.exists(root) || listEpochDirs(root).isEmpty) {
-      val schema = StructType(
-        params.fields.map(f => StructField(f, StringType)) ++ Seq(
-          StructField("res_hours", IntegerType),
-          StructField("bucket", TimestampNTZType),
-          StructField("total", DoubleType), StructField("cnt", LongType),
-          StructField("depth", IntegerType), StructField("epoch", StringType)))
+    if (!Files.exists(root) || listEpochDirs(root).isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cascadeSchema)
     spark.read.parquet(cascadeDir)
       .withColumn("epoch", date_format(col("epoch"), "yyyy-MM-dd"))
   }

@@ -426,6 +426,13 @@ object TextAnalysis {
     * descending cumulative count runs through
     * [[graft.core.Ranking.withRunningSum]], and the threshold comes back
     * as a 1-row broadcast.
+    *
+    * Degenerate case, by design: if even the HIGHEST-frequency band alone
+    * holds more than `vocabSize` types (e.g. every token unique and
+    * vocabSize < |types|), NO band fits, the vocabulary is empty and
+    * every doc reports coverage 0.0 — the ≤ vocabSize bound is never
+    * violated to admit a band. The oracle SQL encodes the same rule
+    * (cnt >= NULL admits nothing); pinned by spec.
     */
   def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
     val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

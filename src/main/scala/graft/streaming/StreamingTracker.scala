@@ -215,6 +215,13 @@ object StreamingTracker {
     * to the source's max disorder, e.g. the Kafka retention of a
     * partition-skewed topic). For fully sealed data use the batch
     * Tsdb.asofJoin.
+    *
+    * STATE-FORMAT BREAK (round 4): per-key state widened from a single
+    * (Timestamp, Double) to a List of them for the watermarked buffer.
+    * A query restarted from a pre-round-4 checkpoint fails on state
+    * deserialization — restart with a FRESH checkpoint directory when
+    * upgrading across this change (acceptable pre-release; noted so an
+    * operator recognizes the error).
     */
   def asofStream(spark: SparkSession, points: Dataset[TaggedPoint],
       horizonMs: Long = 3600000L): Dataset[AsofMatch] = {

@@ -79,6 +79,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == (1L, 0.6667))
   }
 
+  test("vocabCoverage: a table too small for ANY band yields the empty vocab") {
+    // every token unique (one cnt=1 band of 4 types) and vocabSize=2: no
+    // whole band fits, so — documented degenerate semantics — the vocab
+    // is empty and every doc reports coverage 0.0 rather than admitting
+    // a band that overflows the table
+    val d = docsDf(Seq((1L, "w x"), (2L, "y z")))
+    val r = graft.operators.TextAnalysis.vocabCoverage(d, 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_oov"), x.getAs[Double]("coverage"))).toMap
+    assert(r(1L) == (2L, 0.0) && r(2L) == (2L, 0.0))
+  }
+
   test("qualityPercentiles: identical docs collapse the distribution") {
     import spark.implicits._
     val d = Seq.tabulate(4)(i =>
