@@ -10,18 +10,34 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    // read it as raw nanos and convert. `div` (integer division) is required:
-    // nano values exceed 2^53, so a double roundtrip would lose precision.
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across generator versions; adapt to whichever the
+    // file carries so every Tsdb operator sees the same schema: `ts` as
+    // timestamp_ntz (wall-clock, matching the tz-naive source and the
+    // DuckDB oracle) + `ts_ns` as raw wall-clock nanos since epoch.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // timestamp_ntz keeps wall-clock semantics end-to-end: the source file is
-    // tz-naive and the DuckDB oracle compares naive timestamps. The raw nanos
-    // column survives as ts_ns so range predicates stay pushable into the
-    // parquet scan (a predicate on the derived ts cannot be pushed).
     if (name == "events")
-      df.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // TIMESTAMP(NANOS) read as raw nanos (nanosAsLong). `div`
+          // (integer division) is required: nano values exceed 2^53, so a
+          // double roundtrip would lose precision. The raw nanos column
+          // survives as ts_ns so range predicates stay pushable into the
+          // parquet scan (a predicate on the derived ts cannot be pushed).
+          df.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ =>
+          // TIMESTAMP(MICROS): the reader hands back a timestamp directly
+          // (ntz under the default inferTimestampNTZ; cast is a no-op
+          // then). Here `ts` IS the raw scan column — range predicates on
+          // it push down — and ts_ns is derived via timestampdiff, pure
+          // wall-clock arithmetic on ntz with no session-timezone
+          // dependence.
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+            .withColumn("ts_ns",
+              expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      }
     else df
   }
 
