@@ -1019,6 +1019,43 @@ object PipelineOracles {
                      ELSE 'test' END AS split
          FROM documents""",
 
+    "data_shuffle_shards" -> s"""
+         WITH h AS (SELECT doc_id,
+                CAST(${h60("CAST(doc_id AS VARCHAR) || 'sh1'")} AS BIGINT) AS shuffle_key
+              FROM documents),
+         r AS (SELECT doc_id, shuffle_key,
+                row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS p FROM h)
+         SELECT doc_id, shuffle_key,
+                CAST(p % 8 AS BIGINT) AS shard,
+                CAST(p // 8 AS BIGINT) AS pos_in_shard
+         FROM r""",
+
+    "sample_token_budget" -> s"""
+         WITH t1 AS (SELECT doc_id, source,
+                CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+                CAST(${h60("CAST(doc_id AS VARCHAR) || 'tb1'")} AS BIGINT) AS pick
+              FROM documents),
+         w AS (SELECT doc_id, source, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pick, doc_id)
+                     AS BIGINT) AS cum_tokens
+              FROM t1)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM w WHERE cum_tokens <= 800""",
+
+    "text_token_entropy" -> """
+         WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                     FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_types
+               FROM c GROUP BY 1),
+         e AS (SELECT c.doc_id,
+                CAST(sum(cnt * CAST(floor(ln(cnt / n.n_tokens::DOUBLE) * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS s
+               FROM c JOIN n ON n.doc_id = c.doc_id GROUP BY 1)
+         SELECT n.doc_id, n.n_tokens, n.n_types,
+                floor((-s / (n.n_tokens * 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS entropy
+         FROM n JOIN e ON e.doc_id = n.doc_id""",
+
     "ann_recall_eval" -> s"""WITH $nrm, $sigs,
          q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          bsc AS (SELECT query_id, c.vec_id AS neighbor_id,

@@ -196,6 +196,9 @@ object SparkEntry {
     "seq_packing" -> ((s, dir) => TextAnalysis.seqPack(t(s, dir, "documents"), 256)),
     "domain_mix_weights" -> ((s, dir) => TextAnalysis.mixWeights(t(s, dir, "documents"))),
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"))),
+    "data_shuffle_shards" -> ((s, dir) => TextAnalysis.trainingShuffle(t(s, dir, "documents"), 8, "sh1")),
+    "sample_token_budget" -> ((s, dir) => TextAnalysis.sampleTokenBudget(t(s, dir, "documents"), 800L, "tb1")),
+    "text_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     "ts_sax" -> ((s, dir) => Tsdb.sax(Tsdb.points1(t(s, dir, "events")), 6)),
     "ann_multiprobe_topk" -> ((s, dir) => Similarity.multiProbeTopK(t(s, dir, "embeddings"), 10, 5)),
     // cap 64 sits inside the 53-70 cluster-size spread at test SFs, so

@@ -493,4 +493,84 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         graft.functions.Hashing.rd4(avg(col("nll"))).as("avg_nll"))
   }
+
+  /** Deterministic global training-order shuffle + shard assignment: the
+    * "shuffle the corpus before training" step, without RNG state. Each
+    * doc's position is its exact global rank under the salted content
+    * hash (re-salting re-shuffles; adding docs perturbs only ranks at or
+    * after the insertion points), shards are round-robin over the rank so
+    * every shard gets an equal slice of the pseudorandom order (|shard
+    * sizes| differ by ≤ 1, and any contiguous training prefix draws
+    * near-uniformly from all shards). The global rank runs through
+    * [[graft.core.Ranking.withGlobalRank]] — one range shuffle, no
+    * single-task global sort; the downstream writer would
+    * `repartition(nShards, $"shard")` + sort by pos_in_shard to lay the
+    * files out, which this plan feeds without a further wide exchange.
+    */
+  def trainingShuffle(docs: DataFrame, nShards: Int, salt: String): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      graft.functions.Hashing.h60(
+        concat(col("doc_id").cast("string"), lit(salt))).as("shuffle_key"))
+    graft.core.Ranking
+      .withGlobalRank(base, Seq(col("shuffle_key"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("shuffle_key"),
+        ((col("pos") - 1) % nShards).as("shard"),
+        expr(s"(pos - 1) div $nShards").as("pos_in_shard"))
+  }
+
+  /** Token-budget sampling: per source, docs are admitted in salted-hash
+    * order while the source's running token total stays within `budget` —
+    * the "cap each domain at N tokens" curation step (data-mixing caps,
+    * epoch budgets). Deterministic (no RNG), and the admitted set is
+    * stable under corpus growth ONLY up to the cut point — exactly the
+    * real operator's semantics. The per-source prefix sum runs through
+    * [[graft.core.Ranking.withRunningSum]], so one giant source spans
+    * many partitions instead of serializing into a single task.
+    */
+  def sampleTokenBudget(docs: DataFrame, budget: Long, salt: String): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      graft.functions.Hashing.h60(
+        concat(col("doc_id").cast("string"), lit(salt))).as("pick"))
+    graft.core.Ranking
+      .withRunningSum(base, Some("source"), Seq(col("pick"), col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Token-distribution entropy per doc: H = -Σ p(tok)·ln p(tok) over the
+    * doc's own token frequencies, plus the type count — the
+    * repetitiveness/diversity signal quality filters cut on (a
+    * keyword-stuffed or looping doc has low entropy for its length).
+    * Engine-exact arithmetic: ln is the only libm-dependent term, so it
+    * is snapped to its integer 1e-6 grid index g = floor(ln(p)·1e6 + .5)
+    * (the [[lmScore]] "rd6-stabilized ln" contract, kept as a LONG), and
+    * the per-doc accumulation is the exact INTEGER sum S = Σ cnt·g —
+    * order-independent, unlike a double sum whose partial-aggregation
+    * order could flip a result sitting exactly on the rd4 half-boundary
+    * (H = -S / (n·1e6) then lands on the grid for real docs; observed in
+    * testdata). One identical final division on both engines makes the
+    * rounded output bit-equal even there. Shapes are the wordcount
+    * shuffle on (doc_id, tok) then a per-doc aggregate — map-side
+    * combinable, no joins, no global windows.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val cnts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+    cnts
+      .withColumn("n_tokens", sum(col("cnt")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cnt") *
+          floor(log(col("cnt") / col("n_tokens")) * 1000000.0 + 0.5).cast("long"))
+          .as("cg"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        graft.functions.Hashing.rd4(
+          -sum(col("cg")) / (max(col("n_tokens")) * 1000000.0)).as("entropy"))
+  }
 }

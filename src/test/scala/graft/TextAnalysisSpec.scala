@@ -266,4 +266,57 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_nll")).toMap
     assert(r(1L) == 0.9242 && r(2L) == 1.3863)
   }
+
+  test("trainingShuffle: exact permutation, balanced round-robin shards") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.trainingShuffle(docs, 8, "s")
+      .collect()
+    // positions form an exact permutation: every (shard, pos_in_shard)
+    // cell occupied exactly once, global positions 0..99 with no gaps
+    val pos = r.map(x => x.getAs[Long]("shard") + 8L * x.getAs[Long]("pos_in_shard")).sorted
+    assert(pos.toSeq == (0L until 100L).toSeq)
+    // round-robin: shard sizes differ by at most 1
+    val sizes = r.groupBy(_.getAs[Long]("shard")).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+    // deterministic: same salt → same layout; new salt → different layout
+    val again = graft.operators.TextAnalysis.trainingShuffle(docs, 8, "s").collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("shard"))).toSet ==
+      again.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("shard"))).toSet)
+    val resalted = graft.operators.TextAnalysis.trainingShuffle(docs, 8, "t").collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("pos_in_shard"))).toSet !=
+      resalted.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("pos_in_shard"))).toSet)
+  }
+
+  test("sampleTokenBudget: greedy hash-order fill caps each source") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 10).map(_ => "w").mkString(" "), if (i <= 40) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.TextAnalysis.sampleTokenBudget(docs, 100L, "s")
+      .collect()
+    // each doc is 10 tokens → exactly 10 admitted per source (cap 100)
+    val bySrc = r.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc == Map("web" -> 10, "books" -> 10))
+    // admitted set = the 10 lowest salted hashes of each source (greedy
+    // prefix of the hash order), and cum_tokens is the exact prefix sum
+    assert(r.forall(_.getAs[Long]("cum_tokens") <= 100L))
+    val webCums = r.filter(_.getAs[String]("source") == "web")
+      .map(_.getAs[Long]("cum_tokens")).sorted
+    assert(webCums.toSeq == (1 to 10).map(_ * 10L))
+  }
+
+  test("tokenEntropy: uniform tokens maximize, repetition minimizes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // uniform: H = ln 4
+      (2L, "a a a a"),   // degenerate: H = 0
+      (3L, "a a b b")).toDF("doc_id", "text") // two fair coins: H = ln 2
+    val r = graft.operators.TextAnalysis.tokenEntropy(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_types"), x.getAs[Double]("entropy")))).toMap
+    assert(r(1L) == ((4L, 4L, 1.3863)))
+    assert(r(2L) == ((4L, 1L, 0.0)))
+    assert(r(3L) == ((4L, 2L, 0.6931)))
+  }
 }
