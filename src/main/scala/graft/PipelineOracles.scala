@@ -664,6 +664,31 @@ object PipelineOracles {
          JOIN scored s ON s.doc_id = d.doc_id
          WHERE ndrop.doc_id IS NULL AND s.pred_lang = 'en' AND s.quality >= 0.55""",
 
+    "curation_funnel" -> s"""${minhashWith(0.5)},
+         $scoredCtes,
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         ndrop AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         f AS (SELECT d.doc_id,
+                 CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                 (keep.doc_id IS NOT NULL) AS k,
+                 (ndrop.doc_id IS NULL) AS nd,
+                 (s.pred_lang = 'en') AS lg,
+                 (s.quality >= 0.55) AS q
+               FROM documents d
+               LEFT JOIN keep ON keep.doc_id = d.doc_id
+               LEFT JOIN ndrop ON ndrop.doc_id = d.doc_id
+               JOIN scored s ON s.doc_id = d.doc_id)
+         SELECT 0 AS stage_ord, 'raw' AS stage, count(*) AS n_docs,
+                CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM f
+         UNION ALL SELECT 1, 'exact_dedup', count(*) FILTER (WHERE k),
+                CAST(coalesce(sum(n_tokens) FILTER (WHERE k), 0) AS BIGINT) FROM f
+         UNION ALL SELECT 2, 'near_dedup', count(*) FILTER (WHERE k AND nd),
+                CAST(coalesce(sum(n_tokens) FILTER (WHERE k AND nd), 0) AS BIGINT) FROM f
+         UNION ALL SELECT 3, 'lang', count(*) FILTER (WHERE k AND nd AND lg),
+                CAST(coalesce(sum(n_tokens) FILTER (WHERE k AND nd AND lg), 0) AS BIGINT) FROM f
+         UNION ALL SELECT 4, 'quality', count(*) FILTER (WHERE k AND nd AND lg AND q),
+                CAST(coalesce(sum(n_tokens) FILTER (WHERE k AND nd AND lg AND q), 0) AS BIGINT) FROM f""",
+
     "text_top_bigrams" -> s"""WITH $tok,
          bg AS (SELECT doc_id, unnest(
                   CASE WHEN len(tk) >= 2

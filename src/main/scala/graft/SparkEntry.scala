@@ -156,6 +156,8 @@ object SparkEntry {
       Curation.materialize(t(s, dir, "documents"), 0.55, "en")),
     "pipeline_materialize_full" -> ((s, dir) =>
       Curation.materializeFull(t(s, dir, "documents"), 0.55, "en", 0.5)),
+    "curation_funnel" -> ((s, dir) =>
+      Curation.curationFunnel(t(s, dir, "documents"), 0.55, "en", 0.5)),
     "ts_rate_counter" -> ((s, dir) => Tsdb.rateCounter(Tsdb.points(t(s, dir, "events")))),
     "ts_series_math" -> ((s, dir) =>
       Tsdb.seriesMath(Tsdb.points(t(s, dir, "events")), "purchase", "error")),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the composition a data pipeline
@@ -54,6 +54,55 @@ object Curation {
       .transform(TextAnalysis.withLangId)
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+  }
+
+  /** Stage-wise curation funnel: doc and token survivor counts through
+    * the [[materializeFull]] ship-path — raw → exact-dup keepers →
+    * near-dup survivors → language gate → quality gate. The report every
+    * training-data pipeline publishes per ingest batch ("how much did
+    * each filter cost us"), and the first thing checked when a corpus
+    * shrinks unexpectedly.
+    *
+    * Shape: ONE enrichment scan computes per-doc flags for every stage
+    * (the dedup stages join as doc_id sets, same as the ship-path), a
+    * single-row conditional aggregate counts all five stages at once —
+    * cumulative filters, so each stage's count is the size the corpus
+    * would have after running the pipeline that far — and `stack`
+    * unpivots the 1-row result; no per-stage corpus rescans.
+    */
+  def curationFunnel(docs: DataFrame, minQuality: Double, lang: String,
+      nearThreshold: Double): DataFrame = {
+    val keepers = Dedup.exact(docs)
+      .select(col("keeper").as("doc_id"), lit(true).as("is_keeper"))
+    val nearDrop = Dedup.minhashLsh(docs, nearThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dropped", lit(true))
+    val flagged = graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .transform(TextAnalysis.withQuality)
+      .transform(TextAnalysis.withLangId)
+      .join(keepers, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .select(col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("is_keeper"), lit(false)).as("k"),
+        col("near_dropped").isNull.as("nd"),
+        (col("pred_lang") === lang).as("lg"),
+        (col("quality") >= minQuality).as("q"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: Column) = coalesce(sum(when(c, col("n_tokens"))), lit(0L))
+    flagged.agg(
+      count(lit(1)).as("d0"), coalesce(sum(col("n_tokens")), lit(0L)).as("t0"),
+      cnt(col("k")).as("d1"), tok(col("k")).as("t1"),
+      cnt(col("k") && col("nd")).as("d2"), tok(col("k") && col("nd")).as("t2"),
+      cnt(col("k") && col("nd") && col("lg")).as("d3"),
+      tok(col("k") && col("nd") && col("lg")).as("t3"),
+      cnt(col("k") && col("nd") && col("lg") && col("q")).as("d4"),
+      tok(col("k") && col("nd") && col("lg") && col("q")).as("t4"))
+      .select(expr("""stack(5,
+          0, 'raw',          d0, t0,
+          1, 'exact_dedup',  d1, t1,
+          2, 'near_dedup',   d2, t2,
+          3, 'lang',         d3, t3,
+          4, 'quality',      d4, t4) AS (stage_ord, stage, n_docs, n_tokens)"""))
   }
 
   /** Per-(source, lang) corpus report: doc/char volume, mean quality, and

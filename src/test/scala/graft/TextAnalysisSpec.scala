@@ -177,6 +177,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(en.getAs[Double]("avg_quality") > 0.0 && en.getAs[Double]("avg_quality") <= 1.0)
   }
 
+  test("curationFunnel: cumulative stage counts match the ship-path") {
+    import spark.implicits._
+    // doc 2 is an exact dup of doc 1 (drops at exact_dedup); docs 3 and 4
+    // differ by one token (near-dups at threshold 0.2 — doc 4 drops);
+    // doc 5 is German (drops at lang); doc 6 is English-marked but
+    // punctuation-heavy (low quality, drops at the quality gate)
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and then the dog sat on the same mat again today"),
+      (2L, "the cat sat on the mat and then the dog sat on the same mat again today"),
+      (3L, "the bird flew over the green hill and then it landed on the old oak tree"),
+      (4L, "the bird flew over the green hill and then it landed on the old oak stump"),
+      (5L, "der hund und der mann und der wagen und der hut sind hier heute wieder da"),
+      (6L, "the !!!! ???? ####")).toDF("doc_id", "text")
+    val r = graft.operators.Curation.curationFunnel(corpus, 0.55, "en", 0.2)
+      .collect().map(x => x.getAs[String]("stage") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Int]("stage_ord")))).toMap
+    assert(r("raw") == ((6L, 0)))
+    assert(r("exact_dedup") == ((5L, 1)))   // doc 2 dropped
+    assert(r("near_dedup") == ((4L, 2)))    // doc 4 dropped
+    assert(r("lang") == ((3L, 3)))          // doc 5 dropped
+    assert(r("quality") == ((2L, 4)))       // doc 6 dropped
+    // token counts are cumulative too: quality stage = docs 1 and 3 only
+    val toks = graft.operators.Curation.curationFunnel(corpus, 0.55, "en", 0.2)
+      .collect().map(x => x.getAs[String]("stage") -> x.getAs[Long]("n_tokens")).toMap
+    assert(toks("quality") == 33L) // 17 + 16
+    assert(toks("raw") > toks("exact_dedup") && toks("lang") > toks("quality"))
+  }
+
   test("audioChunks: windows tile the clip, last chunk clipped to duration") {
     val r = Multimodal.audioChunks(docs, 10).collect()
     val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
