@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Scale sanity harness for the training-data preparation operators:
+  * runs the corpus shuffle/shard, token-budget sampling, and token
+  * entropy on a synthetic corpus ~3 orders of magnitude larger than the
+  * sf0.1 `documents` table (default 5M docs / ~200 sources, variable
+  * 20-219 token lengths) and asserts the properties the 100-TB design
+  * claims:
+  *
+  *   - `trainingShuffle` emits an EXACT permutation (no dropped or
+  *     duplicated positions — the two-phase rank's frozen ids and
+  *     broadcast offsets compose correctly at width), with round-robin
+  *     shard sizes differing by at most 1;
+  *   - `sampleTokenBudget` fills every source to within one document of
+  *     its budget and never exceeds it — the per-source distributed
+  *     prefix sum cuts exactly where a sequential scan would;
+  *   - `tokenEntropy` (run at nDocs/5 — it explodes every token) matches
+  *     the closed form H = ln(n) on every all-distinct-token doc and
+  *     never exceeds ln(n_types) on any doc.
+  *
+  * curationFunnel is deliberately not re-proven here: its heavy stage is
+  * the MinHash-LSH candidate generation already validated at 2M docs by
+  * [[DedupScaleCheck]]; the funnel adds only doc_id-set joins and a
+  * 1-row aggregate on top.
+  *
+  * `runMain graft.TextScaleCheck [nDocs]`.
+  */
+object TextScaleCheck {
+
+  val V = 200000L // vocabulary for synthetic token draws
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val spark = Harness.session("spark.sql.session.timeZone" -> "UTC")
+    import spark.implicits._
+
+    // ids, a source skewed enough to matter (source 0 gets ~10x the docs
+    // of the uniform tail — the shape that serialized seq_packing pre-r4),
+    // and text whose token count varies 20..219 deterministically
+    def corpus(n: Long) = spark.range(n)
+      .withColumn("source",
+        concat(lit("src"), when(pmod(col("id"), lit(10L)) < 3, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(199L)) + 1)))
+      .withColumn("n_tok", (pmod(xxhash64(col("id"), lit(2)), lit(200L)) + 20L))
+      .withColumn("text", expr(
+        s"array_join(transform(sequence(1, n_tok), i -> concat('w', pmod(xxhash64(id, i), $V))), ' ')"))
+      .select(col("id").as("doc_id"), col("source"), col("text"), col("n_tok"))
+
+    val docs = corpus(nDocs).persist()
+    val total = docs.count()
+    println(s"[text-scale] corpus: $total docs")
+
+    // ---- 1. trainingShuffle: exact permutation + balanced shards ----
+    val nShards = 64
+    Harness.timed("trainingShuffle") {
+      val sh = TextAnalysis.trainingShuffle(docs, nShards, "scale").persist()
+      val agg = sh.agg(
+        count(lit(1)).as("n"),
+        sum(col("shard") + col("pos_in_shard") * nShards).as("possum"),
+        max(col("shard") + col("pos_in_shard") * nShards).as("posmax"),
+        min(col("shard") + col("pos_in_shard") * nShards).as("posmin"),
+        countDistinct(col("doc_id")).as("ndocs")).head()
+      require(agg.getAs[Long]("n") == total, "row count changed")
+      require(agg.getAs[Long]("posmin") == 0L && agg.getAs[Long]("posmax") == total - 1,
+        "global positions not [0, n)")
+      require(agg.getAs[Long]("possum") == total * (total - 1) / 2,
+        "global positions are not an exact permutation")
+      val sizes = sh.groupBy(col("shard")).count()
+        .agg(min(col("count")), max(col("count"))).head()
+      require(sizes.getLong(1) - sizes.getLong(0) <= 1,
+        s"shard sizes spread ${sizes.getLong(0)}..${sizes.getLong(1)} — round-robin broken")
+      println(s"[text-scale] shuffle: exact permutation over $total positions, " +
+        s"$nShards shards sized ${sizes.getLong(0)}..${sizes.getLong(1)}")
+      sh.unpersist()
+    }
+
+    // ---- 2. sampleTokenBudget: exact greedy fill per source ----
+    val budget = 100000L
+    Harness.timed("sampleTokenBudget") {
+      val admitted = TextAnalysis.sampleTokenBudget(docs, budget, "scale").persist()
+      val perSrc = admitted.groupBy(col("source"))
+        .agg(max(col("cum_tokens")).as("filled"), count(lit(1)).as("n_adm"))
+        .persist()
+      val nSrc = perSrc.count()
+      require(nSrc == 200L, s"expected 200 sources, got $nSrc")
+      val over = perSrc.filter(col("filled") > budget).count()
+      require(over == 0, s"$over sources exceed the budget")
+      // every source has far more inventory than budget, so the greedy
+      // fill must stop within one max-size doc (219 tokens) of the cap
+      val under = perSrc.filter(col("filled") <= budget - 220).count()
+      require(under == 0, s"$under sources under-filled (gap > one doc)")
+      println(s"[text-scale] budget: 200 sources each filled to ($budget-220, $budget] " +
+        s"tokens, ${admitted.count()} docs admitted of $total")
+      admitted.unpersist(); perSrc.unpersist()
+    }
+
+    // ---- 3. tokenEntropy: closed forms hold doc-by-doc ----
+    val nEnt = math.max(nDocs / 5, 1000L)
+    Harness.timed(s"tokenEntropy($nEnt docs)") {
+      val ent = TextAnalysis.tokenEntropy(corpus(nEnt)).persist()
+      val n = ent.count()
+      require(n == nEnt, s"entropy rows $n != $nEnt")
+      // all-distinct docs: H must equal ln(n_tokens) to grid precision
+      val distinctViol = ent.filter(col("n_types") === col("n_tokens"))
+        .filter(abs(col("entropy") - log(col("n_tokens"))) > 0.001).count()
+      require(distinctViol == 0, s"$distinctViol all-distinct docs off ln(n)")
+      // universal bound: H <= ln(n_types) (+ grid slack)
+      val boundViol = ent.filter(col("entropy") > log(col("n_types")) + 0.001).count()
+      require(boundViol == 0, s"$boundViol docs exceed the ln(n_types) bound")
+      val stats = ent.agg(min(col("entropy")), max(col("entropy"))).head()
+      println(f"[text-scale] entropy: $n docs, H in [${stats.getDouble(0)}%.4f, " +
+        f"${stats.getDouble(1)}%.4f], 0 closed-form violations")
+      ent.unpersist()
+    }
+
+    docs.unpersist()
+    println("[text-scale] ALL CHECKS PASSED")
+    spark.stop()
+  }
+}
