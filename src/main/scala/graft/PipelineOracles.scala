@@ -1264,6 +1264,18 @@ object PipelineOracles {
          SELECT query_id, neighbor_id, rnk, floor(cos * 10000.0 + 0.5) / 10000.0 AS score
          FROM rk WHERE rnk <= 5""",
 
+    "embedding_norm_stats" -> s"""
+         WITH nr AS (SELECT label,
+                floor(sqrt(${dot64("embedding", "embedding")}) * 1000000.0 + 0.5) AS g
+              FROM embeddings)
+         SELECT label, count(*) AS n_vecs,
+                CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                floor((sum(g) / (count(*) * 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS mean_norm,
+                floor(quantile_cont(g / 1000000.0, 0.1) * 10000.0 + 0.5) / 10000.0 AS p10,
+                floor(quantile_cont(g / 1000000.0, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+                floor(quantile_cont(g / 1000000.0, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
+         FROM nr GROUP BY 1""",
+
     // vec_id-parity cohort centroids (fixed-point means) + cosine per label
     "embedding_drift" -> s"""WITH fl AS (
            SELECT label, vec_id % 2 AS cohort, i.pos, embedding[i.pos]::DOUBLE AS v

@@ -222,6 +222,7 @@ object SparkEntry {
     "ts_topk_approx" -> ((s, dir) => Tsdb.topkApprox(t(s, dir, "events"))),
     "q_rfm" -> (Analytics.rfm _),
     "embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(t(s, dir, "embeddings"))),
+    "embedding_norm_stats" -> ((s, dir) => Similarity.normStats(t(s, dir, "embeddings"))),
     "q_yoy_growth" -> (Analytics.yoyGrowth _),
     "ts_props_funnel" -> ((s, dir) => Tsdb.propsFunnel(t(s, dir, "events"))),
     "mm_scene_detect" -> ((s, dir) => Multimodal.sceneDetect(t(s, dir, "documents"))),

@@ -764,4 +764,26 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         Hashing.rd4(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
+
+  /** Per-label embedding-table health report: vector counts, zero-norm
+    * vectors (a broken encoder emits them; they poison cosine math with
+    * NaN), and the norm distribution (mean + p10/p50/p90) — the ingest
+    * check run before any ANN index is built over a new embedding batch.
+    * Each norm is snapped to its integer 1e-6 grid value first: the mean
+    * then sums integer-valued doubles (exact in IEEE at any magnitude
+    * below 2^53, so partition order cannot move it), and the percentiles
+    * interpolate between identical grid values on both engines. One scan,
+    * one |labels|-row aggregate.
+    */
+  def normStats(emb: DataFrame): DataFrame = {
+    val g = floor(V.normF(col("embedding")) * 1000000.0 + 0.5)
+    emb.select(col("label"), g.as("g"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("g") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        Hashing.rd4(sum(col("g")) / (count(lit(1)) * 1000000.0)).as("mean_norm"),
+        Hashing.rd4(expr("percentile(g / 1000000.0, 0.1)")).as("p10"),
+        Hashing.rd4(expr("percentile(g / 1000000.0, 0.5)")).as("p50"),
+        Hashing.rd4(expr("percentile(g / 1000000.0, 0.9)")).as("p90"))
+  }
 }

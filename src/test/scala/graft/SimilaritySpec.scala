@@ -200,4 +200,21 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(r.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L))
   }
+
+  test("normStats: zero vectors counted, mean and percentiles exact") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(3.0f, 4.0f), 0),   // norm 5
+      (1L, Array(0.0f, 0.0f), 0),   // zero vector
+      (2L, Array(6.0f, 8.0f), 0),   // norm 10
+      (3L, Array(1.0f, 0.0f), 1))   // norm 1
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.normStats(e).collect().map(x => x.getAs[Int]("label") -> x).toMap
+    assert(r(0).getAs[Long]("n_vecs") == 3L)
+    assert(r(0).getAs[Long]("n_zero") == 1L)
+    assert(r(0).getAs[Double]("mean_norm") == 5.0) // (5 + 0 + 10) / 3
+    assert(r(0).getAs[Double]("p50") == 5.0)
+    assert(r(1).getAs[Long]("n_zero") == 0L)
+    assert(r(1).getAs[Double]("p10") == 1.0 && r(1).getAs[Double]("p90") == 1.0)
+  }
 }
