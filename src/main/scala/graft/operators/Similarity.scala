@@ -777,13 +777,16 @@ object Similarity {
     */
   def normStats(emb: DataFrame): DataFrame = {
     val g = floor(V.normF(col("embedding")) * 1000000.0 + 0.5)
-    emb.select(col("label"), g.as("g"))
+    // gd pre-divides as DOUBLE via the Column API: inside an expr() the
+    // SQL parser would type the 1e6 literal as DECIMAL and silently run
+    // a decimal division the DuckDB twin (double) does not perform
+    emb.select(col("label"), g.as("g"), (g.cast("double") / lit(1000000.0)).as("gd"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("g") === 0.0, 1L).otherwise(0L)).as("n_zero"),
         Hashing.rd4(sum(col("g")) / (count(lit(1)) * 1000000.0)).as("mean_norm"),
-        Hashing.rd4(expr("percentile(g / 1000000.0, 0.1)")).as("p10"),
-        Hashing.rd4(expr("percentile(g / 1000000.0, 0.5)")).as("p50"),
-        Hashing.rd4(expr("percentile(g / 1000000.0, 0.9)")).as("p90"))
+        Hashing.rd4(expr("percentile(gd, 0.1D)")).as("p10"),
+        Hashing.rd4(expr("percentile(gd, 0.5D)")).as("p50"),
+        Hashing.rd4(expr("percentile(gd, 0.9D)")).as("p90"))
   }
 }
