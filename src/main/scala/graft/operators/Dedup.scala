@@ -486,14 +486,20 @@ object Dedup {
       val offers = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nb"))
         .withColumnRenamed("dst", "doc_id")
+      // the moved-label count rides the eager checkpoint's own job via
+      // observe(): the convergence check costs ZERO extra passes. (The
+      // previous isEmpty probe re-scanned the checkpointed blocks — and
+      // on the final round, where nothing moved, it could short-circuit
+      // nowhere and always paid the full scan.)
+      val obs = new org.apache.spark.sql.Observation(s"cc_moved_$iters")
       val next = labels.join(offers, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
           (coalesce(col("nb"), col("lbl")) < col("lbl")).as("chg"))
+        .observe(obs,
+          coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)).as("moved"))
         .localCheckpoint()
-      // isEmpty short-circuits at the first moved label (limit-1 over the
-      // checkpointed blocks) — a full count per round is wasted work
-      moving = !next.filter(col("chg")).isEmpty
+      moving = obs.get("moved").asInstanceOf[Long] > 0
       labels = next.select(col("doc_id"), col("lbl"))
       iters += 1
     }
