@@ -381,14 +381,28 @@ object Similarity {
       // lazy so update+assign materialize as ONE job per round (the probe
       // tail re-derives the tiny agg rather than paying a round-trip here)
       cent = updateCentroids(prev)
-      val asn = assignToCentroids(e, cent).localCheckpoint()
+      val asn = assignToCentroids(e, cent)
       it += 1
-      // the check only exists to break EARLIER — on the last round the
-      // assignment is final either way, so skip the join there
-      stable = it == iters || asn.select(col("vec_id"), col("cid"))
-        .join(prev.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
-        .filter(col("cid") =!= col("pcid")).isEmpty
-      prev = asn
+      if (it == iters) {
+        // the check only exists to break EARLIER — on the last round the
+        // assignment is final either way, so skip the comparison entirely
+        prev = asn.localCheckpoint()
+      } else {
+        // changed-assignment count rides the checkpoint job via observe()
+        // (same keyed comparison as before, zero extra actions); the
+        // projection restores asn's exact column set, and the reshuffle
+        // the join introduces cannot move results — updateCentroids'
+        // fixed-point integer means are partition-order-independent
+        val obs = new org.apache.spark.sql.Observation(s"km_chg_$it")
+        val cols = asn.columns.map(col)
+        prev = asn
+          .join(prev.select(col("vec_id"), col("cid").as("pcid")), "vec_id")
+          .observe(obs, coalesce(
+            sum(when(col("cid") =!= col("pcid"), 1L).otherwise(0L)), lit(0L)).as("chg"))
+          .select(cols: _*)
+          .localCheckpoint()
+        stable = obs.get("chg").asInstanceOf[Long] == 0L
+      }
     }
     // `prev` IS the assignment against the final `cent` (computed right
     // after the last update) — re-assigning would repeat a corpus pass
