@@ -1215,6 +1215,25 @@ object PipelineOracles {
                 ((end_off - 1) // 256) - ((end_off - n_tokens) // 256) + 1 AS n_seqs
          FROM w""",
 
+    "sample_mixture_apply" -> s"""
+         WITH t1 AS (SELECT source, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+                     FROM documents),
+         per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                 FROM t1 GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+                      CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+                      count(*) OVER () AS k
+               FROM per),
+         wt AS (SELECT source,
+                       floor((tot / (k * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS weight
+                FROM w)
+         SELECT d.doc_id, d.source, wt.weight,
+                CAST(floor(wt.weight) AS BIGINT)
+                + CASE WHEN ${h60("CAST(d.doc_id AS VARCHAR) || 'mx1'")} % 10000
+                            < CAST(floor(wt.weight * 10000.0 + 0.5) AS BIGINT) % 10000
+                       THEN 1 ELSE 0 END AS n_copies
+         FROM documents d JOIN wt USING (source)""",
+
     "domain_mix_weights" -> """WITH t1 AS (
            SELECT source, len(regexp_split_to_array(text, '\s+')) AS n_tokens
            FROM documents),

@@ -201,6 +201,7 @@ object SparkEntry {
     "data_shuffle_shards" -> ((s, dir) => TextAnalysis.trainingShuffle(t(s, dir, "documents"), 8, "sh1")),
     "sample_token_budget" -> ((s, dir) => TextAnalysis.sampleTokenBudget(t(s, dir, "documents"), 800L, "tb1")),
     "text_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
+    "sample_mixture_apply" -> ((s, dir) => TextAnalysis.applyMixture(t(s, dir, "documents"), "mx1")),
     "ts_sax" -> ((s, dir) => Tsdb.sax(Tsdb.points1(t(s, dir, "events")), 6)),
     "ann_multiprobe_topk" -> ((s, dir) => Similarity.multiProbeTopK(t(s, dir, "embeddings"), 10, 5)),
     // cap 64 sits inside the 53-70 cluster-size spread at test SFs, so

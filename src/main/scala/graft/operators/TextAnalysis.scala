@@ -414,6 +414,29 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(col("tot") / (col("k") * col("n_tokens"))).as("weight"))
   }
 
+  /** Apply the [[mixWeights]] mixture as per-doc repetition factors: a
+    * doc from a source with weight w trains floor(w) times, plus one
+    * extra epoch for a deterministic hash-selected frac(w) fraction of
+    * the source — so each source's expected token volume lands exactly
+    * on the target mixture (down-weighted sources sample docs out,
+    * up-weighted sources repeat docs; both cases are this one formula).
+    * All decisions are integer comparisons on the salted hash against
+    * the rd4-gridded weight — no RNG state, stable under corpus growth,
+    * reproducible across engines and cluster layouts. The |sources|-row
+    * weight table broadcasts; the per-doc pass is map-only.
+    */
+  def applyMixture(docs: DataFrame, salt: String): DataFrame = {
+    val w = mixWeights(docs).select(col("source"), col("weight"))
+    val frac4 = floor(col("weight") * 10000.0 + 0.5).cast("long") % 10000L
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(w), "source")
+      .withColumn("b", graft.functions.Hashing.h60mod(
+        concat(col("doc_id").cast("string"), lit(salt)), 10000L))
+      .select(col("doc_id"), col("source"), col("weight"),
+        (floor(col("weight")).cast("long") +
+          when(col("b") < frac4, 1L).otherwise(0L)).as("n_copies"))
+  }
+
   /** Vocabulary coverage / OOV rate: keep the most frequent types and
     * report each doc's covered-token fraction — the report that sizes a
     * tokenizer vocabulary (coverage vs table size). The vocabulary cut is

@@ -39,6 +39,7 @@ class PlanGuardSpec extends SparkSpec {
     // input cannot grow with the corpus.
     val bounded: Map[String, String] = Map(
       "domain_mix_weights" -> "input = per-source aggregate; sources are a fixed enum",
+      "sample_mixture_apply" -> "same mixWeights window: per-source aggregate input",
       "dedup_threshold_curve" -> "input = fixed 10-row threshold-bucket grid")
     def hasLimit(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty

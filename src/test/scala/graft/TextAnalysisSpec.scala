@@ -295,6 +295,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == 0.9242 && r(2L) == 1.3863)
   }
 
+  test("applyMixture: repetition factors hit the target mixture exactly") {
+    import spark.implicits._
+    // web 30 tokens (share .75 → w = 0.6667), books 10 (share .25 → w = 2.0)
+    val docs = Seq((1L, (1 to 30).map(_ => "w").mkString(" "), "web"),
+      (2L, (1 to 10).map(_ => "w").mkString(" "), "books"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.TextAnalysis.applyMixture(docs, "s")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("weight"), x.getAs[Long]("n_copies")))).toMap
+    // integer weight: every books doc repeats exactly twice, no hash draw
+    assert(r(2L) == ((2.0, 2L)))
+    // fractional weight: the web doc gets 0 or 1 copies (hash-decided)
+    assert(r(1L)._1 == 0.6667 && (r(1L)._2 == 0L || r(1L)._2 == 1L))
+    // determinism: repeated evaluation yields identical copies
+    val again = graft.operators.TextAnalysis.applyMixture(docs, "s")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_copies")).toMap
+    assert(again(1L) == r(1L)._2 && again(2L) == 2L)
+    // expectation over many docs from one fractional-weight source:
+    // kept fraction approaches frac(w) (deterministic hash thinning)
+    val many = (1L to 400L).map(i => (i, "w w w", "a")) ++ Seq((401L, "w", "b"))
+    val big = many.toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.applyMixture(big, "s")
+      .filter($"source" === "a").collect()
+    val w = out.head.getAs[Double]("weight") // tot/(k*n_a) = 1201/(2*1200) ≈ 0.5004
+    val kept = out.map(_.getAs[Long]("n_copies")).sum.toDouble / out.length
+    assert(math.abs(kept - (w - math.floor(w))) < 0.06)
+  }
+
   test("trainingShuffle: exact permutation, balanced round-robin shards") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
