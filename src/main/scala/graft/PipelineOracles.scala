@@ -35,6 +35,59 @@ object PipelineOracles {
   private val nrm =
     s"""nrm AS (SELECT vec_id, sqrt(${dot64("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
+  /** Product-quantization CTE chain (codebooks, ADC scoring, ranked
+    * candidates as `rk`) — shared by the pq top-k oracle and its
+    * recall@k evaluation.
+    */
+  private val pqCtes: String = s"""sd AS (SELECT vec_id, embedding,
+                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
+                FROM embeddings),
+         seeds AS (SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY hv, vec_id) AS cid
+                   FROM sd QUALIFY cid <= 8),
+         ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+         cb AS (SELECT ss.s, seeds.cid,
+                       list_slice(embedding, ss.s*16+1, ss.s*16+16) AS cvec
+                FROM seeds CROSS JOIN ss),
+         cbn AS (SELECT s, cid, cvec,
+                 list_sum(list_transform(generate_series(1,16), i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE)) AS cc
+                 FROM cb),
+         subv AS (SELECT e.vec_id, ss.s,
+                         list_slice(e.embedding, ss.s*16+1, ss.s*16+16) AS sv
+                  FROM embeddings e CROSS JOIN ss),
+         subn AS (SELECT vec_id, s, sv,
+                  list_sum(list_transform(generate_series(1,16), i -> sv[i]::DOUBLE * sv[i]::DOUBLE)) AS vv
+                  FROM subv),
+         enc AS (SELECT vec_id, s, cid, cc,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY
+                   vv + cc - 2.0 * list_sum(list_transform(generate_series(1,16), i -> sv[i]::DOUBLE * cvec[i]::DOUBLE)) ASC, cid) AS r
+                 FROM subn JOIN cbn USING (s)),
+         codes AS (SELECT vec_id, s, cid, cc FROM enc WHERE r = 1),
+         wide AS (SELECT vec_id,
+                   max(CASE WHEN s = 0 THEN cid END) AS c0, max(CASE WHEN s = 0 THEN cc END) AS cc0,
+                   max(CASE WHEN s = 1 THEN cid END) AS c1, max(CASE WHEN s = 1 THEN cc END) AS cc1,
+                   max(CASE WHEN s = 2 THEN cid END) AS c2, max(CASE WHEN s = 2 THEN cc END) AS cc2,
+                   max(CASE WHEN s = 3 THEN cid END) AS c3, max(CASE WHEN s = 3 THEN cc END) AS cc3
+                  FROM codes GROUP BY 1),
+         widen AS (SELECT *, sqrt(cc0 + cc1 + cc2 + cc3) AS rnrm FROM wide),
+         q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, n.nrm AS qnrm
+               FROM embeddings e JOIN nrm n USING (vec_id) WHERE e.vec_id < 10),
+         qsub AS (SELECT query_id, ss.s, list_slice(qv, ss.s*16+1, ss.s*16+16) AS qs
+                  FROM q CROSS JOIN ss),
+         adc AS (SELECT query_id, s, cid,
+                 list_sum(list_transform(generate_series(1,16), i -> qs[i]::DOUBLE * cvec[i]::DOUBLE)) AS qc
+                 FROM qsub JOIN cbn USING (s)),
+         pairs AS (SELECT qq.query_id, w.vec_id, qq.qnrm, w.rnrm,
+                          a0.qc AS qc0, a1.qc AS qc1, a2.qc AS qc2, a3.qc AS qc3
+                   FROM widen w CROSS JOIN q qq
+                   JOIN adc a0 ON a0.query_id = qq.query_id AND a0.s = 0 AND a0.cid = w.c0
+                   JOIN adc a1 ON a1.query_id = qq.query_id AND a1.s = 1 AND a1.cid = w.c1
+                   JOIN adc a2 ON a2.query_id = qq.query_id AND a2.s = 2 AND a2.cid = w.c2
+                   JOIN adc a3 ON a3.query_id = qq.query_id AND a3.s = 3 AND a3.cid = w.c3
+                   WHERE w.vec_id <> qq.query_id),
+         sc AS (SELECT query_id, vec_id, (qc0 + qc1 + qc2 + qc3) / (qnrm * rnrm) AS cos FROM pairs),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)"""
+
   /** Hyperplane-LSH signature CTE chain (dps → sigs), the DuckDB twin of
     * Similarity.lshSignature — identical md5-derived ±1 plane literals.
     */
@@ -933,54 +986,7 @@ object PipelineOracles {
          FROM b GROUP BY 1, 2""",
 
     "ann_pq_topk" -> s"""WITH $nrm,
-         sd AS (SELECT vec_id, embedding,
-                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
-                FROM embeddings),
-         seeds AS (SELECT vec_id, embedding,
-                   row_number() OVER (ORDER BY hv, vec_id) AS cid
-                   FROM sd QUALIFY cid <= 8),
-         ss AS (SELECT unnest(generate_series(0, 3)) AS s),
-         cb AS (SELECT ss.s, seeds.cid,
-                       list_slice(embedding, ss.s*16+1, ss.s*16+16) AS cvec
-                FROM seeds CROSS JOIN ss),
-         cbn AS (SELECT s, cid, cvec,
-                 list_sum(list_transform(generate_series(1,16), i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE)) AS cc
-                 FROM cb),
-         subv AS (SELECT e.vec_id, ss.s,
-                         list_slice(e.embedding, ss.s*16+1, ss.s*16+16) AS sv
-                  FROM embeddings e CROSS JOIN ss),
-         subn AS (SELECT vec_id, s, sv,
-                  list_sum(list_transform(generate_series(1,16), i -> sv[i]::DOUBLE * sv[i]::DOUBLE)) AS vv
-                  FROM subv),
-         enc AS (SELECT vec_id, s, cid, cc,
-                 row_number() OVER (PARTITION BY vec_id, s ORDER BY
-                   vv + cc - 2.0 * list_sum(list_transform(generate_series(1,16), i -> sv[i]::DOUBLE * cvec[i]::DOUBLE)) ASC, cid) AS r
-                 FROM subn JOIN cbn USING (s)),
-         codes AS (SELECT vec_id, s, cid, cc FROM enc WHERE r = 1),
-         wide AS (SELECT vec_id,
-                   max(CASE WHEN s = 0 THEN cid END) AS c0, max(CASE WHEN s = 0 THEN cc END) AS cc0,
-                   max(CASE WHEN s = 1 THEN cid END) AS c1, max(CASE WHEN s = 1 THEN cc END) AS cc1,
-                   max(CASE WHEN s = 2 THEN cid END) AS c2, max(CASE WHEN s = 2 THEN cc END) AS cc2,
-                   max(CASE WHEN s = 3 THEN cid END) AS c3, max(CASE WHEN s = 3 THEN cc END) AS cc3
-                  FROM codes GROUP BY 1),
-         widen AS (SELECT *, sqrt(cc0 + cc1 + cc2 + cc3) AS rnrm FROM wide),
-         q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, n.nrm AS qnrm
-               FROM embeddings e JOIN nrm n USING (vec_id) WHERE e.vec_id < 10),
-         qsub AS (SELECT query_id, ss.s, list_slice(qv, ss.s*16+1, ss.s*16+16) AS qs
-                  FROM q CROSS JOIN ss),
-         adc AS (SELECT query_id, s, cid,
-                 list_sum(list_transform(generate_series(1,16), i -> qs[i]::DOUBLE * cvec[i]::DOUBLE)) AS qc
-                 FROM qsub JOIN cbn USING (s)),
-         pairs AS (SELECT qq.query_id, w.vec_id, qq.qnrm, w.rnrm,
-                          a0.qc AS qc0, a1.qc AS qc1, a2.qc AS qc2, a3.qc AS qc3
-                   FROM widen w CROSS JOIN q qq
-                   JOIN adc a0 ON a0.query_id = qq.query_id AND a0.s = 0 AND a0.cid = w.c0
-                   JOIN adc a1 ON a1.query_id = qq.query_id AND a1.s = 1 AND a1.cid = w.c1
-                   JOIN adc a2 ON a2.query_id = qq.query_id AND a2.s = 2 AND a2.cid = w.c2
-                   JOIN adc a3 ON a3.query_id = qq.query_id AND a3.s = 3 AND a3.cid = w.c3
-                   WHERE w.vec_id <> qq.query_id),
-         sc AS (SELECT query_id, vec_id, (qc0 + qc1 + qc2 + qc3) / (qnrm * rnrm) AS cos FROM pairs),
-         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
+         $pqCtes
          SELECT query_id, vec_id AS neighbor_id, rnk,
                 floor(cos * 10000.0 + 0.5) / 10000.0 AS score
          FROM rk WHERE rnk <= 5""",
@@ -1154,6 +1160,31 @@ object PipelineOracles {
          LEFT JOIN fnd ON fnd.query_id = bf.query_id
          LEFT JOIN ht ON ht.query_id = bf.query_id
          GROUP BY 1""",
+
+    "ann_recall_pq" -> s"""WITH $nrm,
+         $pqCtes,
+         bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM bsc) WHERE rnk <= 5),
+         ap AS (SELECT query_id, vec_id AS neighbor_id FROM rk WHERE rnk <= 5),
+         fnd AS (SELECT query_id, count(*) AS n_found FROM ap GROUP BY 1),
+         ht AS (SELECT query_id, count(*) AS n_hits
+                FROM bf JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT bf.query_id, count(*) AS n_true,
+                CAST(coalesce(max(fnd.n_found), 0) AS BIGINT) AS n_found,
+                CAST(coalesce(max(ht.n_hits), 0) AS BIGINT) AS n_hits,
+                floor((coalesce(max(ht.n_hits), 0) / 5.0) * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM bf
+         LEFT JOIN fnd ON fnd.query_id = bf.query_id
+         LEFT JOIN ht ON ht.query_id = bf.query_id
+         GROUP BY 1""",
+
 
     "ann_recall_ivf" -> s"""WITH $nrm,
          flat AS (SELECT label, i.pos, embedding[i.pos]::DOUBLE AS v

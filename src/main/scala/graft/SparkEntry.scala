@@ -247,6 +247,8 @@ object SparkEntry {
       Similarity.recallEvalMultiProbe(t(s, dir, "embeddings"), 10, 5)),
     "ann_recall_ivf" -> ((s, dir) =>
       Similarity.recallEvalIvf(t(s, dir, "embeddings"), 10, 5)),
+    "ann_recall_pq" -> ((s, dir) =>
+      Similarity.recallEvalPq(t(s, dir, "embeddings"), 10, 5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -759,6 +759,9 @@ object Similarity {
   def recallEvalIvf(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
     recallEvalOf(emb, nQueries, k, (e, n, kk) => ivfTopK(e, n, kk))
 
+  def recallEvalPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallEvalOf(emb, nQueries, k, (e, n, kk) => pqTopK(e, n, kk))
+
   private def recallEvalOf(emb: DataFrame, nQueries: Int, k: Int,
       ann: (DataFrame, Int, Int) => DataFrame): DataFrame = {
     val bf = bruteForceTopK(emb, nQueries, k)
