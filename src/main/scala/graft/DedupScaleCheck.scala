@@ -206,6 +206,50 @@ object DedupScaleCheck {
     require(incRecall >= 0.95,
       f"incremental recall $incRecall%.4f below 0.95 — batch-vs-index path lost signal")
 
+    // --- 5. boilerplate flood: `floodN` byte-identical docs (the
+    // real-world degenerate case LSH dedup exists for) share ONE key per
+    // band, so without candFromBands' bucket cap the candidate self-join
+    // is floodN²/2 × 4 ≈ 4.5·10^10 pairs at 150k — quadratic, and AQE
+    // can only spread it, not shrink it. With the default BandBucketCap
+    // (100k < floodN) the flood contributes ZERO candidates (its members
+    // are exact dups, caught by the cheaper hash-groupBy pass) while the
+    // planted near-dup signal in the mixed-in normal corpus is intact.
+    val floodN = 150000L
+    require(floodN > Dedup.BandBucketCap,
+      "flood must exceed the default cap for this phase to bind")
+    val floodBase = 10L * nDocs // disjoint from corpus [0,n) and batch ids
+    val flood = spark.range(floodBase, floodBase + floodN)
+      .select(col("id").as("doc_id"), expr(
+        s"array_join(transform(sequence(1, $L), i -> concat('bp', i)), ' ')")
+        .as("text"))
+    val normalN = 100000L
+    val mixed = corpus(spark, normalN).union(flood)
+    val nCand = timed(s"candFromBands over $floodN-doc flood + $normalN normal") {
+      Dedup.candFromBands(
+        Dedup.lshBands(Dedup.minhashSignatures(mixed))).count()
+    }
+    // O(cap·k) bound: candidates can only come from the planted groups
+    // plus the chance-collision tail — linear in normalN, nowhere near
+    // the 4.5·10^10 an uncapped flood bucket would emit
+    require(nCand <= 4L * normalN,
+      s"$nCand candidates from flood-mixed corpus — bucket cap not binding")
+    val fpairs = timed(s"minhashLsh over flood-mixed corpus") {
+      val p = Dedup.minhashLsh(mixed, threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val floodTouch = fpairs.filter(
+      col("doc_a") >= floodBase || col("doc_b") >= floodBase).count()
+    require(floodTouch == 0L,
+      s"$floodTouch pairs touch flood docs — capped bucket leaked candidates")
+    val fFound = fpairs.count()
+    val fExpected = ((normalN + 48) / 50 + (normalN + 47) / 50).toDouble
+    val fRecall = fFound / fExpected
+    println(f"  flood-mixed planted recall: $fFound/${fExpected.toLong} = $fRecall%.4f")
+    require(fRecall >= 0.95,
+      f"recall $fRecall%.4f below 0.95 with flood present — cap ate real signal")
+    fpairs.unpersist()
+
     println(s"DedupScaleCheck OK at $nDocs docs")
     spark.stop()
   }

@@ -24,6 +24,20 @@ object Dedup {
   val NumPerms = 16
   val Bands = 4 // 4 bands x 4 rows
 
+  /** Default band-bucket cap for MinHash-LSH candidate generation —
+    * the same scale guard [[simhashPairs]] ships (`bucketCap`). A
+    * boilerplate flood (millions of byte-identical or near-identical
+    * docs) puts ALL of them in the same 4 band buckets; self-joining
+    * such a bucket is O(flood²) candidate pairs, which AQE can spread
+    * across partitions but never shrink. Buckets above the cap are
+    * excluded from candidate generation: their members are exact/
+    * near-exact floods that the cheaper [[exact]]/[[normalizedExact]]
+    * passes catch by definition. Never binds at oracle scale (the
+    * test tables are < 100k docs), so the DuckDB twins stay uncapped
+    * brute-force — the stronger independent check, as with simhash.
+    */
+  val BandBucketCap: Long = 100000L
+
   /** MinHash permutation constants, md5-derived so the oracle can inline
     * the identical literals. a in [1, P-1], b in [0, P-1].
     */
@@ -237,8 +251,9 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** MinHash + LSH dedup: band-bucket join for candidates, then exact
-    * Jaccard verification restricted to those candidates.
+  /** MinHash + LSH dedup: band-bucket join for candidates (buckets over
+    * [[BandBucketCap]] excluded — the boilerplate-flood guard), then
+    * exact Jaccard verification restricted to those candidates.
     */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -254,14 +269,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Distinct ordered candidate pairs from an LSH band table. */
-  private def candFromBands(bands: DataFrame): DataFrame =
-    bands.as("x")
-      .join(bands.as("y"),
+  /** Distinct ordered candidate pairs from an LSH band table. Buckets
+    * larger than `bucketCap` are excluded BEFORE the self-join (see
+    * [[BandBucketCap]]): one extra count-aggregation over the band
+    * table buys a hard O(cap²) bound per bucket in place of a
+    * quadratic blow-up on degenerate content floods.
+    */
+  private[graft] def candFromBands(bands: DataFrame,
+      bucketCap: Long = BandBucketCap): DataFrame = {
+    val capped = cappedBuckets(bands, bucketCap)
+    capped.as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Restrict a band table to (band, key) buckets of size ≤ bucketCap. */
+  private def cappedBuckets(bands: DataFrame, bucketCap: Long): DataFrame = {
+    val small = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= bucketCap)
+      .select(col("band"), col("key"))
+    bands.join(small, Seq("band", "key"))
+  }
 
   /** Edit-distance verification of LSH candidates: Levenshtein over the
     * candidate pairs only (never all pairs), normalized to a similarity
@@ -295,13 +327,7 @@ object Dedup {
     */
   def minhashEstimate(docs: DataFrame, threshold: Double): DataFrame = {
     val sig = minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = lshBands(sig)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candFromBands(lshBands(sig))
     val a = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumPerms).map(j => col(s"mh$j").as(s"a$j")): _*)
     val b = sig.select(col("doc_id").as("doc_b") +:
@@ -412,16 +438,38 @@ object Dedup {
     */
   def incrementalDedupAgainst(corpus: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
-    val index = lshIndex(corpus) // production: read back from the store
+    incrementalDedupFromIndex(lshIndex(corpus), corpus, batch, threshold)
+  }
+
+  /** [[incrementalDedupAgainst]] with the corpus band index supplied
+    * explicitly — the production entry point: the index is READ BACK
+    * from a persisted store (see [[LshIndexStore]]), never recomputed
+    * from corpus text.
+    */
+  def incrementalDedupFromIndex(index: DataFrame, corpus: DataFrame,
+      batch: DataFrame, threshold: Double,
+      bucketCap: Long = BandBucketCap): DataFrame = {
     val shB = shinglesSmall(batch).persist(StorageLevel.MEMORY_AND_DISK)
     val bandsB = lshBands(minhashSignaturesFrom(shB))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val candCorpus = bandsB.as("x")
-      .join(index.as("y"),
+    // the bucket cap guards BOTH candidate joins: a flooded corpus-index
+    // bucket (size counted over index ∪ batch bands, so a batch that
+    // tips a near-full bucket over still caps) would otherwise multiply
+    // against every colliding batch doc. Orientation is preserved:
+    // doc_a = existing/corpus partner, doc_b = batch doc; batch-vs-batch
+    // pairs are ordered doc_a < doc_b.
+    val smallKeys = index.union(bandsB).groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= bucketCap)
+      .select(col("band"), col("key"))
+    val cappedIdx = index.join(smallKeys, Seq("band", "key"))
+    val cappedB = bandsB.join(smallKeys, Seq("band", "key"))
+    val candCorpus = cappedB.as("x")
+      .join(cappedIdx.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
-    val candBatch = bandsB.as("x")
-      .join(bandsB.as("y"),
+    val candBatch = cappedB.as("x")
+      .join(cappedB.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
