@@ -111,13 +111,17 @@ object SparkEntry {
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), 0.6)),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), 0.5)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5)),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
-    "dedup_survivors" -> ((s, dir) => Dedup.survivors(t(s, dir, "documents"), 0.5)),
-    "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(t(s, dir, "documents"), 0.5)),
-    "dedup_cluster_survivors" -> ((s, dir) => Dedup.clusterSurvivors(t(s, dir, "documents"), 0.5)),
+    "dedup_survivors" -> ((s, dir) =>
+      Dedup.survivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clustersFromPairs(Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5)
+        .select(col("doc_a"), col("doc_b")))),
+    "dedup_cluster_survivors" -> ((s, dir) =>
+      Dedup.clusterSurvivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(t(s, dir, "documents"))),
     "contamination_check" -> ((s, dir) =>
       Dedup.contamination(t(s, dir, "documents"), col("doc_id") < 50, 8)),
@@ -155,9 +159,11 @@ object SparkEntry {
     "pipeline_materialize" -> ((s, dir) =>
       Curation.materialize(t(s, dir, "documents"), 0.55, "en")),
     "pipeline_materialize_full" -> ((s, dir) =>
-      Curation.materializeFull(t(s, dir, "documents"), 0.55, "en", 0.5)),
+      Curation.materializeFullOf(t(s, dir, "documents"),
+        Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5), 0.55, "en")),
     "curation_funnel" -> ((s, dir) =>
-      Curation.curationFunnel(t(s, dir, "documents"), 0.55, "en", 0.5)),
+      Curation.curationFunnelOf(t(s, dir, "documents"),
+        Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5), 0.55, "en")),
     "ts_rate_counter" -> ((s, dir) => Tsdb.rateCounter(Tsdb.points(t(s, dir, "events")))),
     "ts_series_math" -> ((s, dir) =>
       Tsdb.seriesMath(Tsdb.points(t(s, dir, "events")), "purchase", "error")),
@@ -232,7 +238,8 @@ object SparkEntry {
     "ann_knn_label" -> ((s, dir) => Similarity.knnLabel(t(s, dir, "embeddings"), 10, 5)),
     "quality_percentiles" -> ((s, dir) =>
       TextAnalysis.qualityPercentiles(t(s, dir, "documents"), 0.55)),
-    "corpus_dedup_report" -> ((s, dir) => Dedup.dedupReport(t(s, dir, "documents"), 0.5)),
+    "corpus_dedup_report" -> ((s, dir) =>
+      Dedup.dedupReportOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
     "q_order_gaps" -> (Analytics.orderGaps _),
     "ts_seasonality_strength" -> ((s, dir) =>
       Tsdb.seasonalityStrength(Tsdb.points1(t(s, dir, "events")))),
@@ -241,7 +248,7 @@ object SparkEntry {
     "text_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), 12)),
     "dedup_threshold_curve" -> ((s, dir) =>
-      Dedup.thresholdCurve(t(s, dir, "documents"), 0.2)),
+      Dedup.thresholdCurveOf(Dedup.sharedPairs(s, dir))),
     "ts_mttr" -> ((s, dir) => Tsdb.mttr(t(s, dir, "events"), 0.25)),
     "ann_recall_multiprobe" -> ((s, dir) =>
       Similarity.recallEvalMultiProbe(t(s, dir, "embeddings"), 10, 5)),

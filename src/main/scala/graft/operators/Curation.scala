@@ -43,9 +43,17 @@ object Curation {
     * the quality/langid expressions run once per surviving doc only.
     */
   def materializeFull(docs: DataFrame, minQuality: Double, lang: String,
-      nearThreshold: Double): DataFrame = {
+      nearThreshold: Double): DataFrame =
+    materializeFullOf(docs, Dedup.minhashLsh(docs, nearThreshold),
+      minQuality, lang)
+
+  /** [[materializeFull]] over a precomputed verified near-dup pair table
+    * (already at the dedup threshold) — see [[Dedup.sharedPairs]].
+    */
+  def materializeFullOf(docs: DataFrame, nearPairs: DataFrame,
+      minQuality: Double, lang: String): DataFrame = {
     val keepers = Dedup.exact(docs).select(col("keeper").as("doc_id"))
-    val nearDrop = Dedup.minhashLsh(docs, nearThreshold)
+    val nearDrop = nearPairs
       .select(col("doc_b").as("doc_id")).distinct()
     graft.core.Tables.spread(docs.select(col("doc_id"), col("source"), col("text")))
       .join(keepers, Seq("doc_id"), "left_semi") // scan-width floor — see [[materialize]]
@@ -71,10 +79,16 @@ object Curation {
     * unpivots the 1-row result; no per-stage corpus rescans.
     */
   def curationFunnel(docs: DataFrame, minQuality: Double, lang: String,
-      nearThreshold: Double): DataFrame = {
+      nearThreshold: Double): DataFrame =
+    curationFunnelOf(docs, Dedup.minhashLsh(docs, nearThreshold),
+      minQuality, lang)
+
+  /** [[curationFunnel]] over a precomputed verified near-dup pair table. */
+  def curationFunnelOf(docs: DataFrame, nearPairs: DataFrame,
+      minQuality: Double, lang: String): DataFrame = {
     val keepers = Dedup.exact(docs)
       .select(col("keeper").as("doc_id"), lit(true).as("is_keeper"))
-    val nearDrop = Dedup.minhashLsh(docs, nearThreshold)
+    val nearDrop = nearPairs
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dropped", lit(true))
     val flagged = graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))

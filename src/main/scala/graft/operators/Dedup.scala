@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -124,10 +124,16 @@ object Dedup {
     * pair machinery; grouping is by source so a single bad scraper
     * shows up immediately.
     */
-  def dedupReport(docs: DataFrame, threshold: Double): DataFrame = {
+  def dedupReport(docs: DataFrame, threshold: Double): DataFrame =
+    dedupReportOf(docs, minhashLsh(docs, threshold))
+
+  /** [[dedupReport]] over a precomputed verified-pair table (already
+    * filtered to the report threshold).
+    */
+  def dedupReportOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val keeperByHash = exact(docs)
       .select(col("content_hash"), col("keeper"))
-    val nearDrop = minhashLsh(docs, threshold)
+    val nearDrop = pairs
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dropped", lit(true))
     docs
@@ -148,11 +154,15 @@ object Dedup {
     * would keep BEFORE committing a full dedup run. The cumulative
     * window runs over ≤10 decile rows.
     */
-  def thresholdCurve(docs: DataFrame, floorJ: Double = 0.2): DataFrame = {
+  def thresholdCurve(docs: DataFrame, floorJ: Double = 0.2): DataFrame =
+    thresholdCurveOf(minhashLsh(docs, floorJ))
+
+  /** [[thresholdCurve]] over a precomputed ≥-floor verified-pair table. */
+  def thresholdCurveOf(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("j_bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    minhashLsh(docs, floorJ)
+    pairs
       .withColumn("j_bucket", floor(col("jaccard") * 10.0) / 10.0)
       .groupBy(col("j_bucket"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -267,6 +277,41 @@ object Dedup {
     pairJaccard(sh, Some(cand))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Floor threshold of the shared pair view: the lowest any registered
+    * consumer needs (the threshold-curve calibration floor).
+    */
+  val SharedPairFloor = 0.2
+
+  private val sharedPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The verified MinHash-LSH pair table over `dir`'s documents at
+    * [[SharedPairFloor]], built ONCE per (session, dir) and frozen with
+    * an eager localCheckpoint. Eight registered queries (pair listing,
+    * survivors, clusters, cluster survivors, threshold curve, dedup
+    * report, materialize-full, curation funnel) all start from this
+    * table; a real pipeline pays the shingle → signature → band →
+    * verify cost once per ingest snapshot, not once per report — the
+    * same reuse shape as Analytics.customerRevenueView. Any consumer
+    * threshold ≥ the floor is a monotone filter on this table, so
+    * results are identical to the direct computation (DedupViewSpec
+    * proves it). On a multi-executor cluster prefer a reliable
+    * checkpoint/table write.
+    */
+  def sharedPairs(s: SparkSession, dir: String): DataFrame =
+    sharedPairsCache.getOrElseUpdate((s, dir),
+      minhashLsh(graft.core.Tables.load(s, dir, "documents"), SharedPairFloor)
+        .localCheckpoint())
+
+  /** Restrict a ≥-floor pair table to pairs at `threshold` — equals
+    * [[minhashLsh]] at that threshold when `pairs` came from a floor ≤ it.
+    */
+  def pairsAt(pairs: DataFrame, threshold: Double): DataFrame = {
+    require(SharedPairFloor <= threshold,
+      s"pair view floor $SharedPairFloor above requested threshold $threshold")
+    pairs.filter(col("jaccard") >= threshold)
   }
 
   /** Distinct ordered candidate pairs from an LSH band table. Buckets
@@ -414,8 +459,14 @@ object Dedup {
     * any near-dup pair (standard first-occurrence-wins dedup; one anti-join,
     * no iterative connected components).
     */
-  def survivors(docs: DataFrame, threshold: Double): DataFrame = {
-    val drop = minhashLsh(docs, threshold).select(col("doc_b").as("doc_id")).distinct()
+  def survivors(docs: DataFrame, threshold: Double): DataFrame =
+    survivorsOf(docs, minhashLsh(docs, threshold))
+
+  /** [[survivors]] over a precomputed verified-pair table (already at
+    * the dedup threshold).
+    */
+  def survivorsOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = pairs.select(col("doc_b").as("doc_id")).distinct()
     docs.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
@@ -466,7 +517,12 @@ object Dedup {
     val cappedB = bandsB.join(smallKeys, Seq("band", "key"))
     val candCorpus = cappedB.as("x")
       .join(cappedIdx.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          // a doc is never its own dup: a REPLAYED batch (at-least-once
+          // delivery after its survivors were already appended to the
+          // index) must re-produce the original decisions, not match
+          // every survivor against itself
+          col("x.doc_id") =!= col("y.doc_id"))
       .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
     val candBatch = cappedB.as("x")
       .join(cappedB.as("y"),
@@ -566,8 +622,12 @@ object Dedup {
     * pairwise [[survivors]] policy — "A~B, B~C" also drops C even though
     * (A, C) never formed a pair.
     */
-  def clusterSurvivors(docs: DataFrame, threshold: Double): DataFrame = {
-    val drop = duplicateClusters(docs, threshold)
+  def clusterSurvivors(docs: DataFrame, threshold: Double): DataFrame =
+    clusterSurvivorsOf(docs, minhashLsh(docs, threshold))
+
+  /** [[clusterSurvivors]] over a precomputed verified-pair table. */
+  def clusterSurvivorsOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = clustersFromPairs(pairs.select(col("doc_a"), col("doc_b")))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.operators.{Curation, Dedup}
+import graft.core.Tables
+
+/** The shared MinHash-LSH pair view: one verified pair table at
+  * [[Dedup.SharedPairFloor]] feeding the eight dedup-family queries,
+  * with results identical to the cold per-query computations.
+  */
+class DedupViewSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.except(b).isEmpty && b.except(a).isEmpty
+
+  test("view-based dedup family equals the cold-start computations") {
+    val view = Dedup.sharedPairs(spark, dir)
+    val at5 = Dedup.pairsAt(view, 0.5)
+    assert(sameRows(at5, Dedup.minhashLsh(docs, 0.5)),
+      "pairsAt(view, 0.5) != minhashLsh(docs, 0.5)")
+    assert(sameRows(Dedup.survivorsOf(docs, at5), Dedup.survivors(docs, 0.5)))
+    assert(sameRows(
+      Dedup.clustersFromPairs(at5.select("doc_a", "doc_b")),
+      Dedup.duplicateClusters(docs, 0.5)))
+    assert(sameRows(Dedup.clusterSurvivorsOf(docs, at5),
+      Dedup.clusterSurvivors(docs, 0.5)))
+    assert(sameRows(Dedup.dedupReportOf(docs, at5), Dedup.dedupReport(docs, 0.5)))
+    assert(sameRows(Dedup.thresholdCurveOf(view), Dedup.thresholdCurve(docs, 0.2)))
+    assert(sameRows(Curation.materializeFullOf(docs, at5, 0.55, "en"),
+      Curation.materializeFull(docs, 0.55, "en", 0.5)))
+    assert(sameRows(Curation.curationFunnelOf(docs, at5, 0.55, "en"),
+      Curation.curationFunnel(docs, 0.55, "en", 0.5)))
+  }
+
+  test("the registered queries consume ONE shared build per (session, dir)") {
+    // the view is memoized: the second call must return the same frozen
+    // LogicalRDD instance, not rebuild the LSH chain
+    val v1 = Dedup.sharedPairs(spark, dir)
+    val v2 = Dedup.sharedPairs(spark, dir)
+    assert(v1 eq v2, "sharedPairs rebuilt instead of memoizing")
+    assert(v1.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+    // the pure pair listing reads only the view — no documents rescan
+    def docLeaves(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            .filter(_.contains("documents"))
+          case _ => Seq.empty
+        }
+      }.flatten
+    assert(docLeaves(Dedup.pairsAt(v1, 0.5)).isEmpty,
+      "pair listing re-scanned documents instead of reading the view")
+    assert(docLeaves(Dedup.thresholdCurveOf(v1)).isEmpty,
+      "threshold curve re-scanned documents instead of reading the view")
+  }
+}
