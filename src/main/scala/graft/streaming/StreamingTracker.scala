@@ -140,6 +140,37 @@ object StreamingTracker {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming incremental NEAR-dup dedup: each arriving micro-batch of
+    * (doc_id, text) is decided against the persisted
+    * [[graft.operators.LshIndexStore]] — zero corpus re-scan, exactly
+    * the batch-side `incrementalDedupFromIndex` path — and survivors'
+    * band/text rows are appended so later micro-batches dedup against
+    * them too. Decisions land in `outDir` as one parquet append per
+    * micro-batch. foreachBatch because the per-batch work is a
+    * multi-stage join pipeline plus two store appends, not a stateful
+    * operator; the store append is idempotence-guarded by a batch-id
+    * marker (same stage-then-marker shape as [[commitBatch]], one
+    * marker per micro-batch — a replayed batch re-emits decisions but
+    * never double-appends the index).
+    */
+  def incrementalDedupStream(docs: DataFrame, storePath: String, outDir: String,
+      checkpointDir: String, threshold: Double): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val store = new graft.operators.LshIndexStore(batch.sparkSession, storePath)
+        val marker = Paths.get(storePath, "_commits", batchId.toString)
+        val decided =
+          if (Files.exists(marker)) store.decide(batch, threshold)
+          else store.ingest(batch, threshold)
+        decided.write.mode("append").parquet(outDir)
+        Files.createDirectories(marker.getParent)
+        if (!Files.exists(marker)) { Files.createFile(marker); () }
+      }
+      .start()
+
   /** Streaming sessionization — the live twin of Tsdb.sessionize, using
     * Spark's native dynamic-gap `session_window`: a session closes (and
     * its single row emits) once the watermark passes gap beyond its last
