@@ -26,6 +26,10 @@ import graft.operators.Similarity
   * component (centers are ±1.0 uniform — far apart in 64-dim, so true
   * neighbors are overwhelmingly same-cluster). Queries are corpus
   * members (vec_id < nQueries), matching the operator contract.
+  * Additionally each query has `k` planted NEAR-COPIES (its vector plus
+  * ±0.01 noise) at ids [nQueries, nQueries·(k+1)) — the ground-truth
+  * top-k every index should recover, and the workload where residual
+  * quantization earns its keep (see check 3).
   *
   * `runMain graft.AnnScaleCheck [nVec]`.
   */
@@ -41,12 +45,20 @@ object AnnScaleCheck {
     val nCent = 16    // learned coarse cells (each covers ~C/nCent planted clusters)
     val nProbe = 4
 
+    // ids [nQueries, nQueries·(k+1)) are near-copies of query id%nQueries:
+    // same cluster center + SAME per-source noise draw, plus a ±0.01
+    // per-id perturbation (applied to every vector so the formula is one
+    // uniform expression)
     val emb = spark.range(nVec)
-      .withColumn("cid0", pmod(col("id"), lit(C.toLong)))
+      .withColumn("src", when(
+        col("id") >= nQueries && col("id") < (nQueries.toLong * (k + 1)),
+        pmod(col("id"), lit(nQueries.toLong))).otherwise(col("id")))
+      .withColumn("cid0", pmod(col("src"), lit(C.toLong)))
       .withColumn("embedding", expr(
         s"""transform(sequence(1, $dim), j -> CAST(
               (pmod(xxhash64(cid0 + 1000003, j), 2000) - 1000) / 1000.0 +
-              (pmod(xxhash64(id, j + 100), 2000) - 1000) / 1000.0 * 0.15
+              (pmod(xxhash64(src, j + 100), 2000) - 1000) / 1000.0 * 0.15 +
+              (pmod(xxhash64(id, j + 200), 2000) - 1000) / 1000.0 * 0.01
             AS FLOAT))"""))
       .select(col("id").as("vec_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -88,6 +100,31 @@ object AnnScaleCheck {
     println(f"  recall@$k: $hits/${nQueries * k} = $recall%.4f")
     require(recall >= 0.95,
       f"IVF recall $recall%.4f below 0.95 on clustered data — probing lost signal")
+
+    // --- 3. IVF-PQ composite vs flat PQ at EQUAL code budget (nSub=4,
+    // nCode=8 on both sides): the composite quantizes residuals after the
+    // coarse quantizer has removed between-cell variance, so its recall
+    // must match or beat flat PQ — while scoring only the probed cells
+    // (nProbe/nCent of the corpus) instead of every vector.
+    val pqFlat = timed(s"pqTopK (flat, nSub=4, nCode=8) over $nVec vectors") {
+      val p = Similarity.pqTopK(emb, nQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val ivfPq = timed(s"ivfPqTopK (nCent=$nCent, nProbe=$nProbe, nSub=4, nCode=8)") {
+      val p = Similarity.ivfPqTopK(emb, nQueries, k, nCent, 2, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val pqHits = truth.join(pqFlat, Seq("query_id", "neighbor_id")).count()
+    val ivfPqHits = truth.join(ivfPq, Seq("query_id", "neighbor_id")).count()
+    val (pqRec, ivfPqRec) =
+      (pqHits.toDouble / (nQueries.toLong * k), ivfPqHits.toDouble / (nQueries.toLong * k))
+    println(f"  flat-PQ recall@$k: $pqRec%.4f   IVF-PQ recall@$k: $ivfPqRec%.4f")
+    require(ivfPqHits >= pqHits,
+      f"IVF-PQ recall $ivfPqRec%.4f below flat PQ $pqRec%.4f at equal code budget")
 
     println(s"AnnScaleCheck OK at $nVec vectors")
     spark.stop()

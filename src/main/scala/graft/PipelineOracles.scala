@@ -88,6 +88,87 @@ object PipelineOracles {
          sc AS (SELECT query_id, vec_id, (qc0 + qc1 + qc2 + qc3) / (qnrm * rnrm) AS cos FROM pairs),
          rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)"""
 
+  private val dot16 = (a: String, b: String) =>
+    s"list_sum(list_transform(generate_series(1, 16), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  /** IVF-PQ composite CTE chain (k-means coarse quantizer → residual PQ
+    * codes → ADC over probed cells, ranked candidates as `rk`) — the
+    * DuckDB twin of Similarity.ivfPqTopK, shared by the top-k oracle and
+    * its recall@k evaluation. Requires `nrm` in scope.
+    */
+  private val ivfpqCtes: String = s"""sd AS (SELECT vec_id, embedding,
+                ${h60("CAST(vec_id AS VARCHAR)")} AS hv FROM embeddings),
+         seeds AS (SELECT vec_id, embedding, hv,
+                   row_number() OVER (ORDER BY hv, vec_id) AS cid
+                   FROM sd QUALIFY cid <= 8),
+         c0 AS (SELECT s.cid, s.embedding AS cvec, n.nrm AS cnrm
+                FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         af AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
+         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
+         resid AS (SELECT a.vec_id, a.cid,
+                 list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE AS REAL)) AS res
+                 FROM asnf a JOIN embeddings e ON e.vec_id = a.vec_id
+                 JOIN c2 c ON c.cid = a.cid),
+         cbseeds AS (SELECT vec_id, res,
+                     row_number() OVER (ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id) AS code
+                     FROM resid QUALIFY code <= 8),
+         ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+         cb AS (SELECT ss.s, code, list_slice(res, ss.s*16+1, ss.s*16+16) AS cwv
+                FROM cbseeds CROSS JOIN ss),
+         cbn AS (SELECT s, code, cwv, ${dot16("cwv", "cwv")} AS cc FROM cb),
+         subv AS (SELECT r.vec_id, r.cid, ss.s,
+                         list_slice(r.res, ss.s*16+1, ss.s*16+16) AS sv
+                  FROM resid r CROSS JOIN ss),
+         subn AS (SELECT vec_id, cid, s, sv, ${dot16("sv", "sv")} AS vv FROM subv),
+         enc AS (SELECT vec_id, cid, s, code, cc,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY
+                   vv + cc - 2.0 * ${dot16("sv", "cwv")} ASC, code) AS r
+                 FROM subn JOIN cbn USING (s)),
+         codes AS (SELECT vec_id, cid, s, code, cc FROM enc WHERE r = 1),
+         csub AS (SELECT c.cid, ss.s, list_slice(c.cvec, ss.s*16+1, ss.s*16+16) AS csv
+                  FROM c2 c CROSS JOIN ss),
+         ccx AS (SELECT cid, s, code, ${dot16("csv", "cwv")} AS cx
+                 FROM csub JOIN cbn USING (s)),
+         cnorm AS (SELECT cid, ${dot64("cvec", "cvec")} AS ccn FROM c2),
+         wide AS (SELECT vec_id, cid,
+                   max(CASE WHEN s = 0 THEN code END) AS c0, max(CASE WHEN s = 0 THEN cc END) AS cc0, max(CASE WHEN s = 0 THEN cx END) AS cx0,
+                   max(CASE WHEN s = 1 THEN code END) AS c1, max(CASE WHEN s = 1 THEN cc END) AS cc1, max(CASE WHEN s = 1 THEN cx END) AS cx1,
+                   max(CASE WHEN s = 2 THEN code END) AS c2, max(CASE WHEN s = 2 THEN cc END) AS cc2, max(CASE WHEN s = 2 THEN cx END) AS cx2,
+                   max(CASE WHEN s = 3 THEN code END) AS c3, max(CASE WHEN s = 3 THEN cc END) AS cc3, max(CASE WHEN s = 3 THEN cx END) AS cx3
+                  FROM codes JOIN ccx USING (cid, s, code) GROUP BY 1, 2),
+         widen AS (SELECT w.*,
+                   sqrt(cn.ccn + 2.0 * (cx0 + cx1 + cx2 + cx3) + (cc0 + cc1 + cc2 + cc3)) AS rnrm
+                   FROM wide w JOIN cnorm cn USING (cid)),
+         q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, n.nrm AS qnrm
+               FROM embeddings e JOIN nrm n USING (vec_id) WHERE e.vec_id < 10),
+         prq AS (SELECT query_id, c.cid, ${dot64("qv", "c.cvec")} AS qcent,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${dot64("qv", "c.cvec")} / (qnrm * c.cnrm) DESC, c.cid) AS crnk
+                 FROM q CROSS JOIN c2 c),
+         probes AS (SELECT query_id, cid, qcent FROM prq WHERE crnk <= 2),
+         qsub AS (SELECT query_id, ss.s, list_slice(qv, ss.s*16+1, ss.s*16+16) AS qs
+                  FROM q CROSS JOIN ss),
+         adc AS (SELECT query_id, s, code, ${dot16("qs", "cwv")} AS qc
+                 FROM qsub JOIN cbn USING (s)),
+         pairs AS (SELECT p.query_id, w.vec_id, qq.qnrm, w.rnrm, p.qcent,
+                          a0.qc AS qc0, a1.qc AS qc1, a2.qc AS qc2, a3.qc AS qc3
+                   FROM widen w
+                   JOIN probes p ON p.cid = w.cid AND w.vec_id <> p.query_id
+                   JOIN q qq ON qq.query_id = p.query_id
+                   JOIN adc a0 ON a0.query_id = p.query_id AND a0.s = 0 AND a0.code = w.c0
+                   JOIN adc a1 ON a1.query_id = p.query_id AND a1.s = 1 AND a1.code = w.c1
+                   JOIN adc a2 ON a2.query_id = p.query_id AND a2.s = 2 AND a2.code = w.c2
+                   JOIN adc a3 ON a3.query_id = p.query_id AND a3.s = 3 AND a3.code = w.c3),
+         sc AS (SELECT query_id, vec_id,
+                       (qcent + qc0 + qc1 + qc2 + qc3) / (qnrm * rnrm) AS cos FROM pairs),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)"""
+
   /** Hyperplane-LSH signature CTE chain (dps → sigs), the DuckDB twin of
     * Similarity.lshSignature — identical md5-derived ±1 plane literals.
     */
@@ -990,6 +1071,57 @@ object PipelineOracles {
          SELECT query_id, vec_id AS neighbor_id, rnk,
                 floor(cos * 10000.0 + 0.5) / 10000.0 AS score
          FROM rk WHERE rnk <= 5""",
+
+    // hyperplane-LSH-blocked test-vs-train cosine — the semantic twin of
+    // contamination_check (test set = vec_id < 50, same banding as
+    // embedding_dedup)
+    "contamination_semantic" -> s"""WITH $nrm, $sigs,
+         lb AS (SELECT vec_id, (vec_id < 50) AS is_test FROM embeddings),
+         bands AS (SELECT s.vec_id, b.band, (s.sig >> (2 * b.band)) & 3 AS key
+                   FROM sigs s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+         cand AS (SELECT DISTINCT x.vec_id AS train_id, y.vec_id AS test_id
+                  FROM bands x
+                  JOIN lb lx ON lx.vec_id = x.vec_id AND NOT lx.is_test
+                  JOIN bands y ON y.band = x.band AND y.key = x.key
+                  JOIN lb ly ON ly.vec_id = y.vec_id AND ly.is_test)
+         SELECT train_id, test_id,
+                floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+         FROM cand
+         JOIN embeddings a ON a.vec_id = train_id
+         JOIN embeddings b ON b.vec_id = test_id
+         JOIN nrm na ON na.vec_id = train_id
+         JOIN nrm nb ON nb.vec_id = test_id
+         WHERE floor((${dot64("a.embedding", "b.embedding")} / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 >= 0.4""",
+
+    "ann_ivfpq_topk" -> s"""WITH $nrm,
+         $ivfpqCtes
+         SELECT query_id, vec_id AS neighbor_id, rnk,
+                floor(cos * 10000.0 + 0.5) / 10000.0 AS score
+         FROM rk WHERE rnk <= 5""",
+
+    "ann_recall_ivfpq" -> s"""WITH $nrm,
+         $ivfpqCtes,
+         bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM bsc) WHERE rnk <= 5),
+         ap AS (SELECT query_id, vec_id AS neighbor_id FROM rk WHERE rnk <= 5),
+         fnd AS (SELECT query_id, count(*) AS n_found FROM ap GROUP BY 1),
+         ht AS (SELECT query_id, count(*) AS n_hits
+                FROM bf JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT bf.query_id, count(*) AS n_true,
+                CAST(coalesce(max(fnd.n_found), 0) AS BIGINT) AS n_found,
+                CAST(coalesce(max(ht.n_hits), 0) AS BIGINT) AS n_hits,
+                floor((coalesce(max(ht.n_hits), 0) / 5.0) * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM bf
+         LEFT JOIN fnd ON fnd.query_id = bf.query_id
+         LEFT JOIN ht ON ht.query_id = bf.query_id
+         GROUP BY 1""",
 
     "mm_image_tiles" -> s"""WITH h AS (
            SELECT doc_id, md5(text) AS content_hash,

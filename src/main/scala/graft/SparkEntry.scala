@@ -256,6 +256,11 @@ object SparkEntry {
       Similarity.recallEvalIvf(t(s, dir, "embeddings"), 10, 5)),
     "ann_recall_pq" -> ((s, dir) =>
       Similarity.recallEvalPq(t(s, dir, "embeddings"), 10, 5)),
+    "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(t(s, dir, "embeddings"), 10, 5)),
+    "contamination_semantic" -> ((s, dir) =>
+      Similarity.contaminationSemantic(t(s, dir, "embeddings"), col("vec_id") < 50, 0.4)),
+    "ann_recall_ivfpq" -> ((s, dir) =>
+      Similarity.recallEvalIvfPq(t(s, dir, "embeddings"), 10, 5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -68,6 +68,49 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Semantic (embedding-space) train/test contamination: train vectors
+    * whose cosine to any held-out test vector is ≥ threshold — the
+    * paraphrase-robust twin of Dedup.contamination, which is 8-gram
+    * EXACT and lets reworded test-set leakage straight through. Blocking
+    * is the same hyperplane-LSH banding as [[embeddingDedup]], so the
+    * check is never O(train × test): each side bands only its narrow
+    * (vec_id, sig) projection, candidates resolve in one equi-join, and
+    * full vectors join in for candidate pairs only. The test side (a
+    * fixed eval set, tiny next to a 100 TB train corpus) is broadcast at
+    * both the band join and the vector fetch — the train side streams
+    * through map tasks. Recall < 1 by construction (band-match
+    * probability); the oracle replicates the identical banding.
+    */
+  def contaminationSemantic(emb: DataFrame, isTest: Column, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= NumPlanes, s"needs <= $NumPlanes planes")
+    val e = withNorm(emb)
+    val sig = emb.select(col("vec_id"), isTest.as("__is_test"),
+      lshSignature(col("embedding")).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(sig div ${1L << (b * rowsPerBand)}) % ${1L << rowsPerBand}").as("key"))
+    }
+    val banded = sig
+      .select(col("vec_id"), col("__is_test"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("__is_test"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.filter(!col("__is_test")).as("x")
+      .join(broadcast(banded.filter(col("__is_test")).as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.vec_id").as("train_id"), col("y.vec_id").as("test_id"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("train_id"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("train_id"))
+      .join(broadcast(e.filter(isTest)
+        .select(col("vec_id").as("test_id"), col("embedding").as("eb"),
+          col("nrm").as("nb"))), Seq("test_id"))
+      .select(col("train_id"), col("test_id"),
+        Hashing.rd4(V.dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries).
     * Queries are broadcast; ranking is deterministic (score desc, vec_id).
     */
@@ -520,6 +563,118 @@ object Similarity {
         Hashing.rd4(col("cos")).as("score"))
   }
 
+  /** IVF-PQ composite index with asymmetric-distance search — the
+    * standard production ANN layout (Jégou et al.'s IVFADC): a coarse
+    * learned quantizer (the [[kmeansCentroids]] Lloyd loop) partitions
+    * the corpus into cells, each vector stores only its cell id plus
+    * `nSub` product-quantized RESIDUAL codes (vector − its centroid),
+    * and a query scores candidates in its `nProbe` nearest cells without
+    * ever decoding them. Residual PQ beats raw PQ at equal code budget
+    * because residuals concentrate near the origin (the coarse quantizer
+    * has removed the between-cell variance), and the cell restriction
+    * cuts the scan to nProbe/nCent of the corpus — the two halves of the
+    * composite compound.
+    *
+    * Everything per-candidate is table lookups + fixed-order sums:
+    *   cos ≈ (⟨q,c⟩ + Σ_s ⟨q_s, code_s⟩) / (‖q‖ · ‖ĉ+r̂‖), with
+    *   ‖ĉ+r̂‖² = ‖c‖² + 2·Σ_s ⟨c_s, code_s⟩ + Σ_s ‖code_s‖²
+    * — the reconstructed norm is QUERY-INDEPENDENT, so it is computed
+    * once at index-build time into the code table; search joins only the
+    * tiny broadcast ADC tables (nQueries·nSub·nCode and nProbe rows).
+    * The residual codebook is the residuals of the `nCode` hash-min
+    * sample vectors (deterministic, shared across cells, as in the
+    * original IVFADC), and every dot/sum is the same left-to-right
+    * double chain the DuckDB oracle replays bit-for-bit.
+    *
+    * Ref query semantics: kadiyadb fetches by (metric, time) partitions;
+    * this is the embedding-space analogue of partition-pruned fetch —
+    * probe only the cells that can contain the answer.
+    */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nCent: Int = 8,
+      iters: Int = 2, nProbe: Int = 2, nSub: Int = 4, nCode: Int = 8): DataFrame = {
+    val subDim = 64 / nSub
+    def subStructs(vec: String) = expr(
+      s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS s, slice($vec, s * $subDim + 1, $subDim) AS sv))")
+    val e = withNorm(emb)
+    val cent = kmeansCentroids(e, nCent, iters)
+    // residuals against the FINAL centroids: double subtract rounded to
+    // float (exactly what the oracle's ::DOUBLE − ::DOUBLE → ::REAL does)
+    val resTab = assignToCentroids(e, cent)
+      .join(broadcast(cent.select(col("cid"), col("cvec"))), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(embedding, cvec, (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))")
+          .as("res"))
+    // shared residual codebook: residuals of the nCode hash-min vectors,
+    // split per subspace — nCode·nSub rows, driver-localized so the many
+    // broadcast references below don't each replay the k-means chain
+    val cb = localized(resTab
+      .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
+      .orderBy(col("hv"), col("vec_id")).limit(nCode)
+      .withColumn("code", row_number().over(Window.orderBy(col("hv"), col("vec_id"))))
+      .select(col("code"), explode(subStructs("res")).as("x"))
+      .select(col("x.s").as("s"), col("code"), col("x.sv").as("cwv"))
+      .withColumn("cc", V.dotF(col("cwv"), col("cwv"))))
+    // encode: nearest codeword per (vector, subspace) by residual L2
+    val subv = resTab
+      .select(col("vec_id"), col("cid"), explode(subStructs("res")).as("x"))
+      .select(col("vec_id"), col("cid"), col("x.s").as("s"), col("x.sv").as("sv"))
+      .withColumn("vv", V.dotF(col("sv"), col("sv")))
+    val wenc = Window.partitionBy(col("vec_id"), col("s")).orderBy(
+      (col("vv") + col("cc") - lit(2.0) * V.dotF(col("sv"), col("cwv"))).asc, col("code"))
+    val codes = subv.join(broadcast(cb), "s")
+      .withColumn("r", row_number().over(wenc))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cid"), col("s"), col("code"), col("cc"))
+    // centroid-subvector × codeword dots (nCent·nSub·nCode rows) and
+    // per-cell ⟨c,c⟩ — the query-independent pieces of the recon norm
+    val ccx = cent.select(col("cid"), explode(subStructs("cvec")).as("x"))
+      .select(col("cid"), col("x.s").as("s"), col("x.sv").as("csv"))
+      .join(cb.select(col("s"), col("code"), col("cwv")), "s")
+      .select(col("cid"), col("s"), col("code"), V.dotF(col("csv"), col("cwv")).as("cx"))
+    val cnorm = cent.select(col("cid"), V.dotF(col("cvec"), col("cvec")).as("ccn"))
+    val aggs = (0 until nSub).flatMap(s => Seq(
+      max(when(col("s") === s, col("code"))).as(s"c$s"),
+      max(when(col("s") === s, col("cc"))).as(s"cc$s"),
+      max(when(col("s") === s, col("cx"))).as(s"cx$s")))
+    val wide = codes.join(broadcast(ccx), Seq("cid", "s", "code"))
+      .groupBy(col("vec_id"), col("cid")).agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(cnorm), "cid")
+      .withColumn("rnrm", sqrt(col("ccn")
+        + lit(2.0) * (0 until nSub).map(s => col(s"cx$s")).reduce(_ + _)
+        + (0 until nSub).map(s => col(s"cc$s")).reduce(_ + _)))
+    // search: probe the nProbe nearest cells, keep ⟨q, c⟩ per probe
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy((V.dotF(col("qv"), col("cvec")) / (col("qnrm") * col("cnrm"))).desc, col("cid"))
+    val probes = broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("qnrm"), col("cid"),
+        V.dotF(col("qv"), col("cvec")).as("qcent"))
+    val adc = q
+      .select(col("query_id"), explode(subStructs("qv")).as("x"))
+      .select(col("query_id"), col("x.s").as("s"), col("x.sv").as("qs"))
+      .join(cb.select(col("s"), col("code"), col("cwv")), "s")
+      .select(col("query_id"), col("s"), col("code"),
+        V.dotF(col("qs"), col("cwv")).as("qc"))
+    var pairs = wide.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+    for (s <- 0 until nSub)
+      pairs = pairs.join(
+        broadcast(adc.filter(col("s") === s)
+          .select(col("query_id"), col("code").as(s"c$s"), col("qc").as(s"qc$s"))),
+        Seq("query_id", s"c$s"))
+    val scored = pairs.withColumn("cos",
+      (col("qcent") +: (0 until nSub).map(s => col(s"qc$s"))).reduce(_ + _)
+        / (col("qnrm") * col("rnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        Hashing.rd4(col("cos")).as("score"))
+  }
+
   /** End-to-end embedding dedup: the corpus minus the higher-id member of
     * every near-dup pair (keep-first policy, one anti-join — the
     * embedding twin of Dedup.survivors).
@@ -761,6 +916,14 @@ object Similarity {
 
   def recallEvalPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
     recallEvalOf(emb, nQueries, k, (e, n, kk) => pqTopK(e, n, kk))
+
+  /** [[recallEval]] for the IVF-PQ composite — at equal code budget the
+    * residual codes should match or beat plain PQ recall (the coarse
+    * quantizer removes between-cell variance before quantization); run
+    * both and diff.
+    */
+  def recallEvalIvfPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallEvalOf(emb, nQueries, k, (e, n, kk) => ivfPqTopK(e, n, kk))
 
   private def recallEvalOf(emb: DataFrame, nQueries: Int, k: Int,
       ann: (DataFrame, Int, Int) => DataFrame): DataFrame = {

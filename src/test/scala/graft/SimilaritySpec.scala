@@ -201,6 +201,46 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L))
   }
 
+  test("contaminationSemantic flags the train twin of a test vector") {
+    // test set = {1}; train 0 is byte-identical to it → must be flagged
+    // with cos 1.0; orthogonal train 2 must not appear at 0.95
+    val r = Similarity.contaminationSemantic(emb, col("vec_id") === 1, 0.95).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("test_id") == 1L))
+    assert(r.forall(x => Set(0L, 3L).contains(x.getAs[Long]("train_id"))))
+    val twin = r.find(_.getAs[Long]("train_id") == 0L).get
+    assert(twin.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("ivfPqTopK: candidates come only from probed cells, ADC ranks within") {
+    import spark.implicits._
+    // two orthogonal 64-dim clusters; nProbe=1 → query 0's neighbors must
+    // all come from its own learned cell, scored via residual-PQ ADC
+    def v(base: Int, i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(base) = 1.0f; a(base + 1) = 0.01f * i; a
+    }
+    val vecs = (0L until 6L).map(i => (i, v(0, i.toInt), 0)) ++
+      (6L until 12L).map(i => (i, v(32, i.toInt), 0))
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val r = Similarity.ivfPqTopK(e, 1, 3, nCent = 2, iters = 2, nProbe = 1,
+      nSub = 4, nCode = 4).collect().sortBy(_.getAs[Int]("rnk"))
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("neighbor_id") < 6L))
+    assert(r.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("recallEvalIvfPq: every query emitted, recall well-formed") {
+    val big = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.recallEvalIvfPq(big, 5, 3).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).sorted.toSeq == (0L until 5L).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") == 3L)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_found"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("normStats: zero vectors counted, mean and percentiles exact") {
     import spark.implicits._
     val e = Seq(
