@@ -1317,7 +1317,6 @@ object PipelineOracles {
          LEFT JOIN ht ON ht.query_id = bf.query_id
          GROUP BY 1""",
 
-
     "ann_recall_ivf" -> s"""WITH $nrm,
          flat AS (SELECT label, i.pos, embedding[i.pos]::DOUBLE AS v
                   FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),

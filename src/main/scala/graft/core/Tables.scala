@@ -27,16 +27,23 @@ object Tables {
           // parquet scan (a predicate on the derived ts cannot be pushed).
           df.withColumn("ts_ns", col("ts"))
             .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        case _ =>
-          // TIMESTAMP(MICROS): the reader hands back a timestamp directly
-          // (ntz under the default inferTimestampNTZ; cast is a no-op
-          // then). Here `ts` IS the raw scan column — range predicates on
-          // it push down — and ts_ns is derived via timestampdiff, pure
-          // wall-clock arithmetic on ntz with no session-timezone
-          // dependence.
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // TIMESTAMP(MICROS) inferred as ntz (isAdjustedToUTC=false under
+          // the default inferTimestampNTZ). Here `ts` IS the raw scan
+          // column — range predicates on it push down — and ts_ns is
+          // derived via timestampdiff, pure wall-clock arithmetic on ntz
+          // with no session-timezone dependence.
           df.withColumn("ts", col("ts").cast("timestamp_ntz"))
             .withColumn("ts_ns",
               expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+        case other =>
+          // A session-timezone-adjusted TimestampType read (micros file
+          // written with isAdjustedToUTC=true, or inferTimestampNTZ off)
+          // would SILENTLY shift wall clocks in ts and the derived ts_ns
+          // for any non-UTC session — fail loudly instead.
+          throw new IllegalStateException(
+            s"events.ts read as $other — expected raw nanos (LongType) or TIMESTAMP_NTZ; " +
+              "refusing a timezone-adjusted read that would shift wall clocks")
       }
     else df
   }

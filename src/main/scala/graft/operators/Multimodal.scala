@@ -94,14 +94,22 @@ object Multimodal {
     * ints per clip; no shuffle.
     */
   def audioChunks(docs: DataFrame, chunkSecs: Int): DataFrame =
-    docs
+    chunksFrom(docs
       .withColumn("hm", Hashing.h60(col("text")))
       .select(
         col("doc_id"),
         md5(col("text")).as("content_hash"),
         expr("CAST(CASE WHEN hm % 3 = 0 THEN 16000 WHEN hm % 3 = 1 THEN 22050 ELSE 44100 END AS INT)")
           .as("sample_rate"),
-        expr("CAST(1 + (hm div 8) % 120 AS INT)").as("duration_s"))
+        expr("CAST(1 + (hm div 8) % 120 AS INT)").as("duration_s")), chunkSecs)
+
+  /** [[audioChunks]] over already-decoded audio metadata
+    * (doc_id, content_hash, sample_rate, duration_s) — the entry a
+    * real-codec pipeline uses: decode once (e.g. [[decodeAudioBatched]]
+    * with [[WavCodec]]), chunk the result. Codec-agnostic, map-only.
+    */
+  def chunksFrom(meta: DataFrame, chunkSecs: Int): DataFrame =
+    meta
       .select(col("doc_id"), col("content_hash"), col("sample_rate"), col("duration_s"),
         explode(expr(s"sequence(0, duration_s - 1, $chunkSecs)")).as("chunk_start_s"))
       .withColumn("chunk_end_s",
@@ -194,6 +202,67 @@ object Multimodal {
     */
   def decodeBatched(spark: SparkSession, media: Dataset[MediaBatch],
       codec: Codec = StubCodec): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      codec.open()
+      it.map(m => codec.decode(m.doc_id, m.payload))
+    }
+  }
+
+  final case class DecodedAudio(
+      doc_id: Long, byte_len: Int, sample_rate: Int, n_channels: Int,
+      n_samples: Long, duration_s: Int)
+
+  /** An audio codec: payload bytes → decoded clip metadata. Same contract
+    * as [[Codec]] (Serializable, cheap construction, per-partition
+    * [[AudioCodec.open]]).
+    */
+  trait AudioCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(docId: Long, payload: Array[Byte]): DecodedAudio
+  }
+
+  /** Deterministic STUB audio codec — the same hash-derived
+    * sample_rate/duration the [[audioChunks]] oracle query declares
+    * (payload interpreted as UTF-8 text, as in [[StubCodec]]).
+    */
+  object StubAudioCodec extends AudioCodec {
+    def decode(docId: Long, payload: Array[Byte]): DecodedAudio = {
+      val h = Hashing.h60jvm(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      val rate = (h % 3).toInt match { case 0 => 16000; case 1 => 22050; case _ => 44100 }
+      val dur = (1 + (h / 8) % 120).toInt
+      DecodedAudio(docId, payload.length, rate, 1, rate.toLong * dur, dur)
+    }
+  }
+
+  /** A REAL audio codec over `javax.sound.sampled` (WAV/AIFF/AU —
+    * whatever AudioSystem providers the JVM ships): sample rate, channel
+    * count and frame count from the actual container header.
+    * `duration_s` is the ceiling of frames/rate so the last partial
+    * second still gets a chunk — a chunker that floors would silently
+    * drop the clip tail. Oracle queries keep [[StubAudioCodec]]; the
+    * real path is proven by spec on generated WAVs.
+    */
+  object WavCodec extends AudioCodec {
+    def decode(docId: Long, payload: Array[Byte]): DecodedAudio = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        require(frames >= 0, s"doc $docId: audio stream has unknown length")
+        val rate = math.round(fmt.getSampleRate).toInt
+        val dur = math.ceil(frames.toDouble / rate).toInt
+        DecodedAudio(docId, payload.length, rate, fmt.getChannels, frames, dur)
+      } finally ais.close()
+    }
+  }
+
+  /** [[decodeBatched]] for audio payloads. Defaults to the declared
+    * [[StubAudioCodec]]; pass [[WavCodec]] for real WAV decoding.
+    */
+  def decodeAudioBatched(spark: SparkSession, media: Dataset[MediaBatch],
+      codec: AudioCodec = StubAudioCodec): Dataset[DecodedAudio] = {
     import spark.implicits._
     media.mapPartitions { it =>
       codec.open()

@@ -65,6 +65,64 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(edge == ((517, 93)))
   }
 
+  private def wav(rate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    for (i <- pcm.indices) pcm(i) = ((i * 7 + 13) & 0xff).toByte // deterministic samples
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WavCodec decodes generated WAVs to their true rate/frames/duration") {
+    val clips = Seq(
+      (1L, 16000, 1, 24000),  // 1.5 s mono → duration ceils to 2
+      (2L, 44100, 2, 44100),  // exactly 1 s stereo
+      (3L, 22050, 1, 22051))  // 1 s + 1 frame → ceils to 2
+    val media = clips.map { case (id, r, c, n) => Multimodal.MediaBatch(id, wav(r, c, n)) }
+      .toDS().repartition(3)
+    val got = Multimodal.decodeAudioBatched(spark, media, Multimodal.WavCodec)
+      .collect().map(d => d.doc_id -> d).toMap
+    clips.foreach { case (id, r, c, n) =>
+      val d = got(id)
+      assert(d.sample_rate == r && d.n_channels == c && d.n_samples == n.toLong,
+        s"doc $id decoded to $d")
+      assert(d.duration_s == math.ceil(n.toDouble / r).toInt)
+      assert(d.byte_len > n) // container bytes, not a hash artifact
+    }
+  }
+
+  test("audio chunking runs unchanged on real-codec metadata") {
+    val media = Seq(Multimodal.MediaBatch(9L, wav(16000, 1, 24000))).toDS()
+    val meta = Multimodal.decodeAudioBatched(spark, media, Multimodal.WavCodec)
+      .toDF()
+      .withColumn("content_hash", md5(col("doc_id").cast("string")))
+    val chunks = Multimodal.chunksFrom(meta, 1)
+      .orderBy(col("chunk_start_s"))
+      .select("chunk_start_s", "chunk_end_s").as[(Int, Int)].collect()
+    // 1.5 s clip, 1 s chunks: [0,1) and the clipped tail [1,2)
+    assert(chunks.toSeq == Seq((0, 1), (1, 2)))
+  }
+
+  test("stub and real audio codec share the seam: same schema, different truth") {
+    val payload = "hello audio".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val stub = Multimodal.decodeAudioBatched(spark,
+      Seq(Multimodal.MediaBatch(5L, payload)).toDS()).collect().head
+    // the stub replays the audioChunks oracle derivation exactly
+    val h = graft.functions.Hashing.h60jvm("hello audio")
+    val wantRate = (h % 3).toInt match { case 0 => 16000; case 1 => 22050; case _ => 44100 }
+    assert(stub.sample_rate == wantRate)
+    assert(stub.duration_s == (1 + (h / 8) % 120).toInt)
+    assert(stub.n_samples == stub.sample_rate.toLong * stub.duration_s)
+    val real = Multimodal.decodeAudioBatched(spark,
+      Seq(Multimodal.MediaBatch(5L, wav(16000, 1, 16000))).toDS(),
+      Multimodal.WavCodec).collect().head
+    assert(stub.productArity == real.productArity) // one DecodedAudio schema
+  }
+
   test("stub and real codec share the seam: same schema, different truth") {
     val media = Seq(Multimodal.MediaBatch(7L, png(100, 40))).toDS()
     val stub = Multimodal.decodeBatched(spark, media).collect().head

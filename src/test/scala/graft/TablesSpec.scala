@@ -78,29 +78,40 @@ class TablesSpec extends SparkSpec {
     // pinned by a committed fixture. Both must yield the same contract:
     // ts as timestamp_ntz wall clock + ts_ns as wall-clock nanos.
     val fixtureDir = new java.io.File("src/test/resources").getAbsolutePath
-    // the fixture file is named events_nanos.parquet; load() expects
-    // <dir>/events.parquet, so read through a symlinked temp dir
-    val tmp = java.nio.file.Files.createTempDirectory("nanos").toFile
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$fixtureDir/events_nanos.parquet"),
-      java.nio.file.Paths.get(s"${tmp.getAbsolutePath}/events.parquet"))
-    val nanos = Tables.load(spark, tmp.getAbsolutePath, "events")
-    val micros = Tables.load(spark, "/root/testdata/sf0.001", "events")
-    for (df <- Seq(nanos, micros)) {
-      assert(df.schema("ts").dataType.typeName == "timestamp_ntz")
-      assert(df.schema("ts_ns").dataType.typeName == "long")
+    // the fixture files are named events_<enc>.parquet; load() expects
+    // <dir>/events.parquet, so read each through a copied temp dir
+    // (deleted in the finally — temp dirs must not leak per run)
+    def loadFixture(enc: String)(check: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(enc)
+      val copy = tmp.resolve("events.parquet")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$fixtureDir/events_$enc.parquet"), copy)
+        val df = Tables.load(spark, tmp.toString, "events")
+        assert(df.schema("ts").dataType.typeName == "timestamp_ntz")
+        assert(df.schema("ts_ns").dataType.typeName == "long")
+        check(df)
+      } finally {
+        java.nio.file.Files.deleteIfExists(copy)
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
-    // fixture row 1: 2024-01-05 01:00:00 wall clock
-    val r = nanos.orderBy(col("event_id")).collect()(1)
-    assert(r.getAs[java.time.LocalDateTime]("ts") ==
-      java.time.LocalDateTime.of(2024, 1, 5, 1, 0, 0))
-    assert(r.getAs[Long]("ts_ns") == 1704416400L * 1000000000L)
-    // micros path: ts_ns must be exactly the ntz wall clock in nanos too
-    val m = micros.select(col("ts"), col("ts_ns")).limit(5).collect()
-    m.foreach { row =>
-      val ldt = row.getAs[java.time.LocalDateTime]("ts")
-      assert(row.getAs[Long]("ts_ns") ==
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano)
+    loadFixture("nanos") { nanos =>
+      // fixture row 1: 2024-01-05 01:00:00 wall clock
+      val r = nanos.orderBy(col("event_id")).collect()(1)
+      assert(r.getAs[java.time.LocalDateTime]("ts") ==
+        java.time.LocalDateTime.of(2024, 1, 5, 1, 0, 0))
+      assert(r.getAs[Long]("ts_ns") == 1704416400L * 1000000000L)
+    }
+    loadFixture("micros") { micros =>
+      // ts_ns must be exactly the ntz wall clock in nanos
+      val m = micros.select(col("ts"), col("ts_ns")).collect()
+      assert(m.nonEmpty)
+      m.foreach { row =>
+        val ldt = row.getAs[java.time.LocalDateTime]("ts")
+        assert(row.getAs[Long]("ts_ns") ==
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano)
+      }
     }
   }
 
