@@ -592,31 +592,56 @@ object Similarity {
     */
   def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nCent: Int = 8,
       iters: Int = 2, nProbe: Int = 2, nSub: Int = 4, nCode: Int = 8): DataFrame = {
-    val subDim = 64 / nSub
-    def subStructs(vec: String) = expr(
-      s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS s, slice($vec, s * $subDim + 1, $subDim) AS sv))")
     val e = withNorm(emb)
     val cent = kmeansCentroids(e, nCent, iters)
-    // residuals against the FINAL centroids: double subtract rounded to
-    // float (exactly what the oracle's ::DOUBLE − ::DOUBLE → ::REAL does)
-    val resTab = assignToCentroids(e, cent)
+    val cb = ivfPqCodebook(e, cent, nSub, nCode)
+    val wide = ivfPqEncode(e, cent, cb, nSub)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    ivfPqSearch(q, cent, cb, wide, k, nProbe, nSub)
+  }
+
+  private def pqSubStructs(vec: String, nSub: Int) = {
+    val subDim = 64 / nSub
+    expr(s"transform(sequence(0, ${nSub - 1}), s -> struct(s AS s, slice($vec, s * $subDim + 1, $subDim) AS sv))")
+  }
+
+  /** Residuals of every vector against its nearest FINAL centroid:
+    * double subtract rounded to float (exactly what the oracle's
+    * ::DOUBLE − ::DOUBLE → ::REAL does).
+    */
+  private def ivfPqResiduals(e: DataFrame, cent: DataFrame): DataFrame =
+    assignToCentroids(e, cent)
       .join(broadcast(cent.select(col("cid"), col("cvec"))), "cid")
       .select(col("vec_id"), col("cid"),
         expr("zip_with(embedding, cvec, (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))")
           .as("res"))
-    // shared residual codebook: residuals of the nCode hash-min vectors,
-    // split per subspace — nCode·nSub rows, driver-localized so the many
-    // broadcast references below don't each replay the k-means chain
-    val cb = localized(resTab
+
+  /** Shared residual codebook: residuals of the nCode hash-min vectors,
+    * split per subspace — nCode·nSub rows, driver-localized so the many
+    * broadcast references don't each replay the k-means chain.
+    */
+  private[graft] def ivfPqCodebook(e: DataFrame, cent: DataFrame,
+      nSub: Int, nCode: Int): DataFrame =
+    localized(ivfPqResiduals(e, cent)
       .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
       .orderBy(col("hv"), col("vec_id")).limit(nCode)
       .withColumn("code", row_number().over(Window.orderBy(col("hv"), col("vec_id"))))
-      .select(col("code"), explode(subStructs("res")).as("x"))
+      .select(col("code"), explode(pqSubStructs("res", nSub)).as("x"))
       .select(col("x.s").as("s"), col("code"), col("x.sv").as("cwv"))
       .withColumn("cc", V.dotF(col("cwv"), col("cwv"))))
-    // encode: nearest codeword per (vector, subspace) by residual L2
-    val subv = resTab
-      .select(col("vec_id"), col("cid"), explode(subStructs("res")).as("x"))
+
+  /** Encode vectors into the compressed code table
+    * (vec_id, cid, c0..c{nSub-1}, rnrm): nearest codeword per (vector,
+    * subspace) by residual L2, plus the QUERY-INDEPENDENT reconstructed
+    * norm — computed here, at index-build time, never at search. Works
+    * for the initial corpus AND for later appends (same centroids +
+    * codebook, no retraining).
+    */
+  private[graft] def ivfPqEncode(e: DataFrame, cent: DataFrame, cb: DataFrame,
+      nSub: Int): DataFrame = {
+    val subv = ivfPqResiduals(e, cent)
+      .select(col("vec_id"), col("cid"), explode(pqSubStructs("res", nSub)).as("x"))
       .select(col("vec_id"), col("cid"), col("x.s").as("s"), col("x.sv").as("sv"))
       .withColumn("vv", V.dotF(col("sv"), col("sv")))
     val wenc = Window.partitionBy(col("vec_id"), col("s")).orderBy(
@@ -627,7 +652,7 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("s"), col("code"), col("cc"))
     // centroid-subvector × codeword dots (nCent·nSub·nCode rows) and
     // per-cell ⟨c,c⟩ — the query-independent pieces of the recon norm
-    val ccx = cent.select(col("cid"), explode(subStructs("cvec")).as("x"))
+    val ccx = cent.select(col("cid"), explode(pqSubStructs("cvec", nSub)).as("x"))
       .select(col("cid"), col("x.s").as("s"), col("x.sv").as("csv"))
       .join(cb.select(col("s"), col("code"), col("cwv")), "s")
       .select(col("cid"), col("s"), col("code"), V.dotF(col("csv"), col("cwv")).as("cx"))
@@ -636,15 +661,24 @@ object Similarity {
       max(when(col("s") === s, col("code"))).as(s"c$s"),
       max(when(col("s") === s, col("cc"))).as(s"cc$s"),
       max(when(col("s") === s, col("cx"))).as(s"cx$s")))
-    val wide = codes.join(broadcast(ccx), Seq("cid", "s", "code"))
+    codes.join(broadcast(ccx), Seq("cid", "s", "code"))
       .groupBy(col("vec_id"), col("cid")).agg(aggs.head, aggs.tail: _*)
       .join(broadcast(cnorm), "cid")
       .withColumn("rnrm", sqrt(col("ccn")
         + lit(2.0) * (0 until nSub).map(s => col(s"cx$s")).reduce(_ + _)
         + (0 until nSub).map(s => col(s"cc$s")).reduce(_ + _)))
-    // search: probe the nProbe nearest cells, keep ⟨q, c⟩ per probe
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      .select(col("vec_id") +: col("cid") +:
+        (0 until nSub).map(s => col(s"c$s")) :+ col("rnrm"): _*)
+  }
+
+  /** ADC search against an IVF-PQ index (cent + cb + encoded `wide`
+    * table): probe the nProbe nearest cells per query, score candidates
+    * via the broadcast ADC lookup tables only — the code table is the
+    * ONLY corpus-sized input, and it never shuffles (broadcast-joined on
+    * its cell and code columns).
+    */
+  private[graft] def ivfPqSearch(q: DataFrame, cent: DataFrame, cb: DataFrame,
+      wide: DataFrame, k: Int, nProbe: Int, nSub: Int): DataFrame = {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy((V.dotF(col("qv"), col("cvec")) / (col("qnrm") * col("cnrm"))).desc, col("cid"))
     val probes = broadcast(q).crossJoin(broadcast(cent))
@@ -653,7 +687,7 @@ object Similarity {
       .select(col("query_id"), col("qnrm"), col("cid"),
         V.dotF(col("qv"), col("cvec")).as("qcent"))
     val adc = q
-      .select(col("query_id"), explode(subStructs("qv")).as("x"))
+      .select(col("query_id"), explode(pqSubStructs("qv", nSub)).as("x"))
       .select(col("query_id"), col("x.s").as("s"), col("x.sv").as("qs"))
       .join(cb.select(col("s"), col("code"), col("cwv")), "s")
       .select(col("query_id"), col("s"), col("code"),
