@@ -128,7 +128,8 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 10, 5)),
-    "ann_kmeans_topk" -> ((s, dir) => Similarity.kmeansIvfTopK(t(s, dir, "embeddings"), 10, 5)),
+    "ann_kmeans_topk" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
+      Similarity.kmeansIvfTopKFrom(t(s, dir, "embeddings"), c, a, 10, 5) }),
     "ann_kmeanspp_topk" -> ((s, dir) => Similarity.kmeansPpIvfTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(t(s, dir, "embeddings"), 10, 5)),
@@ -177,7 +178,7 @@ object SparkEntry {
     "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),
     "mm_image_tiles" -> ((s, dir) => Multimodal.imageTiles(t(s, dir, "documents"), 64)),
     "dedup_minhash_estimate" -> ((s, dir) =>
-      Dedup.minhashEstimate(t(s, dir, "documents"), 0.5)),
+      Dedup.minhashEstimateOf(Dedup.sharedSigs(s, dir), 0.5)),
     "corpus_length_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(t(s, dir, "documents"))),
     "contamination_bloom" -> ((s, dir) =>
@@ -215,15 +216,17 @@ object SparkEntry {
     // oracle. 2 bands x 4 sign bits: 16 buckets per band — selective
     // enough that a fat cluster's candidates shrink ~8x vs all-pairs
     // (4 bands x 2 bits multiplies the 4-way splits right back)
-    "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), 0.4, clusterCap = 64,
-        bands = 2, rowsPerBand = 4)),
+    "dedup_semantic" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
+      Similarity.semanticDedupFrom(t(s, dir, "embeddings"), c, a, 0.4, clusterCap = 64,
+        bands = 2, rowsPerBand = 4) }),
     "ts_slo_availability" -> ((s, dir) => Tsdb.sloAvailability(t(s, dir, "events"), 0.25)),
-    "dedup_edit_distance" -> ((s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"), 0.5)),
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairsOf(t(s, dir, "documents"), Dedup.sharedSigs(s, dir), 0.5)),
     "ts_type_overlap" -> ((s, dir) => Tsdb.typeOverlap(t(s, dir, "events"))),
     "q_revenue_deciles" -> (Analytics.revenueDeciles _),
     "ts_forecast_eval" -> ((s, dir) => Tsdb.forecastEval(Tsdb.points1(t(s, dir, "events")), 0.3)),
-    "ann_centroid_stats" -> ((s, dir) => Similarity.centroidStats(t(s, dir, "embeddings"))),
+    "ann_centroid_stats" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
+      Similarity.centroidStatsFrom(t(s, dir, "embeddings"), c, a) }),
     "ts_ohlc" -> ((s, dir) => Tsdb.ohlc(Tsdb.points1(t(s, dir, "events")), 6)),
     "q_pareto_customers" -> ((s, dir) => Analytics.paretoCustomers(s, dir)),
     "ts_topk_approx" -> ((s, dir) => Tsdb.topkApprox(t(s, dir, "events"))),
@@ -256,11 +259,12 @@ object SparkEntry {
       Similarity.recallEvalIvf(t(s, dir, "embeddings"), 10, 5)),
     "ann_recall_pq" -> ((s, dir) =>
       Similarity.recallEvalPq(t(s, dir, "embeddings"), 10, 5)),
-    "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(t(s, dir, "embeddings"), 10, 5)),
+    "ann_ivfpq_topk" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
+      Similarity.ivfPqTopKFrom(t(s, dir, "embeddings"), c, a, 10, 5) }),
     "contamination_semantic" -> ((s, dir) =>
       Similarity.contaminationSemantic(t(s, dir, "embeddings"), col("vec_id") < 50, 0.4)),
-    "ann_recall_ivfpq" -> ((s, dir) =>
-      Similarity.recallEvalIvfPq(t(s, dir, "embeddings"), 10, 5)),
+    "ann_recall_ivfpq" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
+      Similarity.recallEvalIvfPqFrom(t(s, dir, "embeddings"), c, a, 10, 5) }),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -42,10 +42,11 @@ final class AnnIndexStore(spark: SparkSession, path: String) {
       nSub: Int = 4, nCode: Int = 8): Unit = {
     val e = Similarity.withNorm(emb)
     val cent = Similarity.kmeansCentroids(e, nCent, iters)
-    val cb = Similarity.ivfPqCodebook(e, cent, nSub, nCode)
+    val resTab = Similarity.ivfPqResiduals(e, cent)
+    val cb = Similarity.ivfPqCodebook(resTab, nSub, nCode)
     cent.write.mode("overwrite").parquet(cellsDir)
     cb.write.mode("overwrite").parquet(codebookDir)
-    Similarity.ivfPqEncode(e, cent, cb, nSub).write.mode("overwrite").parquet(codesDir)
+    Similarity.ivfPqEncode(resTab, cent, cb, nSub).write.mode("overwrite").parquet(codesDir)
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(path, AnnIndexStore.ParamFile),
       s"""{"nSub": $nSub, "nCent": $nCent, "nCode": $nCode}""")
@@ -73,9 +74,13 @@ final class AnnIndexStore(spark: SparkSession, path: String) {
     * shuffles against the standing corpus; `codes/` grows by exactly the
     * batch's rows.
     */
-  def append(emb: DataFrame): Unit =
-    Similarity.ivfPqEncode(Similarity.withNorm(emb), cells, codebook, params.nSub)
+  def append(emb: DataFrame): Unit = {
+    val cent = cells
+    Similarity.ivfPqEncode(
+      Similarity.ivfPqResiduals(Similarity.withNorm(emb), cent),
+      cent, codebook, params.nSub)
       .write.mode("append").parquet(codesDir)
+  }
 
   /** ADC top-k over the persisted index. `queries` is (query_id, qv);
     * raw corpus vectors are NEVER read — only the compressed code table

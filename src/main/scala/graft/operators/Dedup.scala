@@ -279,6 +279,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  private val sharedSigsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The MinHash signature table over `dir`'s documents (doc_id +
+    * NumPerms min-hash columns), built ONCE per (session, dir) and
+    * frozen with an eager localCheckpoint — the sketch store a real
+    * pipeline materializes at ingest (LshIndexStore persists the band
+    * projection of exactly this table). Sketch-only consumers
+    * (minhash_estimate) and candidate-only consumers (edit_distance)
+    * read it without ever re-shingling the corpus.
+    */
+  def sharedSigs(s: SparkSession, dir: String): DataFrame =
+    sharedSigsCache.getOrElseUpdate((s, dir),
+      minhashSignatures(graft.core.Tables.load(s, dir, "documents"))
+        .localCheckpoint())
+
   /** Floor threshold of the shared pair view: the lowest any registered
     * consumer needs (the threshold-curve calibration floor).
     */
@@ -348,8 +364,15 @@ object Dedup {
     * why it only ever runs AFTER candidate blocking; texts join in on
     * the already-distinct pair table.
     */
-  def editDistancePairs(docs: DataFrame, minSim: Double): DataFrame = {
-    val cand = candFromBands(lshBands(minhashSignatures(docs)))
+  def editDistancePairs(docs: DataFrame, minSim: Double): DataFrame =
+    editDistancePairsOf(docs, minhashSignatures(docs), minSim)
+
+  /** [[editDistancePairs]] over an already-built signature table
+    * (e.g. [[sharedSigs]]) — candidates from the persisted sketches,
+    * corpus text touched only for the candidate fetch.
+    */
+  def editDistancePairsOf(docs: DataFrame, sigs: DataFrame, minSim: Double): DataFrame = {
+    val cand = candFromBands(lshBands(sigs))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
@@ -370,8 +393,15 @@ object Dedup {
     * E[matches/16] = J; at 16 perms σ ≈ 0.12, good enough for triage
     * tiers that route only borderline pairs to exact verification.
     */
-  def minhashEstimate(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+  def minhashEstimate(docs: DataFrame, threshold: Double): DataFrame =
+    minhashEstimateOf(
+      minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK), threshold)
+
+  /** [[minhashEstimate]] over an already-built signature table
+    * (e.g. [[sharedSigs]]) — the pure sketch-store read path: neither
+    * text nor shingles are touched at all.
+    */
+  def minhashEstimateOf(sig: DataFrame, threshold: Double): DataFrame = {
     val cand = candFromBands(lshBands(sig))
     val a = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumPerms).map(j => col(s"mh$j").as(s"a$j")): _*)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -197,6 +197,14 @@ object Similarity {
     centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
   }
 
+  /** [[kmeansIvfTopK]] over an already-trained quantizer (centroids +
+    * narrow assignment, e.g. [[sharedKmeans]]) — search only, no
+    * training pass.
+    */
+  def kmeansIvfTopKFrom(emb: DataFrame, cent: DataFrame, asn: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int = 2): DataFrame =
+    centroidProbeSearch(withNorm(emb), cent, asn, nQueries, k, nProbe)
+
   /** Hash-seeded Lloyd training loop shared by [[kmeansIvfTopK]] and
     * [[semanticDedup]]: the nCent vectors with the smallest md5-hash of
     * their id seed the centroids, refined by `iters` assign/update
@@ -215,6 +223,30 @@ object Similarity {
   private def localized(c: DataFrame): DataFrame =
     c.sparkSession.createDataFrame(
       java.util.Arrays.asList(c.collect(): _*), c.schema)
+
+  private val kmeansViewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Shared k-means coarse quantizer over the `embeddings` table at the
+    * default shape (8 centroids, 2 Lloyd iterations): (centroids, narrow
+    * final assignment), trained ONCE per (session, dir) and frozen — the
+    * centroids are driver-local rows already, the assignment is an eager
+    * localCheckpoint. Five registered queries train this IDENTICAL model
+    * (ann_kmeans_topk, ann_centroid_stats, dedup_semantic,
+    * ann_ivfpq_topk, ann_recall_ivfpq); at 100 TB the quantizer is
+    * trained once per ingest and every consumer reads it — the
+    * [[graft.operators.Dedup.sharedPairs]] precedent for the vector
+    * side. Values are unchanged: training is deterministic (fixed-point
+    * integer means), so each query's oracle replay still matches.
+    */
+  def sharedKmeans(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmeansViewCache.getOrElseUpdate((s, dir), {
+      val e = withNorm(graft.core.Tables.load(s, dir, "embeddings"))
+      val cent = kmeansCentroids(e, 8, 2)
+      val asn = assignToCentroids(e, cent)
+        .select(col("vec_id"), col("cid")).localCheckpoint()
+      (cent, asn)
+    })
 
   private[graft] def kmeansCentroids(e: DataFrame, nCent: Int, iters: Int): DataFrame = {
     // TakeOrdered(nCent) — no global sort; the window numbering only the
@@ -247,7 +279,6 @@ object Similarity {
   def semanticDedup(emb: DataFrame, threshold: Double, nCent: Int = 8,
       iters: Int = 2, clusterCap: Int = 5000,
       bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    require(bands * rowsPerBand <= NumPlanes, s"needs <= $NumPlanes planes")
     val e = withNorm(emb)
     val cent = kmeansCentroids(e, nCent, iters)
     // narrow (vec_id, cid) assignment, checkpointed: both the size table
@@ -256,6 +287,18 @@ object Similarity {
     // table's broadcast subtree re-computed it in full)
     val asg = assignToCentroids(e, cent)
       .select(col("vec_id"), col("cid")).localCheckpoint()
+    semanticDedupFrom(emb, cent, asg, threshold, clusterCap, bands, rowsPerBand)
+  }
+
+  /** [[semanticDedup]] over an already-trained quantizer — clustering
+    * is the blocking key, so the pair search reuses [[sharedKmeans]]'
+    * assignment directly.
+    */
+  def semanticDedupFrom(emb: DataFrame, cent: DataFrame, asg: DataFrame,
+      threshold: Double, clusterCap: Int = 5000,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= NumPlanes, s"needs <= $NumPlanes planes")
+    val e = withNorm(emb)
     // nCent rows — driver-localized like the centroids themselves
     val sizes = localized(asg.groupBy(col("cid")).agg(count(lit(1)).as("csize")))
     val keyed = asg.join(broadcast(sizes), "cid")
@@ -594,8 +637,24 @@ object Similarity {
       iters: Int = 2, nProbe: Int = 2, nSub: Int = 4, nCode: Int = 8): DataFrame = {
     val e = withNorm(emb)
     val cent = kmeansCentroids(e, nCent, iters)
-    val cb = ivfPqCodebook(e, cent, nSub, nCode)
-    val wide = ivfPqEncode(e, cent, cb, nSub)
+    ivfPqTopKWith(e, cent, ivfPqResiduals(e, cent), nQueries, k, nProbe, nSub, nCode)
+  }
+
+  /** [[ivfPqTopK]] over an already-trained coarse quantizer (narrow
+    * assignment + centroids, e.g. [[sharedKmeans]]) — residual encoding
+    * and search only, no Lloyd training pass.
+    */
+  def ivfPqTopKFrom(emb: DataFrame, cent: DataFrame, asn: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int = 2, nSub: Int = 4, nCode: Int = 8): DataFrame = {
+    val e = withNorm(emb)
+    ivfPqTopKWith(e, cent, ivfPqResidualsFrom(emb, cent, asn),
+      nQueries, k, nProbe, nSub, nCode)
+  }
+
+  private def ivfPqTopKWith(e: DataFrame, cent: DataFrame, resTab: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int, nSub: Int, nCode: Int): DataFrame = {
+    val cb = ivfPqCodebook(resTab, nSub, nCode)
+    val wide = ivfPqEncode(resTab, cent, cb, nSub)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
     ivfPqSearch(q, cent, cb, wide, k, nProbe, nSub)
@@ -610,8 +669,20 @@ object Similarity {
     * double subtract rounded to float (exactly what the oracle's
     * ::DOUBLE − ::DOUBLE → ::REAL does).
     */
-  private def ivfPqResiduals(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def ivfPqResiduals(e: DataFrame, cent: DataFrame): DataFrame =
     assignToCentroids(e, cent)
+      .join(broadcast(cent.select(col("cid"), col("cvec"))), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(embedding, cvec, (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))")
+          .as("res"))
+
+  /** [[ivfPqResiduals]] when the assignment is already known (narrow
+    * (vec_id, cid), e.g. [[sharedKmeans]]): joins vectors back by id
+    * instead of re-running nearest-centroid.
+    */
+  private def ivfPqResidualsFrom(emb: DataFrame, cent: DataFrame,
+      asn: DataFrame): DataFrame =
+    asn.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(cent.select(col("cid"), col("cvec"))), "cid")
       .select(col("vec_id"), col("cid"),
         expr("zip_with(embedding, cvec, (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))")
@@ -621,9 +692,9 @@ object Similarity {
     * split per subspace — nCode·nSub rows, driver-localized so the many
     * broadcast references don't each replay the k-means chain.
     */
-  private[graft] def ivfPqCodebook(e: DataFrame, cent: DataFrame,
+  private[graft] def ivfPqCodebook(resTab: DataFrame,
       nSub: Int, nCode: Int): DataFrame =
-    localized(ivfPqResiduals(e, cent)
+    localized(resTab
       .withColumn("hv", Hashing.h60(col("vec_id").cast("string")))
       .orderBy(col("hv"), col("vec_id")).limit(nCode)
       .withColumn("code", row_number().over(Window.orderBy(col("hv"), col("vec_id"))))
@@ -638,9 +709,9 @@ object Similarity {
     * for the initial corpus AND for later appends (same centroids +
     * codebook, no retraining).
     */
-  private[graft] def ivfPqEncode(e: DataFrame, cent: DataFrame, cb: DataFrame,
+  private[graft] def ivfPqEncode(resTab: DataFrame, cent: DataFrame, cb: DataFrame,
       nSub: Int): DataFrame = {
-    val subv = ivfPqResiduals(e, cent)
+    val subv = resTab
       .select(col("vec_id"), col("cid"), explode(pqSubStructs("res", nSub)).as("x"))
       .select(col("vec_id"), col("cid"), col("x.s").as("s"), col("x.sv").as("sv"))
       .withColumn("vv", V.dotF(col("sv"), col("sv")))
@@ -884,8 +955,16 @@ object Similarity {
   def centroidStats(emb: DataFrame, nCent: Int = 8, iters: Int = 2): DataFrame = {
     val e = withNorm(emb)
     val cent = kmeansCentroids(e, nCent, iters)
-    assignToCentroids(e, cent)
-      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+    centroidStatsFrom(emb, cent,
+      assignToCentroids(e, cent).select(col("vec_id"), col("cid")))
+  }
+
+  /** [[centroidStats]] over an already-trained quantizer (narrow
+    * assignment + centroids, e.g. [[sharedKmeans]]).
+    */
+  def centroidStatsFrom(emb: DataFrame, cent: DataFrame, asn: DataFrame): DataFrame =
+    asn
+      .join(withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
       .join(broadcast(cent), "cid")
       .select(col("cid").cast("long").as("cid"),
         (V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("cos"))
@@ -893,7 +972,6 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         Hashing.rd4(avg(col("cos"))).as("avg_cos"),
         Hashing.rd4(min(col("cos"))).as("min_cos"))
-  }
 
   /** Multi-probe LSH ANN: each query probes its home bucket PLUS every
     * bucket at Hamming distance 1 in signature space (one flipped
@@ -958,6 +1036,11 @@ object Similarity {
     */
   def recallEvalIvfPq(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
     recallEvalOf(emb, nQueries, k, (e, n, kk) => ivfPqTopK(e, n, kk))
+
+  /** [[recallEvalIvfPq]] over an already-trained coarse quantizer. */
+  def recallEvalIvfPqFrom(emb: DataFrame, cent: DataFrame, asn: DataFrame,
+      nQueries: Int, k: Int): DataFrame =
+    recallEvalOf(emb, nQueries, k, (e, n, kk) => ivfPqTopKFrom(e, cent, asn, n, kk))
 
   private def recallEvalOf(emb: DataFrame, nQueries: Int, k: Int,
       ann: (DataFrame, Int, Int) => DataFrame): DataFrame = {

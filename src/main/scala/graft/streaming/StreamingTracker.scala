@@ -171,6 +171,53 @@ object StreamingTracker {
       }
       .start()
 
+  /** Streaming ANN ingestion — arriving embedding micro-batches encoded
+    * against the PERSISTED IVF-PQ quantizers and appended to the store
+    * (the live twin of AnnIndexStore.append; no retraining, no touch of
+    * already-indexed rows). Batch-id markers make the append idempotent
+    * under at-least-once redelivery, exactly like
+    * [[incrementalDedupStream]]'s commit guard. Searches against the
+    * store see a batch as soon as its parquet lands.
+    */
+  def annIngestStream(vectors: DataFrame, storePath: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val marker = Paths.get(storePath, "_commits", s"ann_$batchId")
+        if (!Files.exists(marker)) {
+          new graft.operators.AnnIndexStore(batch.sparkSession, storePath)
+            .append(batch)
+          Files.createDirectories(marker.getParent)
+          Files.createFile(marker); ()
+        }
+      }
+      .start()
+
+  /** Streaming semantic-contamination gate — each micro-batch of train
+    * embeddings is scored against a STATIC held-out test table via the
+    * batch contaminationSemantic operator (union with the broadcast test
+    * side, LSH-band blocked, cos ≥ threshold), flagged rows appended to
+    * `outDir`. The batch operator is engine-verified once by its oracle;
+    * the stream reuses it unchanged — the same reuse contract as
+    * streaming_quality_gate.
+    */
+  def contaminationGateStream(vectors: DataFrame, testSet: DataFrame,
+      outDir: String, checkpointDir: String, threshold: Double): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.contaminationSemantic(
+          batch.withColumn("__t", lit(false))
+            .unionByName(testSet.withColumn("__t", lit(true))),
+          col("__t"), threshold)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming sessionization — the live twin of Tsdb.sessionize, using
     * Spark's native dynamic-gap `session_window`: a session closes (and
     * its single row emits) once the watermark passes gap beyond its last

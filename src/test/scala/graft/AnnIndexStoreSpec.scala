@@ -89,6 +89,69 @@ class AnnIndexStoreSpec extends SparkSpec {
     rmrf(dir)
   }
 
+  test("streaming twin: micro-batches appended to the persisted index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val store = new AnnIndexStore(spark, dir.toString)
+    store.build(vecsOf(corpusRows))
+    val before = store.codes.count()
+    val in = MemoryStream[(Long, Long)]
+    val vectors = in.toDF().toDF("vec_id", "seed")
+      .withColumn("embedding", expr(
+        """transform(sequence(1, 64), j -> CAST(
+             (pmod(xxhash64(pmod(seed, 8) + 1000003, j), 2000) - 1000) / 1000.0 +
+             (pmod(xxhash64(seed, j + 100), 2000) - 1000) / 1000.0 * 0.15 AS FLOAT))"""))
+      .select("vec_id", "embedding")
+    val q = graft.streaming.StreamingTracker.annIngestStream(
+      vectors, dir.toString, s"$dir/ckpt")
+    try {
+      in.addData((1007L, 7L)) // copy of corpus vec 7
+      q.processAllAvailable()
+      in.addData((1042L, 42L)) // copy of corpus vec 42
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(store.codes.count() == before + 2, "stream appends missing")
+    // streamed copies must encode exactly like their indexed originals
+    val rows = store.codes
+      .filter(col("vec_id").isin(7L, 1007L, 42L, 1042L)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cid"), r.getAs[Int]("c0"), r.getAs[Int]("c1"),
+          r.getAs[Int]("c2"), r.getAs[Int]("c3"), r.getAs[Double]("rnrm"))).toMap
+    assert(rows(1007L) == rows(7L) && rows(1042L) == rows(42L),
+      "streamed batch encoded against different quantizers")
+    rmrf(dir)
+  }
+
+  test("streaming contamination gate flags train copies of test vectors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val testSet = vecsOf(Seq((9001L, 5L))) // held-out eval vector
+    val in = MemoryStream[(Long, Long)]
+    val vectors = in.toDF().toDF("vec_id", "seed")
+      .withColumn("embedding", expr(
+        """transform(sequence(1, 64), j -> CAST(
+             (pmod(xxhash64(pmod(seed, 8) + 1000003, j), 2000) - 1000) / 1000.0 +
+             (pmod(xxhash64(seed, j + 100), 2000) - 1000) / 1000.0 * 0.15 AS FLOAT))"""))
+      .select("vec_id", "embedding")
+    val q = graft.streaming.StreamingTracker.contaminationGateStream(
+      vectors, testSet, s"$dir/flagged", s"$dir/ckpt", 0.9)
+    try {
+      in.addData((2005L, 5L), (2100L, 100L)) // leaked copy + novel doc
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.read.parquet(s"$dir/flagged").collect()
+    assert(flagged.exists(r => r.getAs[Long]("train_id") == 2005L &&
+      r.getAs[Long]("test_id") == 9001L && r.getAs[Double]("cos_sim") == 1.0),
+      "leaked train copy of the test vector not flagged")
+    assert(!flagged.exists(_.getAs[Long]("train_id") == 2100L),
+      "novel train doc wrongly flagged")
+    rmrf(dir)
+  }
+
   test("params are validated: a directory without params.json is refused") {
     val dir = tmpDir()
     val store = new AnnIndexStore(spark, dir.toString)

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+import graft.core.Tables
+
+/** The shared k-means quantizer view: one trained (centroids,
+  * assignment) pair feeding the five k-means-family queries, with
+  * results identical to the cold per-query training runs.
+  */
+class AnnViewSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.except(b).isEmpty && b.except(a).isEmpty
+
+  test("view-based k-means family equals the cold-start computations") {
+    val (cent, asn) = Similarity.sharedKmeans(spark, dir)
+    assert(sameRows(Similarity.kmeansIvfTopKFrom(emb, cent, asn, 10, 5),
+      Similarity.kmeansIvfTopK(emb, 10, 5)),
+      "kmeansIvfTopKFrom != kmeansIvfTopK")
+    assert(sameRows(Similarity.centroidStatsFrom(emb, cent, asn),
+      Similarity.centroidStats(emb)),
+      "centroidStatsFrom != centroidStats")
+    assert(sameRows(
+      Similarity.semanticDedupFrom(emb, cent, asn, 0.4, clusterCap = 64,
+        bands = 2, rowsPerBand = 4),
+      Similarity.semanticDedup(emb, 0.4, clusterCap = 64,
+        bands = 2, rowsPerBand = 4)),
+      "semanticDedupFrom != semanticDedup")
+    assert(sameRows(Similarity.ivfPqTopKFrom(emb, cent, asn, 10, 5),
+      Similarity.ivfPqTopK(emb, 10, 5)),
+      "ivfPqTopKFrom != ivfPqTopK")
+    assert(sameRows(Similarity.recallEvalIvfPqFrom(emb, cent, asn, 10, 5),
+      Similarity.recallEvalIvfPq(emb, 10, 5)),
+      "recallEvalIvfPqFrom != recallEvalIvfPq")
+  }
+
+  test("the quantizer is trained ONCE per (session, dir)") {
+    val (c1, a1) = Similarity.sharedKmeans(spark, dir)
+    val (c2, a2) = Similarity.sharedKmeans(spark, dir)
+    assert((c1 eq c2) && (a1 eq a2), "sharedKmeans retrained instead of memoizing")
+    // the assignment is frozen state, not a lazy plan over embeddings
+    assert(a1.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+  }
+}

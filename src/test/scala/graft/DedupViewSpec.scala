@@ -37,6 +37,20 @@ class DedupViewSpec extends SparkSpec {
       Curation.curationFunnel(docs, 0.55, "en", 0.5)))
   }
 
+  test("sig-view consumers equal the cold-start computations") {
+    val sigs = Dedup.sharedSigs(spark, dir)
+    assert(sameRows(Dedup.minhashEstimateOf(sigs, 0.5),
+      Dedup.minhashEstimate(docs, 0.5)),
+      "minhashEstimateOf(sharedSigs) != minhashEstimate(docs)")
+    assert(sameRows(Dedup.editDistancePairsOf(docs, sigs, 0.5),
+      Dedup.editDistancePairs(docs, 0.5)),
+      "editDistancePairsOf(sharedSigs) != editDistancePairs(docs)")
+    // memoized + frozen: the sketch store is built once and reads as state
+    assert(Dedup.sharedSigs(spark, dir) eq sigs)
+    assert(sigs.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+  }
+
   test("the registered queries consume ONE shared build per (session, dir)") {
     // the view is memoized: the second call must return the same frozen
     // LogicalRDD instance, not rebuild the LSH chain
