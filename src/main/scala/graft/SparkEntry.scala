@@ -110,7 +110,8 @@ object SparkEntry {
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), 0.6)),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardOf(Dedup.sharedShingles(s, dir), 0.6)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5)),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
@@ -123,8 +124,8 @@ object SparkEntry {
     "dedup_cluster_survivors" -> ((s, dir) =>
       Dedup.clusterSurvivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(t(s, dir, "documents"))),
-    "contamination_check" -> ((s, dir) =>
-      Dedup.contamination(t(s, dir, "documents"), col("doc_id") < 50, 8)),
+    "contamination_check" -> ((s, dir) => Dedup.contaminationOf(
+      t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), col("doc_id") < 50)),
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 10, 5)),
@@ -181,13 +182,14 @@ object SparkEntry {
       Dedup.minhashEstimateOf(Dedup.sharedSigs(s, dir), 0.5)),
     "corpus_length_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(t(s, dir, "documents"))),
-    "contamination_bloom" -> ((s, dir) =>
-      Dedup.contaminationBloom(t(s, dir, "documents"), col("doc_id") < 50, 8)),
+    "contamination_bloom" -> ((s, dir) => Dedup.contaminationBloomOf(
+      t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), col("doc_id") < 50)),
     "ts_ewma" -> ((s, dir) => Tsdb.ewma(Tsdb.points1(t(s, dir, "events")), 0.3)),
     "ts_rollup_audit" -> ((s, dir) => Tsdb.rollupAudit(t(s, dir, "events"))),
     "sample_topn_per_stratum" -> ((s, dir) =>
       TextAnalysis.sampleTopNPerStratum(t(s, dir, "documents"), col("lang"), 10, "s1")),
-    "dedup_containment" -> ((s, dir) => Dedup.containment(t(s, dir, "documents"), 0.6)),
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentOf(Dedup.sharedShingles(s, dir, 8), 0.6)),
     "text_bow_embedding" -> ((s, dir) => TextAnalysis.bowEmbedding(t(s, dir, "documents"))),
     "ann_filtered_topk" -> ((s, dir) =>
       Similarity.filteredTopK(t(s, dir, "embeddings"), 10, 5, col("label") === 3)),

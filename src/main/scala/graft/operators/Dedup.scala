@@ -205,9 +205,16 @@ object Dedup {
     * join). `maxDf` caps shingle document frequency before the self-join —
     * the skew guard that keeps hot buckets bounded at corpus scale.
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 50L): DataFrame = {
-    val sh = capShingles(shingles(docs), maxDf).persist(StorageLevel.MEMORY_AND_DISK)
-    pairJaccard(sh, None)
+  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 50L): DataFrame =
+    ngramJaccardOf(shingles(docs), threshold, maxDf)
+
+  /** [[ngramJaccard]] over an already-built shingle table
+    * (e.g. [[sharedShingles]]).
+    */
+  def ngramJaccardOf(sh: DataFrame, threshold: Double,
+      maxDf: Long = 50L): DataFrame = {
+    val capped = capShingles(sh, maxDf).persist(StorageLevel.MEMORY_AND_DISK)
+    pairJaccard(capped, None)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -222,8 +229,15 @@ object Dedup {
     * df cap bounds hot buckets, no all-pairs stage anywhere.
     */
   def containment(docs: DataFrame, threshold: Double, n: Int = 8,
+      maxDf: Long = 50L): DataFrame =
+    containmentOf(shingles(docs, n), threshold, maxDf)
+
+  /** [[containment]] over an already-built shingle table
+    * (e.g. [[sharedShingles]] at n=8).
+    */
+  def containmentOf(shin: DataFrame, threshold: Double,
       maxDf: Long = 50L): DataFrame = {
-    val sh = capShingles(shingles(docs, n), maxDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = capShingles(shin, maxDf).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -279,6 +293,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  private val sharedShinglesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  /** The distinct n-gram shingle table over `dir`'s documents, tokenized
+    * ONCE per (session, dir, n) and frozen — the upstream half of every
+    * shingle consumer (Jaccard, containment, contamination, the MinHash
+    * sketch build). The regex tokenize + explode is the scan-stage cost
+    * every one of those queries was paying separately; a real pipeline
+    * materializes the shingle table at ingest and every report reads
+    * it. Df-capping stays per-consumer (it is a cheap aggregate over
+    * this table, and consumers differ in whether they cap).
+    */
+  def sharedShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    sharedShinglesCache.getOrElseUpdate((s, dir, n),
+      shingles(graft.core.Tables.load(s, dir, "documents"), n).localCheckpoint())
+
   private val sharedSigsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -292,8 +322,7 @@ object Dedup {
     */
   def sharedSigs(s: SparkSession, dir: String): DataFrame =
     sharedSigsCache.getOrElseUpdate((s, dir),
-      minhashSignatures(graft.core.Tables.load(s, dir, "documents"))
-        .localCheckpoint())
+      minhashSignaturesFrom(sharedShingles(s, dir)).localCheckpoint())
 
   /** Floor threshold of the shared pair view: the lowest any registered
     * consumer needs (the threshold-curve calibration floor).
@@ -424,8 +453,15 @@ object Dedup {
     * overlaps, never O(train × test).
     */
   def contamination(docs: DataFrame, isTest: Column, n: Int = 8,
+      maxDf: Long = 50L): DataFrame =
+    contaminationOf(docs, shingles(docs, n), isTest, maxDf)
+
+  /** [[contamination]] over an already-built shingle table
+    * (e.g. [[sharedShingles]] at n=8).
+    */
+  def contaminationOf(docs: DataFrame, shin: DataFrame, isTest: Column,
       maxDf: Long = 50L): DataFrame = {
-    val sh = capShingles(shingles(docs, n), maxDf)
+    val sh = capShingles(shin, maxDf)
       .join(docs.select(col("doc_id"), isTest.as("__is_test")), "doc_id")
     val test = sh.filter(col("__is_test")).select(col("doc_id").as("test_id"), col("shingle"))
     val train = sh.filter(!col("__is_test")).select(col("doc_id").as("train_id"), col("shingle"))
@@ -447,9 +483,17 @@ object Dedup {
     * [[contamination]] for verification.
     */
   def contaminationBloom(docs: DataFrame, isTest: Column, n: Int = 8,
+      mBits: Long = 65536L): DataFrame =
+    contaminationBloomOf(docs, shingles(docs, n), isTest, mBits)
+
+  /** [[contaminationBloom]] over an already-built shingle table
+    * (e.g. [[sharedShingles]] at n=8; uncapped — the Bloom filter wants
+    * every test gram).
+    */
+  def contaminationBloomOf(docs: DataFrame, shin: DataFrame, isTest: Column,
       mBits: Long = 65536L): DataFrame = {
     val words = mBits / 64
-    val sh = shingles(docs, n)
+    val sh = shin
       .join(docs.select(col("doc_id"), isTest.as("__is_test")), "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val testPos = sh.filter(col("__is_test"))

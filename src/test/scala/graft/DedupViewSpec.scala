@@ -37,6 +37,25 @@ class DedupViewSpec extends SparkSpec {
       Curation.curationFunnel(docs, 0.55, "en", 0.5)))
   }
 
+  test("shingle-view consumers equal the cold-start computations") {
+    import org.apache.spark.sql.functions.col
+    val sh3 = Dedup.sharedShingles(spark, dir)
+    val sh8 = Dedup.sharedShingles(spark, dir, 8)
+    assert(sameRows(Dedup.ngramJaccardOf(sh3, 0.6), Dedup.ngramJaccard(docs, 0.6)),
+      "ngramJaccardOf(sharedShingles) != ngramJaccard(docs)")
+    assert(sameRows(Dedup.containmentOf(sh8, 0.6), Dedup.containment(docs, 0.6)),
+      "containmentOf(sharedShingles(8)) != containment(docs)")
+    assert(sameRows(Dedup.contaminationOf(docs, sh8, col("doc_id") < 50),
+      Dedup.contamination(docs, col("doc_id") < 50, 8)),
+      "contaminationOf != contamination")
+    assert(sameRows(Dedup.contaminationBloomOf(docs, sh8, col("doc_id") < 50),
+      Dedup.contaminationBloom(docs, col("doc_id") < 50, 8)),
+      "contaminationBloomOf != contaminationBloom")
+    // memoized per (session, dir, n): 3- and 8-gram views are distinct
+    assert(Dedup.sharedShingles(spark, dir) eq sh3)
+    assert(!(sh8 eq sh3))
+  }
+
   test("sig-view consumers equal the cold-start computations") {
     val sigs = Dedup.sharedSigs(spark, dir)
     assert(sameRows(Dedup.minhashEstimateOf(sigs, 0.5),
