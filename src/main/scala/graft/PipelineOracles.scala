@@ -192,7 +192,10 @@ object PipelineOracles {
   /** Shared MinHash prefix: tok → shingles → per-perm signature → LSH
     * band rows (used by both the batch self-join and incremental oracles).
     */
-  private def bandsPrefix: String = {
+  private def bandsPrefix: String = bandsPrefixFrom(tok)
+
+  /** [[bandsPrefix]] with a custom `tok` CTE (e.g. a doc sample). */
+  private def bandsPrefixFrom(tokCte: String): String = {
     val sigCols = Dedup.minhashPerms.zipWithIndex
       .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS mh$j" }
       .mkString(", ")
@@ -201,7 +204,7 @@ object PipelineOracles {
       val key = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $tok, $sh,
+    s"""WITH $tokCte, $sh,
         hm AS (SELECT doc_id, shingle % ${Dedup.P} AS hm FROM sh),
         sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY 1),
         bands AS ($bandSelects)"""
@@ -1098,6 +1101,34 @@ object PipelineOracles {
          SELECT query_id, vec_id AS neighbor_id, rnk,
                 floor(cos * 10000.0 + 0.5) / 10000.0 AS score
          FROM rk WHERE rnk <= 5""",
+
+    // per-decile recall of the LSH candidate stage vs the df-capped
+    // exact pair set (ngram_jaccard's join) — LSH-found pairs = exact
+    // pairs restricted to band candidates, so the curve is a histogram
+    // ratio
+    "dedup_blocking_recall" -> s"""$bandsPrefix,
+         rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50),
+         shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+         epr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         exact AS (SELECT doc_a, doc_b,
+                          floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+                   FROM epr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.2),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         lsh AS (SELECT e.* FROM exact e JOIN cand USING (doc_a, doc_b)),
+         tb AS (SELECT floor(jaccard * 10.0) / 10.0 AS j_bucket, count(*) AS nb FROM exact GROUP BY 1),
+         fb AS (SELECT floor(jaccard * 10.0) / 10.0 AS j_bucket, count(*) AS nb FROM lsh GROUP BY 1)
+         SELECT tb.j_bucket,
+                CAST(sum(tb.nb) OVER w AS BIGINT) AS n_true,
+                CAST(sum(coalesce(fb.nb, 0)) OVER w AS BIGINT) AS n_found,
+                floor((sum(coalesce(fb.nb, 0)) OVER w / sum(tb.nb) OVER w) * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM tb LEFT JOIN fb USING (j_bucket)
+         WINDOW w AS (ORDER BY tb.j_bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "ann_recall_ivfpq" -> s"""WITH $nrm,
          $ivfpqCtes,

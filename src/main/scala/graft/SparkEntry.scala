@@ -254,6 +254,8 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), 12)),
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurveOf(Dedup.sharedPairs(s, dir))),
+    "dedup_blocking_recall" -> ((s, dir) =>
+      Dedup.blockingRecallOf(Dedup.sharedShingles(s, dir), Dedup.sharedSigs(s, dir))),
     "ts_mttr" -> ((s, dir) => Tsdb.mttr(t(s, dir, "events"), 0.25)),
     "ann_recall_multiprobe" -> ((s, dir) =>
       Similarity.recallEvalMultiProbe(t(s, dir, "embeddings"), 10, 5)),

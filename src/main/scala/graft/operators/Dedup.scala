@@ -169,6 +169,43 @@ object Dedup {
       .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
   }
 
+  /** Blocking-quality evaluation: per-Jaccard-decile recall of the
+    * MinHash-LSH candidate stage against the df-capped EXACT pair set —
+    * the dedup twin of the ANN recall matrix (ann_recall_*), and the
+    * measurement behind choosing NumPerms/Bands before a full run.
+    * Ground truth is [[ngramJaccard]]'s capped-shingle equi-join (the
+    * tractable exact method — the df cap is what makes "exact" runnable
+    * at all); "found" is the subset of those pairs the band join
+    * surfaces, so per-decile recall is a ratio of two cumulative
+    * histograms. High-J deciles should sit at recall 1.0 (band-match
+    * probability rises with J); the decile where the curve sags is
+    * where the band config starts losing dups.
+    */
+  def blockingRecall(docs: DataFrame, floorJ: Double = 0.2): DataFrame =
+    blockingRecallOf(shingles(docs), minhashSignatures(docs), floorJ)
+
+  /** [[blockingRecall]] over already-built shingle and signature tables
+    * (e.g. [[sharedShingles]] + [[sharedSigs]]).
+    */
+  def blockingRecallOf(sh: DataFrame, sigs: DataFrame,
+      floorJ: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = ngramJaccardOf(sh, floorJ)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candFromBands(lshBands(sigs))
+    val lsh = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    def curve(p: DataFrame, cname: String) =
+      p.withColumn("j_bucket", floor(col("jaccard") * 10.0) / 10.0)
+        .groupBy(col("j_bucket")).agg(count(lit(1)).as(cname))
+    val w = Window.orderBy(col("j_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve(exact, "nt").join(curve(lsh, "nf"), Seq("j_bucket"), "left")
+      .withColumn("n_true", sum(col("nt")).over(w))
+      .withColumn("n_found", sum(coalesce(col("nf"), lit(0L))).over(w))
+      .select(col("j_bucket"), col("n_true"), col("n_found"),
+        Hashing.rd4(col("n_found") / col("n_true")).as("recall"))
+  }
+
   /** Jaccard for doc pairs from a cached shingle table. With `candidates`,
     * the shingle table is first restricted to candidate docs (MinHash-LSH
     * path) so the shingle join only touches candidate pairs.

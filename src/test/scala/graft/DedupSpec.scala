@@ -21,6 +21,24 @@ class DedupSpec extends SparkSpec {
     assert(sparkSide.toSeq == jvmSide)
   }
 
+  test("blockingRecall: cumulative deciles, found bounded by true, dups at 1.0") {
+    val r = Dedup.blockingRecall(docs).collect()
+      .sortBy(-_.getAs[Double]("j_bucket"))
+    assert(r.nonEmpty)
+    // cumulative: n_true/n_found never decrease going down the deciles
+    val truths = r.map(_.getAs[Long]("n_true"))
+    assert(truths.zip(truths.tail).forall { case (hi, lo) => hi <= lo })
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_found") <= row.getAs[Long]("n_true"))
+      assert(row.getAs[Double]("recall") <= 1.0)
+    }
+    // the identical pair (1,2) sits in the top decile and identical docs
+    // agree on every band — the blocking stage can never lose them
+    val top = r.head
+    assert(top.getAs[Double]("j_bucket") == 1.0)
+    assert(top.getAs[Double]("recall") == 1.0)
+  }
+
   test("exact dedup groups identical texts, keeper = min doc_id") {
     val r = Dedup.exact(docs).collect()
     assert(r.length == 3)
