@@ -1585,5 +1585,69 @@ object PipelineOracles {
          SELECT doc_id, count(*) AS n_tokens,
                 floor(avg(nll) * 10000.0 + 0.5) / 10000.0 AS avg_nll
          FROM sc GROUP BY 1""",
+
+    // integer char/token sums per source, two correctly-rounded divisions
+    "tokenizer_fertility" -> """WITH c AS (
+           SELECT source, len(text) AS nc,
+                  len(regexp_split_to_array(text, '\s+')) AS nws,
+                  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS nbpe
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+                CAST(sum(nbpe) AS BIGINT) AS n_bpe_tokens,
+                floor(sum(nbpe)::DOUBLE / sum(nws) * 10000.0 + 0.5) / 10000.0 AS fertility,
+                floor(sum(nbpe) * 100.0 / sum(nc) * 10000.0 + 0.5) / 10000.0 AS bpe_per_100_chars
+         FROM c GROUP BY 1""",
+
+    // the minhash_lsh pair replay labeled with each side's source
+    "source_overlap_matrix" -> s"""${minhashWith(0.5)},
+         lab AS (SELECT least(da.source, db.source) AS source_a,
+                        greatest(da.source, db.source) AS source_b
+                 FROM pairs p
+                 JOIN documents da ON da.doc_id = p.doc_a
+                 JOIN documents db ON db.doc_id = p.doc_b)
+         SELECT source_a, source_b, count(*) AS n_pairs
+         FROM lab GROUP BY 1, 2""",
+
+    // per-ingest-decile first-seen 8-gram types; bucket id is exact
+    // integer arithmetic on both engines
+    "corpus_ngram_novelty" -> s"""WITH $tok, $sh8,
+         nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+         b AS (SELECT DISTINCT (doc_id * 10) // nd AS bucket, shingle
+               FROM sh8 CROSS JOIN nd),
+         f AS (SELECT shingle, min(bucket) AS fb FROM b GROUP BY 1)
+         SELECT bucket, count(*) AS n_types,
+                CAST(sum(CASE WHEN fb = bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+                floor(sum(CASE WHEN fb = bucket THEN 1 ELSE 0 END)::DOUBLE
+                        / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
+         FROM b JOIN f USING (shingle) GROUP BY 1""",
+
+    // the ann_kmeans training replay, then label agreement per cell
+    "cluster_label_purity" -> s"""WITH $nrm,
+         sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv
+                FROM embeddings),
+         seeds AS (SELECT vec_id, embedding, hv,
+                   row_number() OVER (ORDER BY hv, vec_id) AS cid
+                   FROM sd QUALIFY cid <= 8),
+         c0 AS (SELECT s.cid, s.embedding AS cvec, n.nrm AS cnrm
+                FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         af AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
+         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
+         cl AS (SELECT a.cid, e.label, count(*) AS n
+                FROM asnf a JOIN embeddings e ON e.vec_id = a.vec_id
+                GROUP BY 1, 2),
+         tp AS (SELECT cid, n, label,
+                row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS r
+                FROM cl),
+         tv AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vectors FROM cl GROUP BY 1)
+         SELECT t.cid, v.n_vectors, t.label AS top_label, t.n AS top_n,
+                floor(t.n::DOUBLE / v.n_vectors * 10000.0 + 0.5) / 10000.0 AS purity
+         FROM tp t JOIN tv v ON v.cid = t.cid WHERE t.r = 1""",
   )
 }

@@ -269,6 +269,14 @@ object SparkEntry {
       Similarity.contaminationSemantic(t(s, dir, "embeddings"), col("vec_id") < 50, 0.4)),
     "ann_recall_ivfpq" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
       Similarity.recallEvalIvfPqFrom(t(s, dir, "embeddings"), c, a, 10, 5) }),
+    "tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"))),
+    "source_overlap_matrix" -> ((s, dir) => Dedup.sourceOverlapOf(
+      t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
+    "corpus_ngram_novelty" -> ((s, dir) => Dedup.ngramNoveltyOf(
+      t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8))),
+    "cluster_label_purity" -> ((s, dir) => { val (_, a) = Similarity.sharedKmeans(s, dir)
+      Similarity.clusterLabelPurityFrom(t(s, dir, "embeddings"), a) }),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -206,6 +206,55 @@ object Dedup {
         Hashing.rd4(col("n_found") / col("n_true")).as("recall"))
   }
 
+  /** Cross-source duplication matrix: verified near-dup pair counts per
+    * unordered source pair — the "which scrapers overlap" read behind
+    * source-level dedup ordering and train/eval leakage audits (a heavy
+    * off-diagonal cell means two feeds crawl the same sites; a heavy
+    * diagonal means one feed re-crawls itself). Consumes the shared
+    * verified-pair view, so the marginal cost over the pair build is two
+    * id-keyed joins against a narrow (doc_id, source) projection plus an
+    * aggregate on the tiny source-pair key space. The pair table is the
+    * near-dup survivor set — corpus-sublinear — so the joins broadcast
+    * under AQE when pairs are few and shuffle-hash cleanly when not.
+    */
+  def sourceOverlapOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Content-novelty curve over ingest order: docs are split into
+    * `nBuckets` equal doc_id ranges (the synthetic stand-in for ingest
+    * batches); per bucket, how many distinct 8-gram shingle types appear,
+    * how many appear for the FIRST time, and their ratio — the
+    * "is this crawl still adding new content" signal that decides when
+    * continued scraping of a source stops paying for itself. All shapes
+    * are hash aggregates on the shingle key (map-side combinable): the
+    * first-seen table is a min-aggregate over the shared shingle view, and
+    * the per-bucket rollup joins it back on the 8-byte shingle hash. The
+    * bucket id is exact integer arithmetic (doc_id·n div N) so both
+    * engines bucket identically.
+    */
+  def ngramNoveltyOf(docs: DataFrame, sh8: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val tot = docs.agg((max(col("doc_id")) + 1).as("nd"))
+    val b = sh8.crossJoin(broadcast(tot))
+      .select(expr(s"doc_id * $nBuckets div nd").as("bucket"), col("shingle"))
+      .distinct()
+    val first = b.groupBy(col("shingle")).agg(min(col("bucket")).as("fb"))
+    b.join(first, "shingle")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("fb") === col("bucket"), 1L).otherwise(0L)).as("n_new_types"))
+      .select(col("bucket"), col("n_types"), col("n_new_types"),
+        Hashing.rd4(col("n_new_types") / col("n_types")).as("novelty"))
+  }
+
   /** Jaccard for doc pairs from a cached shingle table. With `candidates`,
     * the shingle table is first restricted to candidate docs (MinHash-LSH
     * path) so the shingle join only touches candidate pairs.

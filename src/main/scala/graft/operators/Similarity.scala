@@ -973,6 +973,33 @@ object Similarity {
         Hashing.rd4(avg(col("cos"))).as("avg_cos"),
         Hashing.rd4(min(col("cos"))).as("min_cos"))
 
+  /** Cluster-vs-label agreement: per k-means cell, the member count, the
+    * dominant ground-truth label (ties broken by the smaller label id)
+    * and its purity — the standard external check that a quantizer's
+    * cells track the corpus's real structure, read before trusting those
+    * cells for stratified sampling or per-cell mixture decisions.
+    * Consumes the shared quantizer's narrow assignment: one id-keyed join
+    * to the (vec_id, label) projection, then aggregates on the tiny
+    * (cid, label) key space — embeddings themselves are never touched.
+    */
+  def clusterLabelPurityFrom(emb: DataFrame, asn: DataFrame): DataFrame = {
+    val cl = asn
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cl.groupBy(col("cid")).agg(sum(col("n")).as("n_vectors"))
+    val top = cl
+      .groupBy(col("cid"))
+      .agg(max(struct(col("n"), (-col("label")).as("negl"))).as("m"))
+      .select(col("cid"), col("m.n").as("top_n"),
+        (-col("m.negl")).cast("int").as("top_label"))
+    tot.join(top, "cid")
+      .select(col("cid").cast("long").as("cid"), col("n_vectors"),
+        col("top_label"), col("top_n"),
+        Hashing.rd4(col("top_n") / col("n_vectors")).as("purity"))
+  }
+
   /** Multi-probe LSH ANN: each query probes its home bucket PLUS every
     * bucket at Hamming distance 1 in signature space (one flipped
     * hyperplane bit) — the standard trick that recovers most of the

@@ -596,4 +596,31 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(
           -sum(col("cg")) / (max(col("n_tokens")) * 1000000.0)).as("entropy"))
   }
+
+  /** Tokenizer-fertility report per source: doc/char/token totals plus
+    * fertility (BPE-ish sub-tokens per whitespace token) and sub-token
+    * density per 100 chars — the per-domain signal mixture design uses
+    * when a domain's text tokenizes expensively (code, non-Latin scripts,
+    * log spam) and its token budget must be priced in sub-tokens rather
+    * than words. One projection + one hash aggregate on the low-cardinality
+    * source key (map-side combinable, no joins); all inputs are exact
+    * integer sums, so the two ratios are single correctly-rounded
+    * divisions on both engines.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        size(tokens(col("text"))).cast("long").as("nws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+          .cast("long").as("nbpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nws")).as("n_ws_tokens"),
+        sum(col("nbpe")).as("n_bpe_tokens"),
+        graft.functions.Hashing.rd4(
+          sum(col("nbpe")).cast("double") / sum(col("nws"))).as("fertility"),
+        graft.functions.Hashing.rd4(
+          sum(col("nbpe")) * lit(100.0) / sum(col("nc"))).as("bpe_per_100_chars"))
 }

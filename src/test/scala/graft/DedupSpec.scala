@@ -214,4 +214,36 @@ class DedupSpec extends SparkSpec {
     // the unrelated doc 4 never pairs (no shared LSH band)
     assert(!r.exists(x => x.getAs[Long]("doc_a") == 4L || x.getAs[Long]("doc_b") == 4L))
   }
+
+  test("sourceOverlap: pairs counted per unordered source pair") {
+    import spark.implicits._
+    val d = Seq((1L, "x", "web"), (2L, "x", "book"), (3L, "x", "web"), (4L, "x", "web"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (1L, 3L, 0.7), (3L, 4L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val r = Dedup.sourceOverlapOf(d, pairs).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        x.getAs[Long]("n_pairs")).toMap
+    // (1,2) and (2,3) cross book/web regardless of pair orientation;
+    // (1,3) and (3,4) sit inside web
+    assert(r == Map(("book", "web") -> 2L, ("web", "web") -> 2L))
+  }
+
+  test("ngramNovelty: repeated content shows zero novelty in its bucket") {
+    // 10 docs of 8 tokens each -> exactly one 8-shingle per doc, and with
+    // nd = 10 the bucket id IS the doc id. Doc 5 repeats doc 0's text, so
+    // bucket 5's only type was first seen in bucket 0.
+    val docs = docsDf((0L to 9L).map(i =>
+      (i, if (i == 5L) "w0 a b c d e f g" else s"w$i a b c d e f g")))
+    val r = Dedup.ngramNoveltyOf(docs, Dedup.shingles(docs, 8)).collect()
+      .map(x => x.getAs[Long]("bucket") -> x).toMap
+    assert(r.size == 10)
+    assert(r(0L).getAs[Long]("n_types") == 1L &&
+      r(0L).getAs[Long]("n_new_types") == 1L &&
+      r(0L).getAs[Double]("novelty") == 1.0)
+    assert(r(5L).getAs[Long]("n_types") == 1L &&
+      r(5L).getAs[Long]("n_new_types") == 0L &&
+      r(5L).getAs[Double]("novelty") == 0.0)
+    assert((1L to 4L).forall(b => r(b).getAs[Double]("novelty") == 1.0))
+  }
 }

@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkSpec {
     val bounded: Map[String, String] = Map(
       "domain_mix_weights" -> "input = per-source aggregate; sources are a fixed enum",
       "sample_mixture_apply" -> "same mixWeights window: per-source aggregate input",
-      "dedup_threshold_curve" -> "input = fixed 10-row threshold-bucket grid")
+      "dedup_threshold_curve" -> "input = fixed 10-row threshold-bucket grid",
+      "dedup_blocking_recall" -> "input = the same fixed 10-row Jaccard-decile grid")
     def hasLimit(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, f) =>

@@ -257,4 +257,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1).getAs[Long]("n_zero") == 0L)
     assert(r(1).getAs[Double]("p10") == 1.0 && r(1).getAs[Double]("p90") == 1.0)
   }
+
+  test("clusterLabelPurity: dominant label with min-label tie break") {
+    import spark.implicits._
+    val emb = Seq((1L, 3), (2L, 3), (3L, 7), (4L, 4), (5L, 5))
+      .toDF("vec_id", "label")
+    val asn = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 2), (5L, 2))
+      .toDF("vec_id", "cid")
+    val r = Similarity.clusterLabelPurityFrom(emb, asn).collect()
+      .map(x => x.getAs[Long]("cid") -> x).toMap
+    assert(r(1L).getAs[Long]("n_vectors") == 3L &&
+      r(1L).getAs[Int]("top_label") == 3 &&
+      r(1L).getAs[Long]("top_n") == 2L &&
+      r(1L).getAs[Double]("purity") == 0.6667)
+    // cid 2 ties 1-1 between labels 4 and 5: the smaller label wins
+    assert(r(2L).getAs[Int]("top_label") == 4 &&
+      r(2L).getAs[Double]("purity") == 0.5)
+  }
 }

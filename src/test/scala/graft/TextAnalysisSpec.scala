@@ -375,4 +375,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == ((4L, 1L, 0.0)))
     assert(r(3L) == ((4L, 2L, 0.6931)))
   }
+
+  test("tokenizerFertility: per-source integer sums and exact ratios") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ab cd", "web"),        // 5 chars, 2 ws tokens, 2 sub-tokens
+      (2L, "a b!", "web"),         // 4 chars, 2 ws tokens, 3 sub-tokens (a, b, !)
+      (3L, "hello world", "book")) // 11 chars, 2 ws tokens, 2 sub-tokens
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.tokenizerFertility(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val web = r("web")
+    assert(web.getAs[Long]("n_docs") == 2L && web.getAs[Long]("n_chars") == 9L &&
+      web.getAs[Long]("n_ws_tokens") == 4L && web.getAs[Long]("n_bpe_tokens") == 5L)
+    assert(web.getAs[Double]("fertility") == 1.25)        // 5 / 4
+    assert(web.getAs[Double]("bpe_per_100_chars") == 55.5556) // 500 / 9, rd4
+    assert(r("book").getAs[Double]("fertility") == 1.0)
+  }
 }
