@@ -111,7 +111,7 @@ object SparkEntry {
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardOf(Dedup.sharedShingles(s, dir), 0.6)),
+      Dedup.exactPairsAt(Dedup.sharedExactPairs(s, dir), 0.6)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5)),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
@@ -254,8 +254,8 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), 12)),
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurveOf(Dedup.sharedPairs(s, dir))),
-    "dedup_blocking_recall" -> ((s, dir) =>
-      Dedup.blockingRecallOf(Dedup.sharedShingles(s, dir), Dedup.sharedSigs(s, dir))),
+    "dedup_blocking_recall" -> ((s, dir) => Dedup.blockingRecallFrom(
+      Dedup.sharedExactPairs(s, dir), Dedup.sharedSigs(s, dir))),
     "ts_mttr" -> ((s, dir) => Tsdb.mttr(t(s, dir, "events"), 0.25)),
     "ann_recall_multiprobe" -> ((s, dir) =>
       Similarity.recallEvalMultiProbe(t(s, dir, "embeddings"), 10, 5)),

@@ -188,10 +188,17 @@ object Dedup {
     * (e.g. [[sharedShingles]] + [[sharedSigs]]).
     */
   def blockingRecallOf(sh: DataFrame, sigs: DataFrame,
-      floorJ: Double = 0.2): DataFrame = {
+      floorJ: Double = 0.2): DataFrame =
+    blockingRecallFrom(
+      ngramJaccardOf(sh, floorJ).persist(StorageLevel.MEMORY_AND_DISK), sigs)
+
+  /** [[blockingRecall]] over an already-built exact pair table at the
+    * recall floor (e.g. [[sharedExactPairs]]) — the ground-truth build is
+    * the expensive stage, and it is the same table [[ngramJaccardOf]]
+    * consumers filter, so one materialization serves both.
+    */
+  def blockingRecallFrom(exact: DataFrame, sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exact = ngramJaccardOf(sh, floorJ)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candFromBands(lshBands(sigs))
     val lsh = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     def curve(p: DataFrame, cname: String) =
@@ -409,6 +416,37 @@ object Dedup {
   def sharedSigs(s: SparkSession, dir: String): DataFrame =
     sharedSigsCache.getOrElseUpdate((s, dir),
       minhashSignaturesFrom(sharedShingles(s, dir)).localCheckpoint())
+
+  /** Floor threshold of the shared EXACT pair view — the blocking-recall
+    * evaluation floor (the lowest Jaccard any registered exact-pair
+    * consumer reads).
+    */
+  val SharedExactFloor = 0.2
+
+  private val sharedExactPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The df-capped EXACT Jaccard pair table over `dir`'s documents at
+    * [[SharedExactFloor]], built ONCE per (session, dir) and frozen — the
+    * ground-truth side of the dedup-quality evaluations. The capped
+    * shingle equi-join is the expensive stage both `dedup_ngram_jaccard`
+    * (a ≥-threshold filter, monotone over this table) and
+    * `dedup_blocking_recall` (the recall denominator) were paying
+    * separately; a real pipeline materializes the verified exact pairs
+    * once per snapshot alongside the LSH pairs ([[sharedPairs]]).
+    */
+  def sharedExactPairs(s: SparkSession, dir: String): DataFrame =
+    sharedExactPairsCache.getOrElseUpdate((s, dir),
+      ngramJaccardOf(sharedShingles(s, dir), SharedExactFloor).localCheckpoint())
+
+  /** Restrict a ≥-floor exact pair table to `threshold` — equals
+    * [[ngramJaccardOf]] at that threshold when the floor is ≤ it.
+    */
+  def exactPairsAt(pairs: DataFrame, threshold: Double): DataFrame = {
+    require(SharedExactFloor <= threshold,
+      s"exact pair view floor $SharedExactFloor above requested threshold $threshold")
+    pairs.filter(col("jaccard") >= threshold)
+  }
 
   /** Floor threshold of the shared pair view: the lowest any registered
     * consumer needs (the threshold-curve calibration floor).

@@ -56,6 +56,21 @@ class DedupViewSpec extends SparkSpec {
     assert(!(sh8 eq sh3))
   }
 
+  test("exact-pair-view consumers equal the cold-start computations") {
+    val view = Dedup.sharedExactPairs(spark, dir)
+    assert(sameRows(Dedup.exactPairsAt(view, 0.6),
+      Dedup.ngramJaccard(docs, 0.6)),
+      "exactPairsAt(view, 0.6) != ngramJaccard(docs, 0.6)")
+    assert(sameRows(
+      Dedup.blockingRecallFrom(view, Dedup.sharedSigs(spark, dir)),
+      Dedup.blockingRecall(docs)),
+      "blockingRecallFrom(view) != blockingRecall(docs)")
+    // memoized + frozen
+    assert(Dedup.sharedExactPairs(spark, dir) eq view)
+    assert(view.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+  }
+
   test("sig-view consumers equal the cold-start computations") {
     val sigs = Dedup.sharedSigs(spark, dir)
     assert(sameRows(Dedup.minhashEstimateOf(sigs, 0.5),
