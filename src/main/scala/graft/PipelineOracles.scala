@@ -1623,6 +1623,28 @@ object PipelineOracles {
                         / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
          FROM b JOIN f USING (shingle) GROUP BY 1""",
 
+    // the dedup_clusters replay + integer-exact hash admission at 1/csize
+    "sample_cluster_downweight" -> s"""WITH RECURSIVE ${minhashWith(0.5).stripPrefix("WITH")},
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+          csz AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1),
+          cw AS (SELECT d.doc_id,
+                        coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                        coalesce(s.csize, 1) AS csize
+                 FROM documents d
+                 LEFT JOIN comp c ON c.doc_id = d.doc_id
+                 LEFT JOIN csz s ON s.cluster_id = c.cluster_id)
+          SELECT doc_id, cluster_id, CAST(csize AS BIGINT) AS csize,
+                 floor(1.0 / csize * 10000.0 + 0.5) / 10000.0 AS weight
+          FROM cw
+          WHERE CAST(${h60("CAST(doc_id AS VARCHAR) || 'cd1'")} % 1000000 AS BIGINT)
+                  * csize < 1000000""",
+
     // the ann_kmeans training replay, then label agreement per cell
     "cluster_label_purity" -> s"""WITH $nrm,
          sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv

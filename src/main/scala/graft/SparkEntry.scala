@@ -118,11 +118,11 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
     "dedup_survivors" -> ((s, dir) =>
       Dedup.survivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.clustersFromPairs(Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5)
-        .select(col("doc_a"), col("doc_b")))),
+    "dedup_clusters" -> ((s, dir) => Dedup.sharedClusters(s, dir)),
     "dedup_cluster_survivors" -> ((s, dir) =>
-      Dedup.clusterSurvivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
+      Dedup.clusterSurvivorsFrom(t(s, dir, "documents"), Dedup.sharedClusters(s, dir))),
+    "sample_cluster_downweight" -> ((s, dir) => Dedup.clusterDownweightOf(
+      t(s, dir, "documents"), Dedup.sharedClusters(s, dir), "cd1")),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(t(s, dir, "documents"))),
     "contamination_check" -> ((s, dir) => Dedup.contaminationOf(
       t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), col("doc_id") < 50)),

@@ -824,13 +824,59 @@ object Dedup {
     clusterSurvivorsOf(docs, minhashLsh(docs, threshold))
 
   /** [[clusterSurvivors]] over a precomputed verified-pair table. */
-  def clusterSurvivorsOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val drop = clustersFromPairs(pairs.select(col("doc_a"), col("doc_b")))
+  def clusterSurvivorsOf(docs: DataFrame, pairs: DataFrame): DataFrame =
+    clusterSurvivorsFrom(docs,
+      clustersFromPairs(pairs.select(col("doc_a"), col("doc_b"))))
+
+  /** [[clusterSurvivors]] over an already-built cluster table
+    * (e.g. [[sharedClusters]]).
+    */
+  def clusterSurvivorsFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val drop = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
+
+  private val sharedClustersCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The connected-components cluster table at threshold 0.5 over the
+    * shared verified-pair view, built ONCE per (session, dir) and frozen —
+    * the iterative label propagation is the costliest stage its three
+    * consumers (cluster listing, transitive survivors, cluster-aware
+    * downsampling) were each re-running.
+    */
+  def sharedClusters(s: SparkSession, dir: String): DataFrame =
+    sharedClustersCache.getOrElseUpdate((s, dir),
+      clustersFromPairs(pairsAt(sharedPairs(s, dir), 0.5)
+        .select(col("doc_a"), col("doc_b"))).localCheckpoint())
+
+  /** Cluster-aware downsampling (the "soft dedup" alternative to hard
+    * survivor selection): every doc in a near-dup cluster of size c gets
+    * admission weight 1/c, so each cluster contributes ONE doc in
+    * expectation while unclustered docs always survive — the
+    * D4/SemDeDup-style policy when hard-dropping near-dups would lose
+    * in-cluster diversity a model still benefits from. Admission is the
+    * deterministic salted-hash rule shared with the weighted sampler,
+    * evaluated in exact integer arithmetic (hash % 1e6 scaled by c, no
+    * float compare): re-salting redraws, corpus growth never flips
+    * existing decisions, and both engines admit identical sets.
+    */
+  def clusterDownweightOf(docs: DataFrame, clusters: DataFrame,
+      salt: String): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id"), col("csize")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .filter(Hashing.h60mod(
+          concat(col("doc_id").cast("string"), lit(salt)), 1000000L)
+        * col("csize") < lit(1000000L))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        Hashing.rd4(lit(1.0) / col("csize")).as("weight"))
 
   val SimhashBits = 60  // full width of the engine-portable md5 hash (h60)
   val SimhashBands = 4  // 4 x 15-bit bands: pigeonhole-complete for hamming ≤ 3

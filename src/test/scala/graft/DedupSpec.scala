@@ -229,6 +229,26 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(("book", "web") -> 2L, ("web", "web") -> 2L))
   }
 
+  test("clusterDownweight: unclustered always kept, clusters get 1/csize") {
+    import spark.implicits._
+    val d = docsDf(Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c")))
+    val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L))
+      .toDF("doc_id", "cluster_id", "csize")
+    val r = Dedup.clusterDownweightOf(d, clusters, "s").collect()
+    // csize-1 docs pass the admission rule unconditionally (hash%1e6 < 1e6)
+    assert(r.filter(_.getAs[Long]("csize") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSet == Set(4L, 5L))
+    assert(r.forall { x =>
+      x.getAs[Double]("weight") ==
+        (if (x.getAs[Long]("csize") == 1L) 1.0 else 0.3333)
+    })
+    assert(r.filter(_.getAs[Long]("csize") == 3L)
+      .map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // deterministic: the same salt re-admits the identical set
+    val r2 = Dedup.clusterDownweightOf(d, clusters, "s").collect()
+    assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+  }
+
   test("ngramNovelty: repeated content shows zero novelty in its bucket") {
     // 10 docs of 8 tokens each -> exactly one 8-shingle per doc, and with
     // nd = 10 the bucket id IS the doc id. Doc 5 repeats doc 0's text, so
