@@ -250,6 +250,60 @@ object DedupScaleCheck {
       f"recall $fRecall%.4f below 0.95 with flood present — cap ate real signal")
     fpairs.unpersist()
 
+    // --- 6. ingest-novelty curve: a corpus whose second half repeats the
+    // first half's text verbatim (shifted ids land in deciles 5-9). With
+    // the 3-gram space effectively collision-free, every 8-shingle type
+    // in deciles 0-4 is first-seen there (novelty ≈ 1) and every type in
+    // deciles 5-9 was already seen in its mirror decile (novelty = 0);
+    // mirrored deciles must agree EXACTLY on n_types. This is the curve
+    // a crawl operator reads to see a feed saturating — here in its
+    // sharpest possible form.
+    val half = corpus(spark, nDocs / 2)
+    val novDocs = half.union(
+      half.select((col("doc_id") + nDocs / 2).as("doc_id"), col("text")))
+    val nov = timed(s"ngramNovelty over $nDocs docs (half repeated)") {
+      Dedup.ngramNoveltyOf(novDocs, Dedup.shingles(novDocs, 8)).collect()
+    }
+    val byBucket = nov.map(r => r.getAs[Long]("bucket") -> r).toMap
+    require(byBucket.size == 10, s"expected 10 deciles, got ${byBucket.size}")
+    (0L to 4L).foreach { b =>
+      val fresh = byBucket(b); val rep = byBucket(b + 5)
+      require(fresh.getAs[Double]("novelty") >= 0.999,
+        s"decile $b novelty ${fresh.getAs[Double]("novelty")} < 0.999 on fresh content")
+      require(rep.getAs[Double]("novelty") <= 0.001,
+        s"decile ${b + 5} novelty ${rep.getAs[Double]("novelty")} > 0.001 on repeated content")
+      require(fresh.getAs[Long]("n_types") == rep.getAs[Long]("n_types"),
+        s"mirrored deciles $b/${b + 5} disagree on n_types")
+    }
+    println(s"  novelty curve: deciles 0-4 ≈ 1.0, repeated deciles 5-9 ≈ 0.0, " +
+      s"mirrored n_types equal (${byBucket(0L).getAs[Long]("n_types")} types in decile 0)")
+
+    // --- 7. cluster-aware downsampling over the phase-3 components:
+    // every unclustered doc survives (csize-1 admission is
+    // unconditional), and the admitted mass from 3-doc clusters
+    // concentrates at 1 doc per cluster in expectation (binomial
+    // n ≈ 3·triples, p = 1/3).
+    val dw = timed(s"clusterDownweight over $nDocs docs") {
+      val d = Dedup.clusterDownweightOf(docs, clusters, "scale")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      d.count(); d
+    }
+    val nClustered = clusters.count()
+    val keptSingles = dw.filter(col("csize") === 1).count()
+    require(keptSingles == nDocs - nClustered,
+      s"$keptSingles unclustered docs kept of ${nDocs - nClustered} — " +
+        "csize-1 admission must be unconditional")
+    val tripleMembers = clusters.filter(col("csize") === 3).count()
+    val keptTriples = dw.filter(col("csize") === 3).count()
+    val expectTriples = tripleMembers / 3.0
+    val sd = math.sqrt(tripleMembers * (1.0 / 3) * (2.0 / 3))
+    require(math.abs(keptTriples - expectTriples) <= 6 * sd,
+      f"3-doc clusters kept $keptTriples docs vs expected $expectTriples%.0f ± ${6 * sd}%.0f")
+    println(f"  downweight: $keptSingles singles kept (all), " +
+      f"$keptTriples of $tripleMembers triple members kept " +
+      f"(expected $expectTriples%.0f, 1 per cluster)")
+    dw.unpersist()
+
     println(s"DedupScaleCheck OK at $nDocs docs")
     spark.stop()
   }

@@ -171,6 +171,39 @@ object StreamingTracker {
       }
       .start()
 
+  /** Streaming content-novelty gate — each arriving micro-batch of
+    * (doc_id, text) is scored against the [[graft.operators.LshIndexStore]]'s
+    * persisted shingle-type set (one novelty row per batch appended to
+    * `outDir`), then the batch's unseen types are folded into the store so
+    * later batches measure against the grown set. The live twin of
+    * [[graft.operators.Dedup.ngramNoveltyOf]]'s ingest-decile curve: a
+    * crawl scheduler watches this stream sag toward zero to decide a feed
+    * has saturated. Type appends are idempotence-guarded by batch-id
+    * markers (a replayed batch re-emits its novelty row but never
+    * double-appends types — which would not corrupt the DISTINCT type
+    * set, but would double the store's row count).
+    */
+  def noveltyGateStream(docs: DataFrame, storePath: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val store = new graft.operators.LshIndexStore(batch.sparkSession, storePath)
+        val nov = store.noveltyOf(batch)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint() // freeze BEFORE the type append changes the store
+        nov.write.mode("append").parquet(outDir)
+        val marker = Paths.get(storePath, "_commits", s"nov_$batchId")
+        if (!Files.exists(marker)) {
+          store.appendTypes(batch)
+          Files.createDirectories(marker.getParent)
+          Files.createFile(marker); ()
+        }
+      }
+      .start()
+
   /** Streaming ANN ingestion — arriving embedding micro-batches encoded
     * against the PERSISTED IVF-PQ quantizers and appended to the store
     * (the live twin of AnnIndexStore.append; no retraining, no touch of

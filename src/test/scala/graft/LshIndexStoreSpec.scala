@@ -94,6 +94,55 @@ class LshIndexStoreSpec extends SparkSpec {
     rmrf(dir)
   }
 
+  test("noveltyOf scores a batch against the persisted types; ingest folds them") {
+    val dir = tmpDir()
+    val store = new LshIndexStore(spark, dir.toString)
+    store.build(docsOf(corpusRows))
+    // one doc repeats corpus seed 7 (all 13 8-shingles seen), one is
+    // novel (13 unseen) → 26 types, 13 new, novelty 0.5
+    val batch = docsOf(Seq((2007L, 7L), (2777L, 777L)))
+    val r = store.noveltyOf(batch).collect().head
+    assert(r.getAs[Long]("n_types") == 26L &&
+      r.getAs[Long]("n_new_types") == 13L &&
+      r.getAs[Double]("novelty") == 0.5)
+    // after ingesting, the novel doc's types are part of the store
+    store.ingest(batch, 0.8)
+    val r2 = store.noveltyOf(batch).collect().head
+    assert(r2.getAs[Long]("n_new_types") == 0L &&
+      r2.getAs[Double]("novelty") == 0.0)
+    rmrf(dir)
+  }
+
+  test("streaming novelty gate: per-batch rows sag as the store learns the feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val store = new LshIndexStore(spark, dir.toString)
+    store.build(docsOf(corpusRows))
+    val in = MemoryStream[(Long, Long)]
+    val docs = in.toDF().toDF("doc_id", "seed")
+      .withColumn("text", expr(
+        "array_join(transform(sequence(1, 20), i -> concat('w', pmod(xxhash64(seed, i), 50000))), ' ')"))
+      .select("doc_id", "text")
+    val q = graft.streaming.StreamingTracker.noveltyGateStream(
+      docs, dir.toString, s"$dir/novelty", s"$dir/nckpt")
+    try {
+      in.addData((3001L, 801L), (3002L, 802L)) // all-new feed
+      q.processAllAvailable()
+      in.addData((3003L, 801L), (3004L, 803L)) // half repeats batch 1
+      q.processAllAvailable()
+      in.addData((3005L, 801L), (3006L, 803L)) // fully saturated
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/novelty").collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Double]("novelty")).toMap
+    assert(rows(0L) == 1.0, s"batch 0 novelty ${rows(0L)} != 1.0 on unseen feed")
+    assert(rows(1L) == 0.5, s"batch 1 novelty ${rows(1L)} != 0.5 on half-repeat")
+    assert(rows(2L) == 0.0, s"batch 2 novelty ${rows(2L)} != 0.0 when saturated")
+    rmrf(dir)
+  }
+
   test("streaming twin: micro-batches decided against the persisted index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
