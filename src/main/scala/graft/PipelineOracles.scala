@@ -1623,6 +1623,49 @@ object PipelineOracles {
                         / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
          FROM b JOIN f USING (shingle) GROUP BY 1""",
 
+    // the Jaccard threshold curve's vector-side twin over epairs
+    "embedding_threshold_curve" -> s"""WITH $nrm, $sigs, $embPairs,
+         bk AS (SELECT floor(cos_sim * 10.0) / 10.0 AS cos_bucket,
+                       count(*) AS n_pairs
+                FROM epairs GROUP BY 1)
+         SELECT cos_bucket, n_pairs,
+                CAST(sum(n_pairs) OVER (ORDER BY cos_bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_pairs_at_or_above
+         FROM bk""",
+
+    // the sample_mixture_apply replay aggregated to per-source token mass
+    "mixture_token_share" -> s"""
+         WITH t1 AS (SELECT doc_id, source,
+                            len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+                     FROM documents),
+         per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                 FROM t1 GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+                      CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+                      count(*) OVER () AS k
+               FROM per),
+         wt AS (SELECT source,
+                       floor((tot / (k * n_tokens)) * 10000.0 + 0.5) / 10000.0 AS weight
+                FROM w),
+         rep AS (SELECT t.source, t.n_tokens,
+                        CAST(floor(wt.weight) AS BIGINT)
+                        + CASE WHEN ${h60("CAST(t.doc_id AS VARCHAR) || 'mx1'")} % 10000
+                                    < CAST(floor(wt.weight * 10000.0 + 0.5) AS BIGINT) % 10000
+                               THEN 1 ELSE 0 END AS n_copies
+                 FROM t1 t JOIN wt USING (source)),
+         agg AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                        CAST(sum(n_copies * n_tokens) AS BIGINT) AS mixed_tokens
+                 FROM rep GROUP BY 1),
+         fin AS (SELECT source, n_tokens, mixed_tokens,
+                        CAST(sum(mixed_tokens) OVER () AS BIGINT) AS tot,
+                        count(*) OVER () AS k
+                 FROM agg)
+         SELECT source, n_tokens, mixed_tokens,
+                floor((mixed_tokens / tot) * 10000.0 + 0.5) / 10000.0 AS mixed_share,
+                floor((1.0 / k) * 10000.0 + 0.5) / 10000.0 AS target_share
+         FROM fin""",
+
     // the dedup_clusters replay + integer-exact hash admission at 1/csize
     "sample_cluster_downweight" -> s"""WITH RECURSIVE ${minhashWith(0.5).stripPrefix("WITH")},
           edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

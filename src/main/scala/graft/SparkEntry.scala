@@ -277,6 +277,10 @@ object SparkEntry {
       t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8))),
     "cluster_label_purity" -> ((s, dir) => { val (_, a) = Similarity.sharedKmeans(s, dir)
       Similarity.clusterLabelPurityFrom(t(s, dir, "embeddings"), a) }),
+    "embedding_threshold_curve" -> ((s, dir) => Similarity.cosineThresholdCurve(
+      Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4))),
+    "mixture_token_share" -> ((s, dir) =>
+      TextAnalysis.mixtureTokenShare(t(s, dir, "documents"), "mx1")),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -1000,6 +1000,24 @@ object Similarity {
         Hashing.rd4(col("top_n") / col("n_vectors")).as("purity"))
   }
 
+  /** Cosine-threshold calibration for embedding dedup: verified
+    * near-dup pairs bucketed by cosine decile with top-down cumulative
+    * counts — the vector-side twin of the Jaccard threshold curve
+    * (pick the SemDeDup cut before the full run). Input is a verified
+    * pair table with a `cos_sim` column (e.g. [[embeddingDedup]] at the
+    * calibration floor); the window runs over the fixed ≤10-row decile
+    * grid, never the corpus.
+    */
+  def cosineThresholdCurve(pairs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("cos_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("cos_bucket", floor(col("cos_sim") * 10.0) / 10.0)
+      .groupBy(col("cos_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
+  }
+
   /** Multi-probe LSH ANN: each query probes its home bucket PLUS every
     * bucket at Hamming distance 1 in signature space (one flipped
     * hyperplane bit) — the standard trick that recovers most of the

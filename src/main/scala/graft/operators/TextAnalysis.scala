@@ -437,6 +437,34 @@ object TextAnalysis {
           when(col("b") < frac4, 1L).otherwise(0L)).as("n_copies"))
   }
 
+  /** Post-mixture token accounting: did the applied mixture actually
+    * land each source on its target share? [[mixWeights]]'s weights are
+    * built so every source's expected post-mix token volume is tot/k —
+    * an equal 1/k share — and [[applyMixture]] realizes them as integer
+    * per-doc repetition factors, so the achieved share deviates from
+    * 1/k only by the hash-sampling noise of the frac(w) extra epoch.
+    * This is the verification read a pipeline owner checks after
+    * rebalancing and before launching a run. Shapes: one map-only
+    * token-count projection joined to the repetition factors, a
+    * per-source aggregate, and a window over the fixed source enum.
+    */
+  def mixtureTokenShare(docs: DataFrame, salt: String): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val per = applyMixture(docs, salt)
+      .join(dt, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_copies") * col("n_tokens")).as("mixed_tokens"))
+    val all = Window.partitionBy(lit(1))
+    per
+      .withColumn("tot", sum(col("mixed_tokens")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .select(col("source"), col("n_tokens"), col("mixed_tokens"),
+        graft.functions.Hashing.rd4(col("mixed_tokens") / col("tot")).as("mixed_share"),
+        graft.functions.Hashing.rd4(lit(1.0) / col("k")).as("target_share"))
+  }
+
   /** Vocabulary coverage / OOV rate: keep the most frequent types and
     * report each doc's covered-token fraction — the report that sizes a
     * tokenizer vocabulary (coverage vs table size). The vocabulary cut is

@@ -41,7 +41,9 @@ class PlanGuardSpec extends SparkSpec {
       "domain_mix_weights" -> "input = per-source aggregate; sources are a fixed enum",
       "sample_mixture_apply" -> "same mixWeights window: per-source aggregate input",
       "dedup_threshold_curve" -> "input = fixed 10-row threshold-bucket grid",
-      "dedup_blocking_recall" -> "input = the same fixed 10-row Jaccard-decile grid")
+      "dedup_blocking_recall" -> "input = the same fixed 10-row Jaccard-decile grid",
+      "embedding_threshold_curve" -> "input = fixed 10-row cosine-decile grid",
+      "mixture_token_share" -> "same mixWeights window: per-source aggregate input")
     def hasLimit(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, f) =>

@@ -274,4 +274,14 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2L).getAs[Int]("top_label") == 4 &&
       r(2L).getAs[Double]("purity") == 0.5)
   }
+
+  test("cosineThresholdCurve: deciles bucket pairs, cumulative from the top") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.95), (3L, 4L, 0.91), (5L, 6L, 0.42))
+      .toDF("vec_a", "vec_b", "cos_sim")
+    val r = Similarity.cosineThresholdCurve(pairs).collect()
+      .map(x => x.getAs[Double]("cos_bucket") ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Long]("n_pairs_at_or_above")))).toMap
+    assert(r == Map(0.9 -> ((2L, 2L)), 0.4 -> ((1L, 3L))))
+  }
 }

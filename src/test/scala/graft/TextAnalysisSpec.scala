@@ -392,4 +392,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(web.getAs[Double]("bpe_per_100_chars") == 55.5556) // 500 / 9, rd4
     assert(r("book").getAs[Double]("fertility") == 1.0)
   }
+
+  test("mixtureTokenShare: achieved token mass tracks the 1/k target") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h", "web"), (2L, "i j k l m n o p", "web"),
+      (3L, "q r", "book"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixtureTokenShare(d, "t1").collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r.keySet == Set("web", "book"))
+    assert(r.values.forall(_.getAs[Double]("target_share") == 0.5)) // k = 2
+    // mixed_tokens must equal the applyMixture repetition factors applied
+    // to each doc's token count, aggregated per source
+    val rep = TextAnalysis.applyMixture(d, "t1").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("source"), x.getAs[Long]("n_copies"))).toMap
+    val tokensOf = Map(1L -> 8L, 2L -> 8L, 3L -> 2L)
+    val expected = rep.toSeq
+      .groupBy(_._2._1)
+      .view.mapValues(_.map { case (id, (_, c)) => c * tokensOf(id) }.sum).toMap
+    assert(r("web").getAs[Long]("mixed_tokens") == expected("web"))
+    assert(r("book").getAs[Long]("mixed_tokens") == expected("book"))
+    val tot = expected.values.sum.toDouble
+    assert(r("web").getAs[Double]("mixed_share") ==
+      math.floor(expected("web") / tot * 10000.0 + 0.5) / 10000.0)
+  }
 }
