@@ -115,7 +115,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5)),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
-    "dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4)),
+    "dedup_embedding" -> ((s, dir) => Similarity.sharedEmbPairs(s, dir)),
     "dedup_survivors" -> ((s, dir) =>
       Dedup.survivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
     "dedup_clusters" -> ((s, dir) => Dedup.sharedClusters(s, dir)),
@@ -148,8 +148,8 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(t(s, dir, "documents"), 2)),
     "mm_audio_chunks" -> ((s, dir) => Multimodal.audioChunks(t(s, dir, "documents"), 10)),
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(t(s, dir, "embeddings"), 10, 0.35)),
-    "embedding_survivors" -> ((s, dir) =>
-      Similarity.embeddingSurvivors(t(s, dir, "embeddings"), 0.4)),
+    "embedding_survivors" -> ((s, dir) => Similarity.embeddingSurvivorsFrom(
+      t(s, dir, "embeddings"), Similarity.sharedEmbPairs(s, dir))),
     "sample_weighted" -> ((s, dir) =>
       TextAnalysis.sampleWeighted(t(s, dir, "documents"), "w1")),
     "mm_feature_extract" -> ((s, dir) => Multimodal.featureExtract(t(s, dir, "documents"))
@@ -277,8 +277,8 @@ object SparkEntry {
       t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8))),
     "cluster_label_purity" -> ((s, dir) => { val (_, a) = Similarity.sharedKmeans(s, dir)
       Similarity.clusterLabelPurityFrom(t(s, dir, "embeddings"), a) }),
-    "embedding_threshold_curve" -> ((s, dir) => Similarity.cosineThresholdCurve(
-      Similarity.embeddingDedup(t(s, dir, "embeddings"), 0.4))),
+    "embedding_threshold_curve" -> ((s, dir) =>
+      Similarity.cosineThresholdCurve(Similarity.sharedEmbPairs(s, dir))),
     "mixture_token_share" -> ((s, dir) =>
       TextAnalysis.mixtureTokenShare(t(s, dir, "documents"), "mx1")),
   )

@@ -784,10 +784,33 @@ object Similarity {
     * every near-dup pair (keep-first policy, one anti-join — the
     * embedding twin of Dedup.survivors).
     */
-  def embeddingSurvivors(emb: DataFrame, threshold: Double): DataFrame = {
-    val drop = embeddingDedup(emb, threshold).select(col("vec_b").as("vec_id")).distinct()
+  def embeddingSurvivors(emb: DataFrame, threshold: Double): DataFrame =
+    embeddingSurvivorsFrom(emb, embeddingDedup(emb, threshold))
+
+  /** [[embeddingSurvivors]] over an already-built verified pair table
+    * (e.g. [[sharedEmbPairs]]).
+    */
+  def embeddingSurvivorsFrom(emb: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = pairs.select(col("vec_b").as("vec_id")).distinct()
     emb.join(drop, Seq("vec_id"), "left_anti").select(col("vec_id"), col("label"))
   }
+
+  /** Verified-pair floor of the shared embedding pair view. */
+  val SharedEmbFloor = 0.4
+
+  private val embPairsViewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The verified embedding near-dup pair table over `dir`'s embeddings
+    * at [[SharedEmbFloor]], built ONCE per (session, dir) and frozen —
+    * the [[graft.operators.Dedup.sharedPairs]] pattern on the vector
+    * side: the pair listing, keep-first survivors, and the cosine
+    * threshold curve all start from this table.
+    */
+  def sharedEmbPairs(s: SparkSession, dir: String): DataFrame =
+    embPairsViewCache.getOrElseUpdate((s, dir),
+      embeddingDedup(graft.core.Tables.load(s, dir, "embeddings"), SharedEmbFloor)
+        .localCheckpoint())
 
   /** Cosine range search: every corpus vector with cos ≥ minCos of each
     * query — the radius-based retrieval twin of [[bruteForceTopK]].

@@ -38,6 +38,19 @@ class AnnViewSpec extends SparkSpec {
       "recallEvalIvfPqFrom != recallEvalIvfPq")
   }
 
+  test("view-based embedding-pair family equals the cold-start computations") {
+    val view = Similarity.sharedEmbPairs(spark, dir)
+    assert(sameRows(view, Similarity.embeddingDedup(emb, 0.4)),
+      "sharedEmbPairs != embeddingDedup(0.4)")
+    assert(sameRows(Similarity.embeddingSurvivorsFrom(emb, view),
+      Similarity.embeddingSurvivors(emb, 0.4)),
+      "embeddingSurvivorsFrom(view) != embeddingSurvivors")
+    // memoized + frozen
+    assert(Similarity.sharedEmbPairs(spark, dir) eq view)
+    assert(view.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+  }
+
   test("the quantizer is trained ONCE per (session, dir)") {
     val (c1, a1) = Similarity.sharedKmeans(spark, dir)
     val (c2, a2) = Similarity.sharedKmeans(spark, dir)
