@@ -168,6 +168,43 @@ object AnnScaleCheck {
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(f => java.nio.file.Files.delete(f))
 
+    // --- 5. semantic contamination gate at width: treat the 32 queries
+    // as the held-out test set. Their 320 planted near-copies sit at
+    // cos ≈ 0.9999 and MUST flag; everything outside the test clusters
+    // sits near 0 and must NEVER flag (a cross-cluster flag would mean
+    // the banding degenerated). Same-cluster corpus mass at cos ≈ 0.978
+    // may legitimately graze a 0.995 threshold — those are true
+    // positives of the semantic definition, not errors. Banding 2×4
+    // bits keeps chance candidates at ~12% of train per test (an 8×
+    // blocking factor at this tiny test set; a production 10k-doc eval
+    // set would run wider bands over more planes).
+    val cont = timed(s"contaminationSemantic ($nQueries-query test set vs $nVec train)") {
+      val c = Similarity.contaminationSemantic(
+        emb, col("vec_id") < nQueries, 0.995, bands = 2, rowsPerBand = 4)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count(); c
+    }
+    // a vector's planted cluster is derived from its SOURCE id (near-copy
+    // ids in [nQueries, nQueries·(k+1)) inherit their query's cluster)
+    val trainCluster = pmod(
+      when(col("train_id") >= nQueries &&
+        col("train_id") < nQueries.toLong * (k + 1),
+        pmod(col("train_id"), lit(nQueries.toLong)))
+        .otherwise(col("train_id")), lit(C.toLong))
+    val crossCluster = cont.filter(
+      trainCluster =!= pmod(col("test_id"), lit(C.toLong))).count()
+    require(crossCluster == 0L,
+      s"$crossCluster cross-cluster contamination flags — banding degenerated")
+    val plantedFlagged = cont.filter(
+      col("train_id") >= nQueries && col("train_id") < nQueries.toLong * (k + 1) &&
+        pmod(col("train_id"), lit(nQueries.toLong)) === col("test_id")).count()
+    val contRecall = plantedFlagged.toDouble / (nQueries.toLong * k)
+    println(f"  contamination: $plantedFlagged/${nQueries * k} planted near-copies " +
+      f"flagged ($contRecall%.4f), 0 cross-cluster flags")
+    require(contRecall >= 0.99,
+      f"contamination recall $contRecall%.4f below 0.99 — gate lost planted leaks")
+    cont.unpersist()
+
     println(s"AnnScaleCheck OK at $nVec vectors")
     spark.stop()
   }

@@ -117,6 +117,51 @@ object TextScaleCheck {
       ent.unpersist()
     }
 
+    // ---- 4. mixture accounting at width: the applied repetition
+    // factors must land every source's achieved token share on the
+    // equal 1/k target within hash-sampling noise. Per-source deviation
+    // is bounded by the frac(w) binomial on that source's docs; assert
+    // the loose 20% relative envelope (the skewed source 0 carries ~30%
+    // of raw tokens and must still land on 1/200 after rebalancing —
+    // a 60x down-weight realized doc-by-doc).
+    Harness.timed("mixtureTokenShare") {
+      val ms = TextAnalysis.mixtureTokenShare(docs, "scale").persist()
+      val k = ms.count()
+      require(k == 200L, s"expected 200 sources, got $k")
+      val target = 1.0 / k
+      val offTarget = ms.filter(
+        abs(col("mixed_share") - target) > target * 0.2).count()
+      require(offTarget == 0,
+        s"$offTarget sources miss the 1/$k token share by > 20%")
+      val shareSum = ms.agg(sum(col("mixed_share"))).head().getDouble(0)
+      require(math.abs(shareSum - 1.0) < 0.01, s"share sum $shareSum != 1")
+      println(f"[text-scale] mixture: 200 sources all within 20%% of " +
+        f"target $target%.4f, share sum $shareSum%.4f")
+      ms.unpersist()
+    }
+
+    // ---- 5. tokenizer fertility: per-source integer accounting must
+    // reconcile exactly with the corpus totals (the aggregate is a
+    // single map-side-combinable pass, so this also times one full-text
+    // regexp scan at width).
+    Harness.timed("tokenizerFertility") {
+      val tf = TextAnalysis.tokenizerFertility(docs).persist()
+      require(tf.count() == 200L, "expected 200 sources")
+      val row = tf.agg(sum(col("n_docs")), sum(col("n_ws_tokens"))).head()
+      val expectTok = docs.agg(sum(col("n_tok"))).head().getLong(0)
+      require(row.getLong(0) == total,
+        s"fertility doc total ${row.getLong(0)} != $total")
+      require(row.getLong(1) == expectTok,
+        s"fertility ws-token total ${row.getLong(1)} != $expectTok")
+      val badRatio = tf.filter(col("fertility") < 1.0).count()
+      require(badRatio == 0,
+        s"$badRatio sources report fertility < 1 (impossible: every " +
+          "ws token holds >= 1 sub-token)")
+      println(s"[text-scale] fertility: 200 sources reconcile to " +
+        s"$expectTok ws tokens exactly")
+      tf.unpersist()
+    }
+
     docs.unpersist()
     println("[text-scale] ALL CHECKS PASSED")
     spark.stop()
