@@ -1623,6 +1623,39 @@ object PipelineOracles {
                         / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
          FROM b JOIN f USING (shingle) GROUP BY 1""",
 
+    // overlapping token windows: step 48 = 64 - 16, last window short
+    "text_chunk_windows" -> """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+         t AS (SELECT doc_id, tk, len(tk) AS len FROM tk),
+         s AS (SELECT doc_id, tk, len, unnest(generate_series(1, len, 48)) AS start
+               FROM t)
+         SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id, start,
+                least(64, len - start + 1) AS n_tokens,
+                array_to_string(tk[start:start+63], ' ') AS chunk_text
+         FROM s""",
+
+    // Okapi BM25 with grid-snapped ln and per-term 1e-6 integer scores
+    "text_bm25_topk" -> s"""WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+         dl AS (SELECT doc_id, tk, len(tk)::DOUBLE AS dl FROM tk),
+         st AS (SELECT count(*)::DOUBLE AS nd, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
+                WHERE tok IN ('spark', 'window', 'join')
+                GROUP BY 1, 2, 3),
+         dfc AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         term AS (SELECT doc_id,
+                  CAST(floor(
+                    (floor(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5)
+                       / 1000000.0)
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    * 1000000.0 + 0.5) AS BIGINT) AS g
+                  FROM tf JOIN dfc USING (tok) CROSS JOIN st),
+         sc AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS s FROM term GROUP BY 1)
+         SELECT doc_id, floor(s / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+
     // the Jaccard threshold curve's vector-side twin over epairs
     "embedding_threshold_curve" -> s"""WITH $nrm, $sigs, $embPairs,
          bk AS (SELECT floor(cos_sim * 10.0) / 10.0 AS cos_bucket,

@@ -281,6 +281,10 @@ object SparkEntry {
       Similarity.cosineThresholdCurve(Similarity.sharedEmbPairs(s, dir))),
     "mixture_token_share" -> ((s, dir) =>
       TextAnalysis.mixtureTokenShare(t(s, dir, "documents"), "mx1")),
+    "text_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(t(s, dir, "documents"), 64, 16)),
+    "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(
+      t(s, dir, "documents"), Seq("spark", "window", "join"), 10)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

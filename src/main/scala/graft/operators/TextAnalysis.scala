@@ -465,6 +465,70 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(lit(1.0) / col("k")).as("target_share"))
   }
 
+  /** Overlapping token-window chunking — the RAG-indexing step that
+    * splits each document into `chunkTokens`-token windows advancing by
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens of context. The final window may be shorter; every token of
+    * every doc lands in at least one chunk. A pure explode + projection
+    * over the token array: map-only, ZERO shuffle — at 100 TB the chunk
+    * table streams straight into the embedding/indexing stage with no
+    * exchange, and chunk ids are derivable (doc_id, chunk_id) keys, not
+    * global counters.
+    */
+  def chunkWindows(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the window")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("len"))
+      .select(col("doc_id"), col("tk"), col("len"),
+        explode(expr(s"sequence(1, len, $step)")).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / step).cast("long").as("chunk_id"),
+        col("start"),
+        least(lit(chunkTokens), col("len") - col("start") + 1).as("n_tokens"),
+        array_join(expr(s"slice(tk, start, $chunkTokens)"), " ").as("chunk_text"))
+  }
+
+  /** BM25 lexical retrieval for a fixed query-term set: the classic
+    * Okapi score Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with k1 = 1.2, b = 0.75 — the lexical half of hybrid (BM25 +
+    * vector) retrieval. Engine-exact: document lengths and term/doc
+    * frequencies are integer-exact; avgdl is one division of an exact
+    * integer sum; idf's ln is snapped to the 1e-6 grid (the lmScore
+    * contract); and each per-term score is snapped to its integer 1e-6
+    * grid BEFORE the per-doc sum, so the ≤|query|-addend accumulation
+    * is order-independent. Shapes: tokens filtered to the query terms
+    * at the explode (the inverted-list discipline — the corpus's other
+    * terms never shuffle), tiny df/stats tables broadcast, top-k via
+    * TakeOrdered with doc_id tie-break.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    val dl = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"), avg(col("dl")).as("avgdl"))
+    val tf = dl
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = graft.functions.Hashing.rd6(
+      log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val term = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfc), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(term * 1000000.0 + 0.5).cast("long").as("g"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Hashing.rd4(sum(col("g")) / 1000000.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Vocabulary coverage / OOV rate: keep the most frequent types and
     * report each doc's covered-token fraction — the report that sizes a
     * tokenizer vocabulary (coverage vs table size). The vocabulary cut is

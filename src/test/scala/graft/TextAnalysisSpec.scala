@@ -418,4 +418,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("web").getAs[Double]("mixed_share") ==
       math.floor(expected("web") / tot * 10000.0 + 0.5) / 10000.0)
   }
+
+  test("chunkWindows: overlapping windows cover every token, last one short") {
+    val d = docsDf(Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))))
+    val r = TextAnalysis.chunkWindows(d, chunkTokens = 8, overlap = 4).collect()
+      .map(x => x.getAs[Long]("chunk_id") -> x).toMap
+    assert(r.size == 3) // starts 1, 5, 9 (step 4)
+    assert(r(0L).getAs[Int]("n_tokens") == 8 &&
+      r(0L).getAs[String]("chunk_text") == (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(r(1L).getAs[Int]("start") == 5 &&
+      r(1L).getAs[String]("chunk_text") == (5 to 10).map(i => s"t$i").mkString(" "))
+    assert(r(2L).getAs[Int]("n_tokens") == 2 &&
+      r(2L).getAs[String]("chunk_text") == "t9 t10")
+  }
+
+  test("bm25TopK: term frequency ranks, absent docs never appear") {
+    val d = docsDf(Seq(
+      (1L, "cat cat dog x"), (2L, "cat dog y z"), (3L, "dog mouse")))
+    val r = TextAnalysis.bm25TopK(d, Seq("cat"), 10).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    assert(r.keySet == Set(1L, 2L)) // doc 3 has no query term
+    assert(r(1L) > r(2L) && r(2L) > 0.0) // tf 2 beats tf 1 at equal length
+  }
 }
