@@ -189,6 +189,32 @@ object PipelineOracles {
     * candidate pairs at `threshold`), shared by the pair and survivor
     * queries.
     */
+  /** Okapi BM25 CTE chain over the fixed ('spark','window','join') query
+    * set, ending in `bm25` (doc_id, score) — the DuckDB twin of
+    * TextAnalysis.bm25TopK, shared by the lexical top-k and the hybrid
+    * RRF fusion.
+    */
+  private val bm25Ctes = s"""tkb AS (
+           SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+         dlb AS (SELECT doc_id, tk, len(tk)::DOUBLE AS dl FROM tkb),
+         stb AS (SELECT count(*)::DOUBLE AS nd, avg(dl) AS avgdl FROM dlb),
+         tfb AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM dlb)
+                WHERE tok IN ('spark', 'window', 'join')
+                GROUP BY 1, 2, 3),
+         dfb AS (SELECT tok, count(*)::DOUBLE AS df FROM tfb GROUP BY 1),
+         trm AS (SELECT doc_id,
+                  CAST(floor(
+                    (floor(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5)
+                       / 1000000.0)
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    * 1000000.0 + 0.5) AS BIGINT) AS g
+                  FROM tfb JOIN dfb USING (tok) CROSS JOIN stb),
+         bm25 AS (SELECT doc_id,
+                  floor(CAST(sum(g) AS BIGINT) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
+                  FROM trm GROUP BY 1)"""
+
   /** Shared MinHash prefix: tok → shingles → per-perm signature → LSH
     * band rows (used by both the batch self-join and incremental oracles).
     */
@@ -1635,26 +1661,37 @@ object PipelineOracles {
          FROM s""",
 
     // Okapi BM25 with grid-snapped ln and per-term 1e-6 integer scores
-    "text_bm25_topk" -> s"""WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
-         dl AS (SELECT doc_id, tk, len(tk)::DOUBLE AS dl FROM tk),
-         st AS (SELECT count(*)::DOUBLE AS nd, avg(dl) AS avgdl FROM dl),
-         tf AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
-                FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM dl)
-                WHERE tok IN ('spark', 'window', 'join')
-                GROUP BY 1, 2, 3),
-         dfc AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-         term AS (SELECT doc_id,
-                  CAST(floor(
-                    (floor(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5)
-                       / 1000000.0)
-                    * (tf * 2.2)
-                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                    * 1000000.0 + 0.5) AS BIGINT) AS g
-                  FROM tf JOIN dfc USING (tok) CROSS JOIN st),
-         sc AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS s FROM term GROUP BY 1)
-         SELECT doc_id, floor(s / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
-         FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+    "text_bm25_topk" -> s"""WITH $bm25Ctes
+         SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // reciprocal-rank fusion of the bm25 pool and the exact-cosine pool
+    "hybrid_rrf_topk" -> s"""WITH $bm25Ctes, $nrm,
+         lexk AS (SELECT doc_id, score FROM bm25
+                  ORDER BY score DESC, doc_id LIMIT 20),
+         lexr AS (SELECT doc_id AS id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+                  FROM lexk),
+         qv AS (SELECT e.embedding AS qe, n.nrm AS qn
+                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+                WHERE e.vec_id = 7),
+         cosv AS (SELECT e.vec_id,
+                  floor(${dot64("e.embedding", "q.qe")} / (n.nrm * q.qn)
+                    * 10000.0 + 0.5) / 10000.0 AS cos
+                  FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+                  CROSS JOIN qv q WHERE e.vec_id <> 7),
+         semk AS (SELECT vec_id, cos FROM cosv
+                  ORDER BY cos DESC, vec_id LIMIT 20),
+         semr AS (SELECT vec_id AS id,
+                  row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rank
+                  FROM semk),
+         f AS (SELECT coalesce(l.id, s.id) AS doc_id, l.lex_rank, s.sem_rank
+               FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id)
+         SELECT doc_id,
+                floor((coalesce(1.0 / (60 + lex_rank), 0.0)
+                     + coalesce(1.0 / (60 + sem_rank), 0.0))
+                  * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
+                lex_rank, sem_rank
+         FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
 
     // the Jaccard threshold curve's vector-side twin over epairs
     "embedding_threshold_curve" -> s"""WITH $nrm, $sigs, $embPairs,

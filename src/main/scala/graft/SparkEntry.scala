@@ -285,6 +285,9 @@ object SparkEntry {
       TextAnalysis.chunkWindows(t(s, dir, "documents"), 64, 16)),
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(
       t(s, dir, "documents"), Seq("spark", "window", "join"), 10)),
+    "hybrid_rrf_topk" -> ((s, dir) => Similarity.hybridRrfTopK(
+      t(s, dir, "documents"), t(s, dir, "embeddings"),
+      Seq("spark", "window", "join"), 7L, 10)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -1023,6 +1023,43 @@ object Similarity {
         Hashing.rd4(col("top_n") / col("n_vectors")).as("purity"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical list
+    * and the exact-cosine semantic list for one query (terms + its
+    * embedding row, ids aligned doc_id ↔ vec_id):
+    * score = Σ 1/(kRrf + rank), absent-from-a-list contributes 0. The
+    * standard production fusion (no score normalization needed — ranks
+    * only), and the capstone over bm25TopK + the ANN path. Both
+    * candidate lists are TakeOrdered `poolSize`-row pools, so the rank
+    * windows and the full-outer fusion join run over bounded inputs;
+    * the corpus-side work is exactly one BM25 pass and one cosine scan.
+    */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int, poolSize: Int = 20, kRrf: Int = 60): DataFrame = {
+    val lexRank = TextAnalysis.bm25TopK(docs, queryTerms, poolSize)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val semRank = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Hashing.rd4(
+        V.dotF(col("embedding"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(poolSize)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("id"), col("sem_rank"))
+    lexRank.join(semRank, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        Hashing.rd6(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)))
+          .as("rrf_score"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(k)
+  }
+
   /** Cosine-threshold calibration for embedding dedup: verified
     * near-dup pairs bucketed by cosine decile with top-down cumulative
     * counts — the vector-side twin of the Jaccard threshold curve

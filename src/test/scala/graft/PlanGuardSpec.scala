@@ -69,7 +69,7 @@ class PlanGuardSpec extends SparkSpec {
     // corpus-sized scan behind a hint fails here before it OOMs the
     // driver of a 1000-executor job.
     import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, LessThan, Literal}
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     def bounded(p: LogicalPlan): Boolean = {
@@ -80,6 +80,9 @@ class PlanGuardSpec extends SparkSpec {
         case _: LogicalRDD => ()
         case f: Filter if f.condition.collectFirst {
           case LessThan(a, _: Literal) if a.toString.contains("vec_id") => ()
+          // single-id lookup (the hybrid query-vector fetch): = literal on
+          // the id column is a bounded build at any corpus size
+          case EqualTo(a, _: Literal) if a.toString.contains("vec_id") => ()
         }.nonEmpty => ()
       }.nonEmpty
       def dimOnly = {

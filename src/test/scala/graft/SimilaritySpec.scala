@@ -275,6 +275,35 @@ class SimilaritySpec extends SparkSpec {
       r(2L).getAs[Double]("purity") == 0.5)
   }
 
+  test("hybridRrfTopK: fusion rewards presence in both lists") {
+    import spark.implicits._
+    // docs: 1 and 2 carry the query term (1 twice); embeddings: 2 and 3
+    // are the closest to query vector 0 — doc 2 is in BOTH pools and
+    // must fuse to the top
+    val docs = Seq((1L, "cat cat x y"), (2L, "cat a b c"), (3L, "dog e f g"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 0), (1L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hybridRrfTopK(docs, emb, Seq("cat"), 0L, 10).collect()
+    val byId = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 2: lex rank 2 + sem rank 1 → 1/62 + 1/61 ≈ 0.0325; beats doc 1
+    // (lex 1 + sem 3 → 1/61 + 1/63 ≈ 0.0323) and doc 3 (sem 2 only)
+    assert(r.head.getAs[Long]("doc_id") == 2L)
+    assert(byId(2L).getAs[Int]("lex_rank") == 2 &&
+      byId(2L).getAs[Int]("sem_rank") == 1)
+    // doc 1 leads the lexical pool and trails the semantic pool (cos 0
+    // still makes the 20-row pool in this tiny corpus)
+    assert(byId(1L).getAs[Int]("lex_rank") == 1 &&
+      byId(1L).getAs[Int]("sem_rank") == 3)
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("lex_rank")),
+      "doc 3 has no query term, lex_rank must be NULL")
+    val s2 = byId(2L).getAs[Double]("rrf_score")
+    val s1 = byId(1L).getAs[Double]("rrf_score")
+    assert(s2 > s1, "two-list doc must outrank single-list docs")
+  }
+
   test("cosineThresholdCurve: deciles bucket pairs, cumulative from the top") {
     import spark.implicits._
     val pairs = Seq((1L, 2L, 0.95), (3L, 4L, 0.91), (5L, 6L, 0.42))
