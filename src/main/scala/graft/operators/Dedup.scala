@@ -886,20 +886,36 @@ object Dedup {
     * band buckets stay tiny on a billion-doc corpus, where a 16-bit
     * fingerprint's ~64-value band keys would collapse the corpus into
     * O(n²/64) candidate pairs.
+    *
+    * Scale shape: the fingerprint depends only on the doc's OWN tokens, so
+    * (like [[graft.operators.TextAnalysis.repetition]]) it is computed
+    * entirely inside array expressions — each token hashed ONCE, then one
+    * fold carrying the 60 signed bit-counters as an array column. A pure
+    * map-side projection with ZERO shuffle; the former explode +
+    * 60-aggregate formulation shuffled every distinct token in the corpus
+    * just to bring per-doc ±1 sums back together. Integer math is
+    * identical (bit i set iff Σ±1 > 0), so fingerprints — and the DuckDB
+    * oracle — are unchanged.
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val toks = graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
-      .select(col("doc_id"), explode(expr("array_distinct(tk)")).as("tok"))
-      .withColumn("hm", Hashing.h60(col("tok")))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(expr(s"(hm div ${1L << i}) % 2") === 1, 1).otherwise(-1)).as(s"s$i")
-    }
-    val fp = (0 until SimhashBits)
-      .map(i => when(col(s"s$i") > 0, 1L << i).otherwise(0L))
-      .reduce(_ + _)
-    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("fp"))
+    val bits = SimhashBits
+    graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        expr("""transform(array_distinct(split(text, '\\s+')),
+                          t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+          .as("hs"))
+      .select(col("doc_id"),
+        expr(
+          s"""aggregate(hs,
+                array_repeat(0L, $bits),
+                (acc, h) -> zip_with(acc, sequence(0L, ${bits - 1}L),
+                  (a, i) -> a + CASE WHEN (h div shiftleft(1L, CAST(i AS INT))) % 2 = 1
+                                     THEN 1L ELSE -1L END),
+                acc -> aggregate(
+                  zip_with(acc, sequence(0L, ${bits - 1}L),
+                    (s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, CAST(i AS INT))
+                                   ELSE 0L END),
+                  0L, (x, y) -> x + y))""").as("fp"))
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ SimhashBands-1).
