@@ -1784,5 +1784,126 @@ object PipelineOracles {
          SELECT t.cid, v.n_vectors, t.label AS top_label, t.n AS top_n,
                 floor(t.n::DOUBLE / v.n_vectors * 10000.0 + 0.5) / 10000.0 AS purity
          FROM tp t JOIN tv v ON v.cid = t.cid WHERE t.r = 1""",
+
+    "text_gopher_rules" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       list_sum(list_transform(tk, x -> length(x))) AS sum_tok_chars,
+                       len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_punct
+                FROM tok),
+         m AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                      floor(sum_tok_chars * 1.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS mean_tok_chars,
+                      floor(n_alpha * 1.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS frac_alpha,
+                      CAST(stop_hits AS BIGINT) AS stop_hits,
+                      floor(n_punct * 1.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS symbol_ratio
+               FROM t2)
+         SELECT doc_id, n_tokens, mean_tok_chars, frac_alpha, stop_hits, symbol_ratio,
+                n_tokens BETWEEN 50 AND 100000 AS flag_word_count,
+                mean_tok_chars BETWEEN 3.0 AND 10.0 AS flag_mean_len,
+                frac_alpha >= 0.8 AS flag_alpha,
+                stop_hits >= 2 AS flag_stops,
+                symbol_ratio < 0.1 AS flag_symbol,
+                (n_tokens BETWEEN 50 AND 100000) AND (mean_tok_chars BETWEEN 3.0 AND 10.0)
+                  AND frac_alpha >= 0.8 AND stop_hits >= 2 AND symbol_ratio < 0.1 AS "pass"
+         FROM m""",
+
+    "sample_dsir_weights" -> s"""WITH $tok,
+         tkx AS (SELECT doc_id, unnest(tk) AS tok2 FROM tok),
+         bc AS (SELECT doc_id, CAST(${h60("tok2")} % 64 AS BIGINT) AS b, count(*) AS c
+                FROM tkx GROUP BY 1, 2),
+         tq AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok),
+         q AS (SELECT doc_id FROM tq
+               WHERE floor((least(1.0, n_tokens / 100.0) * 0.4
+                     + (1.0 - punct * 1.0 / nchars) * 0.3
+                     + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 >= 0.7),
+         raw AS (SELECT b, sum(c) AS cr FROM bc GROUP BY 1),
+         tgt AS (SELECT b, sum(c) AS ct FROM bc JOIN q USING (doc_id) GROUP BY 1),
+         cn AS (SELECT raw.b, cr, coalesce(ct, 0) AS ct
+                FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM cn),
+         lr AS (SELECT b, CAST(floor(ln((ct + 1) / (t + 64)) * 1000000.0 + 0.5)
+                             - floor(ln((cr + 1) / (r + 64)) * 1000000.0 + 0.5) AS BIGINT) AS g
+                FROM cn CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                floor(sum(c * g) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS log_weight,
+                floor(sum(c * g) / (sum(c) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_log_ratio
+         FROM bc JOIN lr USING (b)
+         GROUP BY 1""",
+
+    "tokenizer_bpe_pairs" -> s"""WITH $tok,
+         tkx AS (SELECT unnest(tk) AS tok2 FROM tok),
+         vocab AS (SELECT tok2, count(*) AS cnt FROM tkx
+                   WHERE length(tok2) >= 2 GROUP BY 1),
+         pr AS (SELECT unnest(list_transform(generate_series(1, length(tok2) - 1),
+                                             i -> substr(tok2, i, 2))) AS pair,
+                       tok2, cnt
+                FROM vocab)
+         SELECT pair, CAST(sum(cnt) AS BIGINT) AS occurrences,
+                CAST(count(DISTINCT tok2) AS BIGINT) AS n_types
+         FROM pr GROUP BY 1
+         ORDER BY occurrences DESC, pair
+         LIMIT 20""",
+
+    "curriculum_stages" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok),
+         f AS (SELECT doc_id, n_tokens,
+                floor(least(1.0, n_tokens / 100.0) * 10000.0 + 0.5) / 10000.0 AS len_score,
+                floor((punct * 1.0 / nchars) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                floor((stops * 1.0 / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio
+               FROM t2),
+         sc AS (SELECT doc_id, n_tokens,
+                floor(greatest(0.0, least(1.0,
+                      (len_score * 0.9 - punct_ratio * 1.2 + stop_ratio * 0.6 - 0.1) * 0.5 + 0.5))
+                      * 10000.0 + 0.5) / 10000.0 AS model_score
+               FROM f),
+         r AS (SELECT doc_id, model_score, n_tokens,
+                      row_number() OVER (ORDER BY model_score DESC, doc_id) AS rnk,
+                      count(*) OVER () AS n_all
+               FROM sc)
+         SELECT CAST(((rnk - 1) * 4) // n_all AS BIGINT) AS stage,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                min(model_score) AS min_score, max(model_score) AS max_score
+         FROM r GROUP BY 1""",
+
+    "data_kfold_grouped" -> s"""WITH RECURSIVE ${minhashWith(0.5).stripPrefix("WITH")},
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+          gw AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+                 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+          SELECT doc_id, group_id,
+                 CAST(${h60("CAST(group_id AS VARCHAR) || 'kf1'")} % 5 AS BIGINT) AS fold
+          FROM gw""",
+
+    "embedding_dim_stats" -> """WITH
+         flat AS (SELECT i.pos AS dim,
+                         CAST(floor(embedding[i.pos]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS g
+                  FROM embeddings
+                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         agg AS (SELECT dim, count(*) AS n, sum(g) AS sg, sum(g * g) AS sg2
+                 FROM flat GROUP BY 1),
+         m AS (SELECT dim, CAST(n AS BIGINT) AS n,
+                      floor(sg / (n * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS mean_v,
+                      floor((sg2 / (n * 1000000000000.0)
+                             - (sg / (n * 1000000.0)) * (sg / (n * 1000000.0)))
+                            * 10000.0 + 0.5) / 10000.0 AS var_v
+               FROM agg)
+         SELECT dim, n, mean_v, var_v,
+                CAST(row_number() OVER (ORDER BY var_v DESC, dim) AS BIGINT) AS var_rank
+         FROM m""",
   )
 }

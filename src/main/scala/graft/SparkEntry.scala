@@ -288,6 +288,18 @@ object SparkEntry {
     "hybrid_rrf_topk" -> ((s, dir) => Similarity.hybridRrfTopK(
       t(s, dir, "documents"), t(s, dir, "embeddings"),
       Seq("spark", "window", "join"), 7L, 10)),
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"))),
+    "sample_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"))),
+    "tokenizer_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), 20)),
+    "curriculum_stages" -> ((s, dir) =>
+      TextAnalysis.curriculumStages(t(s, dir, "documents"), 4)),
+    "data_kfold_grouped" -> ((s, dir) => Dedup.kfoldGroupedOf(
+      t(s, dir, "documents"), Dedup.sharedClusters(s, dir), 5, "kf1")),
+    "embedding_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(t(s, dir, "embeddings"))),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -864,6 +864,25 @@ object Dedup {
     * float compare): re-salting redraws, corpus growth never flips
     * existing decisions, and both engines admit identical sets.
     */
+  /** Leakage-safe k-fold assignment: folds are drawn per near-dup GROUP,
+    * not per doc — every member of a cluster shares its representative's
+    * salted-hash fold, so near-duplicate documents can never straddle a
+    * train/eval fold boundary (the cross-validation twin of the
+    * contamination checks: without grouping, a near-copy of a training
+    * doc lands in the eval fold and inflates the score). Unclustered
+    * docs are their own group. One left join against the bounded cluster
+    * table plus a map-side hash — no new shuffle beyond what the shared
+    * components view already paid.
+    */
+  def kfoldGroupedOf(docs: DataFrame, clusters: DataFrame, k: Int,
+      salt: String): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .withColumn("fold", Hashing.h60mod(
+        concat(col("group_id").cast("string"), lit(salt)), k.toLong))
+
   def clusterDownweightOf(docs: DataFrame, clusters: DataFrame,
       salt: String): DataFrame =
     docs.select(col("doc_id"))

@@ -1177,6 +1177,37 @@ object Similarity {
     * interpolate between identical grid values on both engines. One scan,
     * one |labels|-row aggregate.
     */
+  /** Per-dimension component statistics over the embedding corpus: mean,
+    * variance and a variance rank for each of the 64 dimensions — the
+    * screen behind dimensionality reduction / dead-dimension detection
+    * (a near-zero-variance dim carries no signal and can be dropped or
+    * re-trained; a huge-variance dim dominates unnormalized distances).
+    * Engine-exact by the normStats recipe: each component snaps to its
+    * integer 1e-6 grid at the scan, the per-dim moments are exact
+    * integer sums, and mean/variance come out of one fixed IEEE formula
+    * on both engines. The posexplode is map-side; the aggregate lands on
+    * a 64-row key space (map-side combinable), and the rank window runs
+    * over those 64 rows only.
+    */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val flat = emb
+      .select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select((col("pos0") + 1).as("dim"),
+        floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long").as("g"))
+    val agg = flat.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sg2"))
+    val nD = col("n").cast("double")
+    val mean = col("sg") / (nD * 1000000.0)
+    val varr = col("sg2") / (nD * 1000000000000.0) - mean * mean
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("var_v").desc, col("dim"))
+    agg
+      .select(col("dim"), col("n"),
+        Hashing.rd4(mean).as("mean_v"), Hashing.rd4(varr).as("var_v"))
+      .withColumn("var_rank", row_number().over(w).cast("long"))
+  }
+
   def normStats(emb: DataFrame): DataFrame = {
     val g = floor(V.normF(col("embedding")) * 1000000.0 + 0.5)
     // gd pre-divides as DOUBLE via the Column API: inside an expr() the

@@ -689,6 +689,133 @@ object TextAnalysis {
           -sum(col("cg")) / (max(col("n_tokens")) * 1000000.0)).as("entropy"))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021's document screens): word
+    * count bounds, mean-word-length bounds, minimum alphabetic-token
+    * fraction, minimum stopword hits, and a symbol-to-word ceiling, each
+    * reported as its own flag plus the conjunction — the classic
+    * rule-based pre-filter a curation pipeline runs BEFORE any model
+    * scoring. Every metric depends only on the doc's own tokens, so the
+    * whole operator is array expressions over one scan: map-only, ZERO
+    * shuffle at any corpus size. Ratios are integer-sum quotients on the
+    * rd4 grid, and every flag compares the GRIDDED value, so both engines
+    * flip the same docs.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long").as("n_punct"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr("aggregate(tk, 0L, (a, x) -> a + length(x))").as("sum_tok_chars"),
+        expr("size(filter(tk, x -> x rlike '[a-z]'))").cast("long").as("n_alpha_tokens"),
+        expr("size(filter(tk, x -> x IN ('the','a','of','and','to','in','is')))")
+          .cast("long").as("stop_hits"),
+        col("n_punct"))
+      .select(col("doc_id"), col("n_tokens"),
+        rd4(col("sum_tok_chars") / col("n_tokens")).as("mean_tok_chars"),
+        rd4(col("n_alpha_tokens") / col("n_tokens")).as("frac_alpha"),
+        col("stop_hits"),
+        rd4(col("n_punct") / col("n_tokens")).as("symbol_ratio"))
+      .withColumn("flag_word_count", col("n_tokens").between(50L, 100000L))
+      .withColumn("flag_mean_len", col("mean_tok_chars").between(3.0, 10.0))
+      .withColumn("flag_alpha", col("frac_alpha") >= 0.8)
+      .withColumn("flag_stops", col("stop_hits") >= 2L)
+      .withColumn("flag_symbol", col("symbol_ratio") < 0.1)
+      .withColumn("pass",
+        col("flag_word_count") && col("flag_mean_len") && col("flag_alpha") &&
+          col("flag_stops") && col("flag_symbol"))
+  }
+
+  /** DSIR-style hashed-unigram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * tokens hash into `dim` feature buckets, a TARGET distribution is
+    * estimated from the high-quality slice (composite quality ≥
+    * `qualityCut` — in production, the target is the trusted corpus) and
+    * a RAW distribution from the whole corpus, both add-one smoothed;
+    * each doc's importance is its token-count-weighted sum of per-bucket
+    * log-ratios ln(p_target/p_raw). Docs that look like the target get
+    * positive log-weights and are preferentially resampled.
+    *
+    * Engine-exact: each bucket's two ln terms are snapped to the integer
+    * 1e-6 grid separately (the lmScore contract) and the per-doc
+    * accumulation is the exact integer Σ cnt·g. Scale shapes: the bucket
+    * tables are `dim` rows — broadcast literals, never shuffled; the only
+    * corpus-wide exchange is the (doc_id, bucket) wordcount combine.
+    */
+  def dsirWeights(docs: DataFrame, dim: Int = 64,
+      qualityCut: Double = 0.7): DataFrame = {
+    val docCnt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.Hashing.h60(col("tok")), lit(dim.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val targetIds = withQuality(docs)
+      .filter(col("quality") >= qualityCut).select(col("doc_id"))
+    val rawTot = docCnt.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgtTot = docCnt.join(targetIds, "doc_id")
+      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+    // target ⊆ raw, so left-joining raw covers every occupied bucket
+    val cnts = rawTot.join(tgtTot, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tots = cnts.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
+    val g = (floor(log((col("ct") + 1) / (col("t") + dim)) * 1000000.0 + 0.5) -
+      floor(log((col("cr") + 1) / (col("r") + dim)) * 1000000.0 + 0.5)).cast("long")
+    val lr = cnts.crossJoin(broadcast(tots)).select(col("b"), g.as("g"))
+    docCnt.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("g")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.functions.Hashing.rd4(col("s") / 1000000.0).as("log_weight"),
+        graft.functions.Hashing.rd4(
+          col("s") / (col("n_tokens") * 1000000.0)).as("avg_log_ratio"))
+  }
+
+  /** One BPE merge round over the corpus vocabulary: adjacent
+    * character-pair frequencies weighted by word-type counts — the
+    * statistic a byte-pair tokenizer trainer computes to pick its next
+    * merge (counting over the VOCABULARY with frequencies, as BPE
+    * trainers do, not over raw text — the pair explode runs on the
+    * distinct-type table, which is ≈√corpus by Zipf, so the heavy text
+    * scan contributes only the wordcount combine).
+    */
+  def bpePairStats(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), col("cnt"),
+        explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("occurrences"), countDistinct(col("tok")).as("n_types"))
+      .orderBy(col("occurrences").desc, col("pair"))
+      .limit(k)
+
+  /** Curriculum staging: the corpus ordered easy→hard by model score and
+    * cut into `nStages` equal-count stages, reporting each stage's doc
+    * and token mass plus its score range — the schedule table a
+    * curriculum-learning data loader consumes. The global ordering runs
+    * through [[graft.core.Ranking.withGlobalRank]] (one range shuffle, no
+    * single-task sort), the total count rides the same pass as the
+    * rank's broadcast total, and the stage id is exact integer
+    * arithmetic on (rank, n) — no percentile estimation drift.
+    */
+  def curriculumStages(docs: DataFrame, nStages: Int = 4): DataFrame = {
+    val scored = qualityModel(docs).select(col("doc_id"), col("model_score"))
+      .join(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    graft.core.Ranking
+      .withGlobalRank(scored, Seq(col("model_score").desc, col("doc_id")), "rnk",
+        totalCol = Some("n_all"))
+      .withColumn("stage", expr(s"((rnk - 1) * $nStages) div n_all"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("model_score")).as("min_score"),
+        max(col("model_score")).as("max_score"))
+  }
+
   /** Tokenizer-fertility report per source: doc/char/token totals plus
     * fertility (BPE-ish sub-tokens per whitespace token) and sub-token
     * density per 100 chars — the per-domain signal mixture design uses

@@ -249,6 +249,24 @@ class DedupSpec extends SparkSpec {
     assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
+  test("kfoldGrouped: cluster members share a fold, folds stay in range") {
+    import spark.implicits._
+    val d = docsDf(Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c")))
+    val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L))
+      .toDF("doc_id", "cluster_id", "csize")
+    val r = Dedup.kfoldGroupedOf(d, clusters, 5, "kf").collect()
+    assert(r.length == 5)
+    def fold(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("fold")
+    // near-dup cluster {1,2,3} can never straddle a fold boundary
+    assert(fold(1L) == fold(2L) && fold(2L) == fold(3L))
+    assert(r.forall { x => val f = x.getAs[Long]("fold"); f >= 0L && f < 5L })
+    // unclustered docs are their own group
+    assert(r.find(_.getAs[Long]("doc_id") == 4L).get.getAs[Long]("group_id") == 4L)
+    // re-salting redraws the assignment deterministically
+    val r2 = Dedup.kfoldGroupedOf(d, clusters, 5, "kf").collect()
+    assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+  }
+
   test("ngramNovelty: repeated content shows zero novelty in its bucket") {
     // 10 docs of 8 tokens each -> exactly one 8-shingle per doc, and with
     // nd = 10 the bucket id IS the doc id. Doc 5 repeats doc 0's text, so

@@ -241,6 +241,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dimStats: exact per-dimension moments and variance ranking") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 5.0f), 0),
+      (1L, Array(3.0f, 5.0f), 0)) // dim1: mean 2 var 1; dim2: mean 5 var 0
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.dimStats(e).collect()
+      .map(x => x.getAs[Int]("dim") -> x).toMap
+    assert(r(1).getAs[Double]("mean_v") == 2.0 && r(1).getAs[Double]("var_v") == 1.0)
+    assert(r(2).getAs[Double]("mean_v") == 5.0 && r(2).getAs[Double]("var_v") == 0.0)
+    assert(r(1).getAs[Long]("var_rank") == 1L && r(2).getAs[Long]("var_rank") == 2L)
+  }
+
   test("normStats: zero vectors counted, mean and percentiles exact") {
     import spark.implicits._
     val e = Seq(

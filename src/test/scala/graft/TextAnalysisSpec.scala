@@ -9,6 +9,59 @@ class TextAnalysisSpec extends SparkSpec {
     (2L, "on the mat the cat sat"), // same tokens, different order
     (3L, "xyzzy 42 plugh!")))
 
+  test("gopherRules: flags fire on the right screens and pass is their conjunction") {
+    val good = (Seq.fill(10)("the quick brown fox jumps") ++ Seq("of a to in is"))
+      .mkString(" ") // 55 tokens, all alphabetic, plenty of stopwords
+    val short = "tiny doc"
+    val symbols = (Seq.fill(30)("the cat !!! ??? ;;;")).mkString(" ") // symbol-heavy
+    val r = TextAnalysis.gopherRules(docsDf(Seq(
+      (1L, good), (2L, short), (3L, symbols)))).collect()
+    def row(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get
+    assert(row(1L).getAs[Boolean]("pass"))
+    assert(row(1L).getAs[Long]("n_tokens") == 55L)
+    assert(!row(2L).getAs[Boolean]("flag_word_count") && !row(2L).getAs[Boolean]("pass"))
+    assert(!row(3L).getAs[Boolean]("flag_symbol") && !row(3L).getAs[Boolean]("flag_alpha"))
+    assert(!row(3L).getAs[Boolean]("pass"))
+  }
+
+  test("dsirWeights: target-like docs outweigh junk") {
+    // two 100-token high-quality docs (stopword-rich, no punctuation →
+    // composite quality 1.0) define the target distribution; the junk doc
+    // shares no tokens with them
+    val target = (Seq.fill(20)("the data model trains well") ).mkString(" ")
+    val junk = Seq.fill(10)("zzz9!").mkString(" ")
+    val r = TextAnalysis.dsirWeights(docsDf(Seq(
+      (1L, target), (2L, target), (3L, junk)))).collect()
+    def w(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get.getAs[Double]("log_weight")
+    assert(w(1L) > w(3L))
+    assert(w(1L) > 0.0 && w(3L) < 0.0)
+  }
+
+  test("bpePairStats: pair counts weighted by word-type frequency") {
+    val r = TextAnalysis.bpePairStats(docsDf(Seq(
+      (1L, "abab cd"), (2L, "abab x"))), 10).collect()
+    def occ(p: String) = r.find(_.getAs[String]("pair") == p).map(_.getAs[Long]("occurrences"))
+    // "abab" has type count 2 and contains ab twice, ba once
+    assert(occ("ab").contains(4L))
+    assert(occ("ba").contains(2L))
+    assert(occ("cd").contains(1L))
+    assert(occ("x").isEmpty) // length-1 types contribute no pairs
+  }
+
+  test("curriculumStages: equal-count stages with non-increasing score ranges") {
+    val docs = docsDf((1L to 8L).map { i =>
+      // vary stopword density so model scores differ across docs
+      (i, (Seq.fill(i.toInt * 3)("the") ++ Seq.fill(30 - i.toInt * 3)("zq")).mkString(" "))
+    })
+    val r = TextAnalysis.curriculumStages(docs, 4).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(r.map(_.getAs[Long]("stage")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(r.forall(_.getAs[Long]("n_docs") == 2L))
+    r.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Double]("min_score") >= lo.getAs[Double]("max_score"))
+    }
+  }
+
   test("tokenCounts: whitespace and BPE-ish counts") {
     val r = TextAnalysis.tokenCounts(docs).collect()
     def row(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get
