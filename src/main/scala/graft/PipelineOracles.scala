@@ -1905,5 +1905,29 @@ object PipelineOracles {
          SELECT dim, n, mean_v, var_v,
                 CAST(row_number() OVER (ORDER BY var_v DESC, dim) AS BIGINT) AS var_rank
          FROM m""",
+
+    // one power-iteration round replayed verbatim: snap → center → dot
+    // (1e-9 grid) → weighted per-dim sum (1e-6 grid) → driver-order fold
+    "embedding_pca_power" -> """WITH
+         flat AS (SELECT vec_id, i.pos AS dim,
+                         CAST(floor(embedding[i.pos]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS g
+                  FROM embeddings
+                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         mn AS (SELECT dim, sum(g) AS sg, count(*) AS n FROM flat GROUP BY 1),
+         ctr AS (SELECT vec_id, f.dim, f.g / 1000000.0 - sg / (n * 1000000.0) AS cv, n
+                 FROM flat f JOIN mn USING (dim)),
+         d AS (SELECT vec_id,
+                      sum(CAST(floor(cv * 0.125 * 1000000000.0 + 0.5) AS BIGINT)) AS dq
+               FROM ctr GROUP BY 1),
+         u AS (SELECT dim,
+                      sum(CAST(floor(ctr.cv * (d.dq / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT)) AS ss,
+                      max(ctr.n) AS n
+               FROM ctr JOIN d USING (vec_id) GROUP BY 1),
+         uv AS (SELECT dim, ss / (n * 1000000.0) AS u FROM u),
+         nr AS (SELECT sqrt(list_reduce(list_transform(list(u ORDER BY dim), x -> x * x),
+                                        (a, b) -> a + b)) AS nrm FROM uv)
+         SELECT dim, floor(u / nrm * 1000000.0 + 0.5) / 1000000.0 AS loading,
+                floor(nrm * 10000.0 + 0.5) / 10000.0 AS eigenvalue
+         FROM uv CROSS JOIN nr""",
   )
 }

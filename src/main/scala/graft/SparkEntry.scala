@@ -300,6 +300,8 @@ object SparkEntry {
       t(s, dir, "documents"), Dedup.sharedClusters(s, dir), 5, "kf1")),
     "embedding_dim_stats" -> ((s, dir) =>
       Similarity.dimStats(t(s, dir, "embeddings"))),
+    "embedding_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(t(s, dir, "embeddings"), 1)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -1177,6 +1177,67 @@ object Similarity {
     * interpolate between identical grid values on both engines. One scan,
     * one |labels|-row aggregate.
     */
+  /** Top principal component by distributed power iteration — the
+    * dimensionality-reduction / whitening primitive over the embedding
+    * corpus. Each round is the classic two-pass shape: per-vector dot
+    * x_c·v (map-side against the broadcast direction literal), then the
+    * per-dimension weighted sum Σ_i x_c,i (x_c,i·v) — one aggregation to
+    * a `dim`-row table, collected to the driver (the bounded-collect
+    * centroid precedent: `dim` doubles per round, never corpus data) and
+    * re-normalized there. The eigenvalue estimate ‖Cv‖ rides the same
+    * pass.
+    *
+    * Engine-exact: components snap to the 1e-6 grid at the scan, means
+    * come from exact integer sums, every per-term product entering a
+    * row-order-dependent sum is snapped to its integer grid first (dots
+    * at 1e-9, loadings at 1e-6 — the entropy/lmScore contract), and the
+    * driver-side norm folds the `dim` squares in dimension order exactly
+    * as the oracle's list_reduce does. The registered query runs ONE
+    * iteration (the oracle replays it verbatim); callers iterate to
+    * convergence — each extra round is the same two jobs.
+    */
+  def pcaPower(emb: DataFrame, iters: Int = 1, dim: Int = 64): DataFrame = {
+    val flat = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
+      .select(col("vec_id"), (col("p0") + 1).as("dim"),
+        floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long").as("g"))
+    val mn = flat.groupBy(col("dim"))
+      .agg(sum(col("g")).as("sg"), count(lit(1)).as("n"))
+    val cDf = flat.join(broadcast(mn), "dim")
+      .select(col("vec_id"), col("dim"),
+        (col("g") / 1000000.0 - col("sg") / (col("n") * 1000000.0)).as("c"),
+        col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var eig = 0.0
+    (1 to iters).foreach { _ =>
+      val vCol = array(v.map(lit): _*)
+      val dots = cDf
+        .withColumn("t", floor(col("c") * element_at(vCol, col("dim")) *
+          1000000000.0 + 0.5).cast("long"))
+        .groupBy(col("vec_id")).agg(sum(col("t")).as("dq"))
+      val u = cDf.join(dots, "vec_id")
+        .select(col("dim"), col("n"),
+          floor(col("c") * (col("dq") / 1000000000.0) * 1000000.0 + 0.5)
+            .cast("long").as("s"))
+        .groupBy(col("dim"))
+        .agg(sum(col("s")).as("ss"), max(col("n")).as("n"))
+        .select(col("dim"), (col("ss") / (col("n") * 1000000.0)).as("u"))
+        .collect()
+        .sortBy(_.getAs[Int]("dim"))
+        .map(_.getAs[Double]("u"))
+      eig = math.sqrt(u.map(x => x * x).reduceLeft(_ + _))
+      require(eig > 0.0, "pcaPower: zero-variance corpus has no principal component")
+      v = u.map(x => math.floor(x / eig * 1000000.0 + 0.5) / 1000000.0)
+    }
+    cDf.unpersist()
+    val eigOut = math.floor(eig * 10000.0 + 0.5) / 10000.0
+    val session = emb.sparkSession
+    session.createDataFrame(
+      (1 to dim).map(i => (i, v(i - 1), eigOut)))
+      .toDF("dim", "loading", "eigenvalue")
+  }
+
   /** Per-dimension component statistics over the embedding corpus: mean,
     * variance and a variance rank for each of the 64 dimensions — the
     * screen behind dimensionality reduction / dead-dimension detection

@@ -241,6 +241,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pcaPower: converges to the dominant direction with its eigenvalue") {
+    import spark.implicits._
+    // zero-mean rank-1 cloud along (3,1)/sqrt(10): lambda1 = 25
+    val e = Seq(
+      (0L, Array(3.0f, 1.0f), 0), (1L, Array(-3.0f, -1.0f), 0),
+      (2L, Array(6.0f, 2.0f), 0), (3L, Array(-6.0f, -2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pcaPower(e, iters = 3, dim = 2).collect()
+      .map(x => x.getAs[Int]("dim") -> x).toMap
+    val (l1, l2) = (r(1).getAs[Double]("loading"), r(2).getAs[Double]("loading"))
+    val trueDir = (3.0 / math.sqrt(10.0), 1.0 / math.sqrt(10.0))
+    assert(math.abs(math.abs(l1 * trueDir._1 + l2 * trueDir._2) - 1.0) < 1e-4)
+    assert(math.abs(r(1).getAs[Double]("eigenvalue") - 25.0) < 0.01)
+  }
+
   test("dimStats: exact per-dimension moments and variance ranking") {
     import spark.implicits._
     val e = Seq(
