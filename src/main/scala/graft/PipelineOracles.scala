@@ -1929,5 +1929,38 @@ object PipelineOracles {
          SELECT dim, floor(u / nrm * 1000000.0 + 0.5) / 1000000.0 AS loading,
                 floor(nrm * 10000.0 + 0.5) / 10000.0 AS eigenvalue
          FROM uv CROSS JOIN nr""",
+
+    "embedding_outliers" -> """WITH
+         flat AS (SELECT vec_id, i.pos AS dim,
+                         CAST(floor(embedding[i.pos]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS g
+                  FROM embeddings
+                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         mn AS (SELECT dim, count(*) AS n, sum(g) AS sg, sum(g * g) AS sg2
+                FROM flat GROUP BY 1),
+         st AS (SELECT dim, sg / (n * 1000000.0) AS m,
+                       sg2 / (n * 1000000000000.0)
+                         - (sg / (n * 1000000.0)) * (sg / (n * 1000000.0)) AS va
+                FROM mn),
+         sp AS (SELECT dim, m, va FROM st WHERE va > 0.0),
+         sc AS (SELECT vec_id,
+                       sum(CAST(floor((g / 1000000.0 - m) * (g / 1000000.0 - m) / va
+                                      * 1000000.0 + 0.5) AS BIGINT)) AS sq
+                FROM flat JOIN sp USING (dim) GROUP BY 1)
+         SELECT vec_id, floor(sq / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
+         FROM sc
+         ORDER BY score DESC, vec_id
+         LIMIT 20""",
+
+    "packing_efficiency" -> s"""WITH $tok,
+         nt AS (SELECT CAST(len(tk) AS BIGINT) AS n FROM tok),
+         e AS (SELECT n, unnest([128, 256, 512, 1024]) AS ctx FROM nt)
+         SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS total_tokens,
+                CAST(sum(((n + ctx - 1) // ctx) * ctx) AS BIGINT) AS padded_tokens,
+                CAST(sum((n + ctx - 1) // ctx) AS BIGINT) AS n_seqs_padded,
+                CAST((sum(n) + ctx - 1) // ctx AS BIGINT) AS n_seqs_packed,
+                floor((1.0 - sum(n) / sum(((n + ctx - 1) // ctx) * ctx))
+                      * 10000.0 + 0.5) / 10000.0 AS pad_waste
+         FROM e GROUP BY ctx""",
   )
 }

@@ -302,6 +302,10 @@ object SparkEntry {
       Similarity.dimStats(t(s, dir, "embeddings"))),
     "embedding_pca_power" -> ((s, dir) =>
       Similarity.pcaPower(t(s, dir, "embeddings"), 1)),
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), 20)),
+    "packing_efficiency" -> ((s, dir) =>
+      TextAnalysis.packingEfficiency(t(s, dir, "documents"))),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -1238,6 +1238,41 @@ object Similarity {
       .toDF("dim", "loading", "eigenvalue")
   }
 
+  /** Embedding-space outlier screen: per-vector diagonal-Mahalanobis
+    * distance to the corpus (Σ_d (x_d−μ_d)²/σ²_d over dims with positive
+    * variance), top-k reported — the curation filter for mis-embedded /
+    * out-of-distribution vectors before they poison an index or a
+    * dedup pass. The moment table is the [[dimStats]] aggregate (a
+    * `dim`-row broadcast); the score pass is map-side with one per-vector
+    * combine, each term snapped to its integer 1e-6 grid before the
+    * order-dependent sum (the entropy contract), and the top-k is a
+    * TakeOrdered with vec_id tie-break — no global sort at any width.
+    */
+  def embeddingOutliers(emb: DataFrame, k: Int = 20): DataFrame = {
+    val flat = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
+      .select(col("vec_id"), (col("p0") + 1).as("dim"),
+        floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long").as("g"))
+    val mn = flat.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sg2"))
+    val nD = col("n").cast("double")
+    val meanE = col("sg") / (nD * 1000000.0)
+    val stats = mn
+      .select(col("dim"), meanE.as("m"),
+        (col("sg2") / (nD * 1000000000000.0) - meanE * meanE).as("va"))
+      .filter(col("va") > 0.0)
+    val dev = col("g") / 1000000.0 - col("m")
+    flat.join(broadcast(stats), "dim")
+      .select(col("vec_id"),
+        floor(dev * dev / col("va") * 1000000.0 + 0.5).cast("long").as("t"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("t")).as("sq"))
+      .select(col("vec_id"), Hashing.rd4(col("sq") / 1000000.0).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-dimension component statistics over the embedding corpus: mean,
     * variance and a variance rank for each of the 64 dimensions — the
     * screen behind dimensionality reduction / dead-dimension detection

@@ -816,6 +816,27 @@ object TextAnalysis {
         max(col("model_score")).as("max_score"))
   }
 
+  /** Context-length sizing report: for each candidate training context
+    * length, the padding waste of doc-per-sequence batching (Σ ceil(n/L)·L
+    * versus actual tokens) and the sequence counts padded vs packed — the
+    * table that decides between padding and [[seqPack]]-style packing,
+    * and at which L. Pure integer arithmetic off one token-count
+    * projection exploded over the fixed length grid: map-only into a
+    * |lengths|-row aggregate.
+    */
+  def packingEfficiency(docs: DataFrame,
+      lengths: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame =
+    docs
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .select(col("n"), explode(array(lengths.map(lit): _*)).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        sum(expr("((n + ctx - 1) div ctx) * ctx")).as("padded_tokens"),
+        sum(expr("(n + ctx - 1) div ctx")).as("n_seqs_padded"))
+      .withColumn("n_seqs_packed", expr("(total_tokens + ctx - 1) div ctx"))
+      .withColumn("pad_waste", graft.functions.Hashing.rd4(
+        lit(1.0) - col("total_tokens") / col("padded_tokens")))
+
   /** Tokenizer-fertility report per source: doc/char/token totals plus
     * fertility (BPE-ish sub-tokens per whitespace token) and sub-token
     * density per 100 chars — the per-domain signal mixture design uses

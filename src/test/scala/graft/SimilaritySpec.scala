@@ -256,6 +256,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r(1).getAs[Double]("eigenvalue") - 25.0) < 0.01)
   }
 
+  test("embeddingOutliers: the out-of-distribution vector ranks first") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(1.1f, 0.0f), 0),
+      (2L, Array(0.9f, -0.1f), 0), (3L, Array(1.0f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingOutliers(e, 4).collect()
+    assert(r.head.getAs[Long]("vec_id") == 3L)
+    assert(r.head.getAs[Double]("score") > r(1).getAs[Double]("score"))
+    val r2 = Similarity.embeddingOutliers(e, 4).collect()
+    assert(r.map(_.toString).sameElements(r2.map(_.toString)))
+  }
+
   test("dimStats: exact per-dimension moments and variance ranking") {
     import spark.implicits._
     val e = Seq(

@@ -62,6 +62,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("packingEfficiency: exact integer padding accounting") {
+    val d = docsDf(Seq(
+      (1L, Seq.fill(10)("a").mkString(" ")),   // 10 tokens
+      (2L, Seq.fill(300)("b").mkString(" ")))) // 300 tokens
+    val r = TextAnalysis.packingEfficiency(d, Seq(256)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("total_tokens") == 310L)
+    assert(row.getAs[Long]("padded_tokens") == 768L) // 256 + 512
+    assert(row.getAs[Long]("n_seqs_padded") == 3L)
+    assert(row.getAs[Long]("n_seqs_packed") == 2L)
+    assert(row.getAs[Double]("pad_waste") == math.floor((1.0 - 310.0 / 768.0) * 10000.0 + 0.5) / 10000.0)
+  }
+
   test("tokenCounts: whitespace and BPE-ish counts") {
     val r = TextAnalysis.tokenCounts(docs).collect()
     def row(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get
