@@ -367,4 +367,26 @@ class StreamingSpec extends SparkSpec {
       assert(kept.toSeq == Seq(1L))
     } finally q.stop()
   }
+
+  test("gopher rules gate a stream with the unchanged batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // gopherRules is array expressions over one projection — zero shuffle,
+    // zero state — so the batch screens run on arriving micro-batches as-is
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.operators.TextAnalysis
+      .gopherRules(input.toDF().toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.col("pass"))
+      .select("doc_id", "n_tokens")
+    val q = gated.writeStream.format("memory").queryName("gopher_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val good = (Seq.fill(10)("the quick brown fox jumps") ++ Seq("of a to in is"))
+        .mkString(" ")
+      input.addData((1L, good), (2L, "too short"))
+      q.processAllAvailable()
+      val kept = spark.table("gopher_gate").collect().map(_.getAs[Long]("doc_id"))
+      assert(kept.toSeq == Seq(1L))
+    } finally q.stop()
+  }
 }
