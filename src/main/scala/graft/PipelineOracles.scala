@@ -1962,5 +1962,39 @@ object PipelineOracles {
                 floor((1.0 - sum(n) / sum(((n + ctx - 1) // ctx) * ctx))
                       * 10000.0 + 0.5) / 10000.0 AS pad_waste
          FROM e GROUP BY ctx""",
+
+    "corpus_zipf_slope" -> s"""WITH $tok,
+         tkx AS (SELECT unnest(tk) AS tok2 FROM tok),
+         vocab AS (SELECT tok2, count(*) AS cnt FROM tkx
+                   WHERE tok2 <> '' GROUP BY 1),
+         top AS (SELECT tok2, cnt FROM vocab ORDER BY cnt DESC, tok2 LIMIT 100),
+         pts AS (SELECT CAST(floor(ln(row_number() OVER (ORDER BY cnt DESC, tok2)::DOUBLE)
+                                   * 1000000.0 + 0.5) AS BIGINT) AS gx,
+                        CAST(floor(ln(cnt::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS gy
+                 FROM top),
+         ag AS (SELECT count(*) AS n_points, sum(gx) AS sx, sum(gy) AS sy,
+                       sum(gx * gy) AS sxy, sum(gx * gx) AS sxx
+                FROM pts)
+         SELECT CAST(n_points AS BIGINT) AS n_points,
+                floor(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_points * sxx - sx * sx AS DOUBLE)
+                      * 10000.0 + 0.5) / 10000.0 AS slope,
+                floor((sy - CAST(n_points * sxy - sx * sy AS DOUBLE)
+                            / CAST(n_points * sxx - sx * sx AS DOUBLE) * sx)
+                      / (n_points * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS intercept
+         FROM ag""",
+
+    "corpus_top_boilerplate" -> s"""WITH $tok,
+         shg AS (SELECT doc_id, sg FROM
+                   (SELECT doc_id, unnest(list_distinct(
+                      CASE WHEN len(tk) >= 8
+                           THEN list_transform(generate_series(1, len(tk)-7),
+                                               i -> array_to_string(tk[i:i+7], ' '))
+                           ELSE []::VARCHAR[] END)) AS sg FROM tok)),
+         dfp AS (SELECT sg, CAST(${h60("sg")} AS BIGINT) AS shingle, count(*) AS df
+                 FROM shg GROUP BY 1, 2),
+         top AS (SELECT sg AS gram, CAST(df AS BIGINT) AS df FROM dfp
+                 ORDER BY df DESC, shingle LIMIT 20)
+         SELECT gram, df FROM top ORDER BY df DESC, gram""",
   )
 }

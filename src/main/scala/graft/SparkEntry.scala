@@ -306,6 +306,10 @@ object SparkEntry {
       Similarity.embeddingOutliers(t(s, dir, "embeddings"), 20)),
     "packing_efficiency" -> ((s, dir) =>
       TextAnalysis.packingEfficiency(t(s, dir, "documents"))),
+    "corpus_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), 100)),
+    "corpus_top_boilerplate" -> ((s, dir) => Dedup.topBoilerplateOf(
+      t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), 8, 20)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -864,6 +864,34 @@ object Dedup {
     * float compare): re-salting redraws, corpus growth never flips
     * existing decisions, and both engines admit identical sets.
     */
+  /** Top boilerplate n-grams by document frequency — "what does the df
+    * cap actually cap": the navbars/footers/licence blurbs that dominate
+    * a crawl, surfaced with their text for a human to write cleanup
+    * rules against. Two-phase inverted fetch so gram STRINGS never
+    * shuffle at corpus width: the df ranking runs over the shared
+    * 60-bit-hash shingle table (TakeOrdered top-k), then one map-only
+    * re-derivation of gram text joins against the BROADCAST k-row top
+    * list — only the ≤k surviving strings reach the final aggregate.
+    */
+  def topBoilerplateOf(docs: DataFrame, shin: DataFrame, n: Int = 8,
+      k: Int = 20): DataFrame = {
+    val top = shin.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle")).limit(k)
+    val grams = graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(split(col("text"), "\\s+").as("tk"))
+      .select(explode(expr(
+        s"""array_distinct(
+              CASE WHEN size(tk) >= $n
+                   THEN transform(sequence(1, size(tk) - ${n - 1}),
+                                  i -> array_join(slice(tk, i, $n), ' '))
+                   ELSE slice(tk, 1, 0) END)""")).as("g"))
+      .select(col("g"), Hashing.h60(col("g")).as("shingle"))
+    grams.join(broadcast(top), "shingle")
+      .groupBy(col("shingle"), col("df")).agg(min(col("g")).as("gram"))
+      .select(col("gram"), col("df"))
+      .orderBy(col("df").desc, col("gram"))
+  }
+
   /** Leakage-safe k-fold assignment: folds are drawn per near-dup GROUP,
     * not per doc — every member of a cluster shares its representative's
     * salted-hash fold, so near-duplicate documents can never straddle a

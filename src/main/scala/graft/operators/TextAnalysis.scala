@@ -816,6 +816,40 @@ object TextAnalysis {
         max(col("model_score")).as("max_score"))
   }
 
+  /** Zipf-law fit over the corpus vocabulary: least-squares slope and
+    * intercept of ln(freq) against ln(rank) over the top-k types — the
+    * one-row corpus-health diagnostic (natural text sits near slope −1;
+    * a flat curve means boilerplate flooding, a cliff means template
+    * spam). The top-k cut is a TakeOrdered over the vocabulary aggregate
+    * (the rank window then runs under that Limit — bounded by
+    * construction); both ln terms snap to the integer 1e-6 grid and the
+    * regression moments are exact integer sums, so the closed-form
+    * slope/intercept are single IEEE expressions on both engines.
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 100): DataFrame = {
+    val top = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val pts = top.withColumn("rnk", row_number().over(w))
+      .select(
+        floor(log(col("rnk").cast("double")) * 1000000.0 + 0.5).cast("long").as("gx"),
+        floor(log(col("cnt").cast("double")) * 1000000.0 + 0.5).cast("long").as("gy"))
+    val slope = (col("n_points") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double")
+    pts
+      .agg(count(lit(1)).as("n_points"), sum(col("gx")).as("sx"),
+        sum(col("gy")).as("sy"), sum(col("gx") * col("gy")).as("sxy"),
+        sum(col("gx") * col("gx")).as("sxx"))
+      .select(col("n_points"),
+        graft.functions.Hashing.rd4(slope).as("slope"),
+        graft.functions.Hashing.rd4(
+          (col("sy") - slope * col("sx")) / (col("n_points") * 1000000.0))
+          .as("intercept"))
+  }
+
   /** Context-length sizing report: for each candidate training context
     * length, the padding waste of doc-per-sequence batching (Σ ceil(n/L)·L
     * versus actual tokens) and the sequence counts padded vs packed — the

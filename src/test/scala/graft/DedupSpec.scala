@@ -249,6 +249,17 @@ class DedupSpec extends SparkSpec {
     assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
+  test("topBoilerplate: the shared 8-gram surfaces with its text and df") {
+    val prefix = "one two three four five six seven eight"
+    val d = docsDf(Seq(
+      (1L, s"$prefix alpha beta"), (2L, s"$prefix gamma delta"),
+      (3L, "totally different words with no shared gram here at all")))
+    val r = Dedup.topBoilerplateOf(d, Dedup.shingles(d, 8), 8, 3).collect()
+    assert(r.head.getAs[String]("gram") == prefix)
+    assert(r.head.getAs[Long]("df") == 2L)
+    assert(r.forall(_.getAs[Long]("df") >= 1L))
+  }
+
   test("kfoldGrouped: cluster members share a fold, folds stay in range") {
     import spark.implicits._
     val d = docsDf(Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c")))

@@ -62,6 +62,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("zipfSlope: negative slope on a skewed vocabulary, deterministic") {
+    val d = docsDf(Seq(
+      (1L, (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") ++ Seq("dd")).mkString(" "))))
+    val r = TextAnalysis.zipfSlope(d, 100).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_points") == 4L)
+    assert(r.head.getAs[Double]("slope") < 0.0)
+    val r2 = TextAnalysis.zipfSlope(d, 100).collect()
+    assert(r.head.toString == r2.head.toString)
+  }
+
   test("packingEfficiency: exact integer padding accounting") {
     val d = docsDf(Seq(
       (1L, Seq.fill(10)("a").mkString(" ")),   // 10 tokens
