@@ -205,6 +205,39 @@ object AnnScaleCheck {
       f"contamination recall $contRecall%.4f below 0.99 — gate lost planted leaks")
     cont.unpersist()
 
+    // --- 6. embedding analytics at width: scale dim 1 by 4x (a planted
+    // dominant direction) and append one far-out-of-distribution vector
+    // (all 5.0s). dimStats must rank dim 1 first by variance, the
+    // diagonal-Mahalanobis screen must rank the planted vector first,
+    // and 2 power-iteration rounds must align the principal component
+    // with e1 — closed-form ground truth the corpus generator controls.
+    val embA = emb
+      .select(col("vec_id"), expr(
+        "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(x * 4.0 AS FLOAT) ELSE x END)")
+        .as("embedding"))
+      .unionAll(spark.range(1).select(lit(nVec).as("vec_id"), expr(
+        s"transform(sequence(1, $dim), j -> CAST(5.0 AS FLOAT))").as("embedding")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed(s"dimStats + outliers + pcaPower over $nVec vectors") {
+      val ds = Similarity.dimStats(embA).collect()
+      val v1 = ds.find(_.getAs[Int]("dim") == 1).get
+      require(v1.getAs[Long]("var_rank") == 1L,
+        s"planted 4x dimension ranks ${v1.getAs[Long]("var_rank")}, not 1")
+      val medVar = ds.map(_.getAs[Double]("var_v")).sorted.apply(dim / 2)
+      require(v1.getAs[Double]("var_v") > 10.0 * medVar,
+        f"dim-1 variance ${v1.getAs[Double]("var_v")}%.4f not dominant over median $medVar%.4f")
+      val out = Similarity.embeddingOutliers(embA, 10).collect()
+      require(out.head.getAs[Long]("vec_id") == nVec,
+        s"planted OOD vector ranks behind ${out.head.getAs[Long]("vec_id")}")
+      val pca = Similarity.pcaPower(embA, iters = 2).collect()
+      val l1 = math.abs(pca.find(_.getAs[Int]("dim") == 1).get.getAs[Double]("loading"))
+      require(l1 > 0.95,
+        f"principal loading on the planted dominant dim is $l1%.4f < 0.95")
+      println(f"  dim-1 var rank 1 (${v1.getAs[Double]("var_v")}%.4f vs median " +
+        f"$medVar%.4f), OOD vector ranks first, |PC1·e1| = $l1%.4f")
+    }
+    embA.unpersist()
+
     println(s"AnnScaleCheck OK at $nVec vectors")
     spark.stop()
   }

@@ -162,6 +162,74 @@ object TextScaleCheck {
       tf.unpersist()
     }
 
+    // ---- 6. gopherRules: map-only rule screens reconcile to closed
+    // forms at width. Synthetic tokens are 'w<digits>' — all alphabetic
+    // (flag_alpha true everywhere), zero punctuation (flag_symbol true),
+    // zero stopwords (flag_stops false), and flag_word_count must flip
+    // EXACTLY on the n_tok >= 50 boundary the generator controls.
+    Harness.timed("gopherRules") {
+      val g = TextAnalysis.gopherRules(docs).persist()
+      val agg = g.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("flag_alpha"), 0L).otherwise(1L)).as("badAlpha"),
+        sum(when(col("flag_symbol"), 0L).otherwise(1L)).as("badSym"),
+        sum(when(col("flag_stops"), 1L).otherwise(0L)).as("anyStops"),
+        sum(when(col("flag_word_count"), 1L).otherwise(0L)).as("longEnough")).head()
+      require(agg.getAs[Long]("n") == total, "gopher row count changed")
+      require(agg.getAs[Long]("badAlpha") == 0L, "alphabetic flag misfired")
+      require(agg.getAs[Long]("badSym") == 0L, "symbol flag misfired")
+      require(agg.getAs[Long]("anyStops") == 0L,
+        "stopword flag fired on a stopword-free corpus")
+      val expectLong = docs.filter(col("n_tok") >= 50).count()
+      require(agg.getAs[Long]("longEnough") == expectLong,
+        s"word-count flag ${agg.getAs[Long]("longEnough")} != generator's $expectLong")
+      println(s"[text-scale] gopher: $total docs screened map-only, " +
+        s"word-count flag exact on the 50-token boundary ($expectLong pass)")
+      g.unpersist()
+    }
+
+    // ---- 7. dsirWeights: the synthetic corpus draws every token from
+    // the SAME uniform vocabulary regardless of quality, so the target
+    // (quality >= 0.7 ⇔ n_tok >= 100 here: no punctuation and no
+    // stopwords pin the other two quality terms) and raw distributions
+    // coincide — importance weights must vanish to within the hash-
+    // bucket sampling noise of ~hundreds of millions of token draws.
+    // Also reconciles the per-doc integer token accounting exactly.
+    val nDsir = math.max(nDocs / 5, 1000L)
+    Harness.timed(s"dsirWeights($nDsir docs)") {
+      val dCorpus = corpus(nDsir).persist()
+      val w = TextAnalysis.dsirWeights(dCorpus).persist()
+      val n = w.count()
+      require(n == nDsir, s"dsir rows $n != $nDsir")
+      val tokTotal = w.agg(sum(col("n_tokens"))).head().getLong(0)
+      val expectTok = dCorpus.agg(sum(col("n_tok"))).head().getLong(0)
+      require(tokTotal == expectTok, s"dsir token total $tokTotal != $expectTok")
+      val worst = w.agg(max(abs(col("avg_log_ratio")))).head().getDouble(0)
+      require(worst < 0.01,
+        f"identical target/raw distributions but avg log-ratio reaches $worst%.5f")
+      println(f"[text-scale] dsir: $n docs, token accounting exact, " +
+        f"max |avg_log_ratio| $worst%.5f on identical distributions")
+      w.unpersist(); dCorpus.unpersist()
+    }
+
+    // ---- 8. bpePairStats: the pair explode must run over the VOCABULARY
+    // (the same 200k types at any corpus slice — token draws are uniform),
+    // not the raw token stream — this phase times that claim over the
+    // ~120M-token slice (the entropy/dsir width: the full 5M-doc cache +
+    // a 600M-token wordcount together overrun the 8g harness heap) and
+    // pins the ranking shape.
+    Harness.timed(s"bpePairStats($nEnt docs)") {
+      val top = TextAnalysis.bpePairStats(corpus(nEnt), 20).collect()
+      require(top.length == 20, s"expected 20 pairs, got ${top.length}")
+      val occs = top.map(_.getAs[Long]("occurrences"))
+      require(occs.sameElements(occs.sorted.reverse), "pairs not rank-ordered")
+      // every type is 'w<digits>', so every top pair is w+digit or digit+digit
+      require(top.forall(_.getAs[String]("pair").matches("[w0-9][0-9]")),
+        "unexpected pair alphabet")
+      println(s"[text-scale] bpe: top pair '${top.head.getAs[String]("pair")}' " +
+        s"x ${occs.head} from a 200k-type vocabulary explode")
+    }
+
     docs.unpersist()
     println("[text-scale] ALL CHECKS PASSED")
     spark.stop()
