@@ -803,9 +803,19 @@ object TextAnalysis {
     * arithmetic on (rank, n) — no percentile estimation drift.
     */
   def curriculumStages(docs: DataFrame, nStages: Int = 4): DataFrame = {
-    val scored = qualityModel(docs).select(col("doc_id"), col("model_score"))
-      .join(docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // qualityModel's features all come from withQuality, which also
+    // carries n_tokens — ONE projection feeds both the score and the
+    // token mass, instead of a second scan + doc_id join
+    val q = withQuality(docs)
+    val lenScore = graft.functions.Hashing.rd4(
+      least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+    val z = lenScore * lit(0.9) - col("punct_ratio") * lit(1.2) +
+      col("stop_ratio") * lit(0.6) - lit(0.1)
+    val scored = q.select(col("doc_id"),
+      graft.functions.Hashing.rd4(
+        greatest(lit(0.0), least(lit(1.0), z * lit(0.5) + lit(0.5))))
+        .as("model_score"),
+      col("n_tokens").cast("long").as("n_tokens"))
     graft.core.Ranking
       .withGlobalRank(scored, Seq(col("model_score").desc, col("doc_id")), "rnk",
         totalCol = Some("n_all"))
