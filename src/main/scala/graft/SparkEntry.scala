@@ -194,6 +194,8 @@ object SparkEntry {
     "ann_filtered_topk" -> ((s, dir) =>
       Similarity.filteredTopK(t(s, dir, "embeddings"), 10, 5, col("label") === 3)),
     "ts_double_smooth" -> ((s, dir) => Tsdb.doubleSmooth(Tsdb.points1(t(s, dir, "events")), 0.3)),
+    "ts_holt_winters" -> ((s, dir) =>
+      Tsdb.holtWinters(Tsdb.points1(t(s, dir, "events")), 0.5, 0.3, 0.2, 6)),
     "ts_pivot_wide" -> ((s, dir) => Tsdb.pivotWide(Tsdb.points1(t(s, dir, "events")),
       Seq("click", "error", "purchase", "signup", "view"))),
     "olap_cube_report" -> (Analytics.cubeReport _),
@@ -1028,6 +1030,44 @@ object SparkEntry {
                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS sm
                FROM s)
          SELECT f1, bucket, floor(sm * 10000.0 + 0.5) / 10000.0 AS ewma FROM e""",
+
+    // the Holt-Winters fold replayed verbatim. DuckDB's list_reduce takes
+    // no initial accumulator AND (1.0.0) silently drops list growth
+    // inside a STRUCT accumulator, so the state rides a flat DOUBLE list:
+    // [i, lvl, tr, se1..se6, fc...] — the first element IS the initial
+    // state, later elements carry [p, x].
+    "ts_holt_winters" -> {
+      val slot = "acc[(CAST(acc[1] AS INT) % 6) + 4]"
+      val lvl2 = s"(0.5 * (e[2] - $slot) + 0.5 * (acc[2] + acc[3]))"
+      val seUpd = (0 until 6).map { j =>
+        s"""CASE WHEN CAST(acc[1] AS INT) % 6 = $j
+                 THEN 0.2 * (e[2] - $lvl2) + 0.8 * acc[${j + 4}]
+                 ELSE acc[${j + 4}] END"""
+      }.mkString(",\n               ")
+      s"""$store1,
+         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
+                      list(total ORDER BY bucket) AS tt
+               FROM store GROUP BY 1),
+         hw AS (SELECT f1, bk, tt,
+           list_slice(list_reduce(
+             list_transform(generate_series(1, len(tt)), p -> CASE WHEN p = 1
+               THEN [1.0::DOUBLE, tt[1]::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                     0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                     0.0::DOUBLE, tt[1]::DOUBLE]
+               ELSE [p::DOUBLE, tt[p]::DOUBLE] END),
+             (acc, e) -> [
+               acc[1] + 1.0,
+               $lvl2,
+               0.3 * ($lvl2 - acc[2]) + 0.7 * acc[3],
+               $seUpd
+             ] || list_slice(acc, 10, len(acc))
+               || [acc[2] + acc[3] + $slot]
+           ), 10, 9 + len(tt)) AS fc
+          FROM s)
+         SELECT f1, unnest(bk) AS bucket, unnest(tt) AS total,
+                floor(unnest(fc) * 10000.0 + 0.5) / 10000.0 AS forecast
+         FROM hw"""
+    },
 
     "ts_double_smooth" -> s"""$brownCtes
          SELECT f1, bucket,

@@ -1206,6 +1206,61 @@ object Tsdb {
     * relying on the engine's division-by-zero convention would diverge
     * (Spark NULL-drops the row, DuckDB propagates ±inf).
     */
+  /** Additive Holt-Winters (triple exponential smoothing) per series:
+    * level + trend + an m-slot seasonal cycle, emitting the one-step-
+    * ahead forecast at every bucket — the canonical seasonal forecaster
+    * ([[doubleSmooth]] is its no-seasonality special case). Initial
+    * state: level = first point, trend = 0, seasonal = zeros (the
+    * standard cold start; later cycles wash it out at these smoothing
+    * rates). The recurrence is inherently sequential PER SERIES, so —
+    * like the Brown operators — each series' points are collected into
+    * one sorted array and folded once, O(n·1) per point with the
+    * (level, trend, seasonal[m], forecasts) state carried in a struct
+    * accumulator; series are independent, so the corpus-wide shape is
+    * one hash aggregation and map-side array work, no windows. Double
+    * arithmetic is a left-to-right fold of plain IEEE ops over
+    * identically-ordered inputs on both engines, so results are
+    * bit-identical without grid snapping (the brownCtes contract).
+    */
+  def holtWinters(pts1: DataFrame, alpha: Double, beta: Double,
+      gamma: Double, m: Int): DataFrame = {
+    val a = alpha; val b = beta; val g = gamma
+    // lvl' appears inside tr' and se' — the SQL repeats the expression
+    // (values identical; codegen shares subexpressions where it can)
+    val lvl2 = s"""($a * (x.total - element_at(acc.se, acc.i % $m + 1))
+                    + ${1.0 - a} * (acc.lvl + acc.tr))"""
+    val fold = s"""
+      aggregate(
+        slice(v, 2, size(v) - 1),
+        named_struct(
+          'i', 1,
+          'lvl', CAST(v[0].total AS DOUBLE),
+          'tr', CAST(0.0 AS DOUBLE),
+          'se', array_repeat(CAST(0.0 AS DOUBLE), $m),
+          'fc', array(CAST(v[0].total AS DOUBLE))),
+        (acc, x) -> named_struct(
+          'i', acc.i + 1,
+          'lvl', $lvl2,
+          'tr', $b * ($lvl2 - acc.lvl) + ${1.0 - b} * acc.tr,
+          'se', transform(acc.se, (sv, j) -> CASE WHEN j = acc.i % $m
+                  THEN $g * (x.total - $lvl2) + ${1.0 - g} * sv
+                  ELSE sv END),
+          'fc', concat(acc.fc,
+            array(acc.lvl + acc.tr + element_at(acc.se, acc.i % $m + 1)))),
+        acc -> acc.fc)"""
+    pts1
+      .groupBy(col("f1"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
+      .withColumn("fc", expr(fold))
+      .select(col("f1"), posexplode(expr(
+        """transform(sequence(1, size(v)), i -> struct(
+             v[i-1].bucket AS bucket, v[i-1].total AS total,
+             fc[i-1] AS forecast))""")).as(Seq("ord", "e")))
+      .select(col("f1"), col("e.bucket").as("bucket"),
+        col("e.total").as("total"),
+        graft.functions.Hashing.rd4(col("e.forecast")).as("forecast"))
+  }
+
   def forecastEval(pts1: DataFrame, alpha: Double): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
     val fc = doubleSmooth(pts1, alpha)

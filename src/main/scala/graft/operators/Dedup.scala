@@ -997,7 +997,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.fp ^ y.fp)").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: bit_count is a map-side byte op,
+      // and cutting non-near candidates first shrinks the distinct's input
+      // (each surviving pair still appears once per matching band)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -197,6 +197,33 @@ class TsdbSpec extends SparkSpec {
     assert(r.head.getAs[Double]("mad_score") == 44.0) // |100-12| / mad(2)
   }
 
+  test("holtWinters: alpha=1,beta=0,gamma=0 degenerates to naive-last-value") {
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 01:10:00", "purchase", 1L, 25.0),
+      ("2024-01-01 02:10:00", "purchase", 1L, 13.0),
+      ("2024-01-01 03:10:00", "purchase", 1L, 40.0))))
+    val r = Tsdb.holtWinters(pts1, 1.0, 0.0, 0.0, 3).collect()
+      .sortBy(_.getAs[java.time.LocalDateTime]("bucket").toString)
+    assert(r.map(_.getAs[Double]("forecast")).toSeq == Seq(10.0, 10.0, 25.0, 13.0))
+  }
+
+  test("holtWinters learns a pure seasonal cycle: late errors shrink") {
+    val cycle = Seq(10.0, 20.0, 30.0)
+    val rows = (0 until 24).map { t =>
+      (f"2024-01-0${t / 24 + 1}%s ${t % 24}%02d:10:00", "purchase", 1L, cycle(t % 3))
+    }
+    val pts1 = Tsdb.points1(eventsDf(rows))
+    val r = Tsdb.holtWinters(pts1, 0.3, 0.1, 0.5, 3).collect()
+      .sortBy(_.getAs[java.time.LocalDateTime]("bucket").toString)
+    def mae(xs: Array[org.apache.spark.sql.Row]) = xs.map(x =>
+      math.abs(x.getAs[Double]("forecast") - x.getAs[Double]("total"))).sum / xs.length
+    val early = mae(r.slice(3, 9))
+    val late = mae(r.slice(18, 24))
+    assert(late < early / 2.0,
+      s"seasonal fold did not converge: early MAE $early, late MAE $late")
+  }
+
   test("seasonalBaseline compares each point to its (dow,hour) slot") {
     // three Mondays, same hour slot: 5, 5, 30 → baseline 13.33, only the
     // 30 exceeds 2x
