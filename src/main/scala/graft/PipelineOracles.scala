@@ -1996,5 +1996,37 @@ object PipelineOracles {
          top AS (SELECT sg AS gram, CAST(df AS BIGINT) AS df FROM dfp
                  ORDER BY df DESC, shingle LIMIT 20)
          SELECT gram, df FROM top ORDER BY df DESC, gram""",
+
+    "quality_filter_agreement" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops,
+                       list_sum(list_transform(tk, x -> length(x))) AS sum_tok_chars,
+                       len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+                FROM tok),
+         f AS (SELECT doc_id, n_tokens, stops,
+                      floor(least(1.0, n_tokens / 100.0) * 10000.0 + 0.5) / 10000.0 AS len_score,
+                      floor((punct * 1.0 / nchars) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                      floor((stops * 1.0 / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                      floor((least(1.0, n_tokens / 100.0) * 0.4
+                            + (1.0 - punct * 1.0 / nchars) * 0.3
+                            + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality,
+                      floor(sum_tok_chars * 1.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS mean_tok_chars,
+                      floor(n_alpha * 1.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS frac_alpha,
+                      floor(punct * 1.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS symbol_ratio
+               FROM t2),
+         j AS (SELECT doc_id, n_tokens,
+                      (n_tokens BETWEEN 50 AND 100000) AND (mean_tok_chars BETWEEN 3.0 AND 10.0)
+                        AND frac_alpha >= 0.8 AND stops >= 2 AND symbol_ratio < 0.1 AS rules_pass,
+                      floor(greatest(0.0, least(1.0,
+                        (len_score * 0.9 - punct_ratio * 1.2 + stop_ratio * 0.6 - 0.1) * 0.5 + 0.5))
+                        * 10000.0 + 0.5) / 10000.0 >= 0.55 AS model_keep,
+                      quality >= 0.55 AS quality_keep
+               FROM f)
+         SELECT rules_pass, model_keep, quality_keep,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM j GROUP BY 1, 2, 3""",
   )
 }

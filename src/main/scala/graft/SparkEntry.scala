@@ -312,6 +312,8 @@ object SparkEntry {
       TextAnalysis.zipfSlope(t(s, dir, "documents"), 100)),
     "corpus_top_boilerplate" -> ((s, dir) => Dedup.topBoilerplateOf(
       t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), 8, 20)),
+    "quality_filter_agreement" -> ((s, dir) =>
+      TextAnalysis.filterAgreement(t(s, dir, "documents"), 0.55)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

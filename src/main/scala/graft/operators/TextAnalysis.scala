@@ -700,23 +700,33 @@ object TextAnalysis {
     * rd4 grid, and every flag compares the GRIDDED value, so both engines
     * flip the same docs.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    withGopherRules(docs)
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_chars"),
+        col("frac_alpha"), col("stop_hits"), col("symbol_ratio"),
+        col("flag_word_count"), col("flag_mean_len"), col("flag_alpha"),
+        col("flag_stops"), col("flag_symbol"), col("pass"))
+
+  /** Add the [[gopherRules]] metric and flag columns to a frame with a
+    * `text` column — pure projections (the withQuality pattern), so the
+    * screens fuse with other per-doc transforms in a single scan.
+    */
+  def withGopherRules(docs: DataFrame): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
+    val tk = tokens(col("text"))
     docs
-      .select(col("doc_id"), tokens(col("text")).as("tk"),
-        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long").as("n_punct"))
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        expr("aggregate(tk, 0L, (a, x) -> a + length(x))").as("sum_tok_chars"),
-        expr("size(filter(tk, x -> x rlike '[a-z]'))").cast("long").as("n_alpha_tokens"),
-        expr("size(filter(tk, x -> x IN ('the','a','of','and','to','in','is')))")
-          .cast("long").as("stop_hits"),
-        col("n_punct"))
-      .select(col("doc_id"), col("n_tokens"),
-        rd4(col("sum_tok_chars") / col("n_tokens")).as("mean_tok_chars"),
-        rd4(col("n_alpha_tokens") / col("n_tokens")).as("frac_alpha"),
-        col("stop_hits"),
-        rd4(col("n_punct") / col("n_tokens")).as("symbol_ratio"))
+      .withColumn("n_tokens", size(tk).cast("long"))
+      .withColumn("mean_tok_chars", rd4(
+        expr("aggregate(split(text, '\\\\s+'), 0L, (a, x) -> a + length(x))")
+          / col("n_tokens")))
+      .withColumn("frac_alpha", rd4(
+        expr("size(filter(split(text, '\\\\s+'), x -> x rlike '[a-z]'))").cast("long")
+          / col("n_tokens")))
+      .withColumn("stop_hits",
+        expr("size(filter(split(text, '\\\\s+'), x -> x IN ('the','a','of','and','to','in','is')))")
+          .cast("long"))
+      .withColumn("symbol_ratio", rd4(
+        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long") / col("n_tokens")))
       .withColumn("flag_word_count", col("n_tokens").between(50L, 100000L))
       .withColumn("flag_mean_len", col("mean_tok_chars").between(3.0, 10.0))
       .withColumn("flag_alpha", col("frac_alpha") >= 0.8)
@@ -824,6 +834,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("model_score")).as("min_score"),
         max(col("model_score")).as("max_score"))
+  }
+
+  /** Agreement matrix between the pipeline's three quality screens —
+    * the Gopher rule conjunction, the linear model's keep decision, and
+    * the composite-quality threshold — with doc and token mass per cell:
+    * the read that says which screens are redundant, which disagree, and
+    * how much data each marginal screen uniquely removes (heavy
+    * rules-only-reject cells mean the model misses rule-visible junk;
+    * heavy model-only-reject cells mean the rules are too coarse). All
+    * three signals derive from the same text, so they are computed in
+    * ONE fused projection (withQuality ∘ withGopherRules — both are
+    * pure column adders) and the aggregate lands on an ≤8-row key space.
+    */
+  def filterAgreement(docs: DataFrame, qualityCut: Double = 0.55): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    val q = withGopherRules(withQuality(docs))
+    val lenScore = rd4(least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+    val z = lenScore * lit(0.9) - col("punct_ratio") * lit(1.2) +
+      col("stop_ratio") * lit(0.6) - lit(0.1)
+    val modelScore = rd4(greatest(lit(0.0), least(lit(1.0), z * lit(0.5) + lit(0.5))))
+    q.select(col("doc_id"), col("n_tokens"),
+        col("pass").as("rules_pass"),
+        (modelScore >= 0.55).as("model_keep"),
+        (col("quality") >= qualityCut).as("quality_keep"))
+      .groupBy(col("rules_pass"), col("model_keep"), col("quality_keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
   /** Zipf-law fit over the corpus vocabulary: least-squares slope and
