@@ -2028,5 +2028,24 @@ object PipelineOracles {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM j GROUP BY 1, 2, 3""",
+
+    "domain_mix_temperature" -> s"""WITH $tok,
+         per AS (SELECT d.source, len(t.tk) AS n
+                 FROM tok t JOIN documents d USING (doc_id)),
+         src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n) AS BIGINT) AS n_tokens
+                 FROM per GROUP BY 1),
+         tt AS (SELECT sum(n_tokens) AS tot FROM src),
+         sh AS (SELECT source, n_docs, n_tokens,
+                       floor(n_tokens / tot * 10000.0 + 0.5) / 10000.0 AS token_share,
+                       CAST(floor(pow(floor(n_tokens / tot * 10000.0 + 0.5) / 10000.0, 0.5)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS powed
+                FROM src CROSS JOIN tt),
+         ns AS (SELECT sum(powed) AS totp FROM sh)
+         SELECT source, n_docs, n_tokens, token_share,
+                floor(powed / totp * 10000.0 + 0.5) / 10000.0 AS temp_share,
+                floor((floor(powed / totp * 10000.0 + 0.5) / 10000.0) / token_share
+                      * 10000.0 + 0.5) / 10000.0 AS weight
+         FROM sh CROSS JOIN ns""",
   )
 }

@@ -314,6 +314,10 @@ object SparkEntry {
       t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), 8, 20)),
     "quality_filter_agreement" -> ((s, dir) =>
       TextAnalysis.filterAgreement(t(s, dir, "documents"), 0.55)),
+    "ts_forecast_eval_hw" -> ((s, dir) =>
+      Tsdb.forecastEvalHw(Tsdb.points1(t(s, dir, "events")), 0.5, 0.3, 0.2, 6)),
+    "domain_mix_temperature" -> ((s, dir) =>
+      TextAnalysis.mixTemperature(t(s, dir, "documents"), 0.5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */
@@ -348,6 +352,43 @@ object SparkEntry {
                         list_reduce(e1[1:i], (acc, x) ->
                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS e2v
                FROM w1)"""
+
+  /** Holt-Winters fold replay, shared by ts_holt_winters and its
+    * walk-forward eval. DuckDB's list_reduce takes no initial
+    * accumulator AND (1.0.0) silently drops list growth inside a STRUCT
+    * accumulator, so the state rides a flat DOUBLE list:
+    * [i, lvl, tr, se1..se6, fc...] — the first element IS the initial
+    * state, later elements carry [p, x].
+    */
+  private val hwCtes: String = {
+    val slot = "acc[(CAST(acc[1] AS INT) % 6) + 4]"
+    val lvl2 = s"(0.5 * (e[2] - $slot) + 0.5 * (acc[2] + acc[3]))"
+    val seUpd = (0 until 6).map { j =>
+      s"""CASE WHEN CAST(acc[1] AS INT) % 6 = $j
+               THEN 0.2 * (e[2] - $lvl2) + 0.8 * acc[${j + 4}]
+               ELSE acc[${j + 4}] END"""
+    }.mkString(",\n               ")
+    s"""$store1,
+         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
+                      list(total ORDER BY bucket) AS tt
+               FROM store GROUP BY 1),
+         hw AS (SELECT f1, bk, tt,
+           list_slice(list_reduce(
+             list_transform(generate_series(1, len(tt)), p -> CASE WHEN p = 1
+               THEN [1.0::DOUBLE, tt[1]::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                     0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                     0.0::DOUBLE, tt[1]::DOUBLE]
+               ELSE [p::DOUBLE, tt[p]::DOUBLE] END),
+             (acc, e) -> [
+               acc[1] + 1.0,
+               $lvl2,
+               0.3 * ($lvl2 - acc[2]) + 0.7 * acc[3],
+               $seUpd
+             ] || list_slice(acc, 10, len(acc))
+               || [acc[2] + acc[3] + $slot]
+           ), 10, 9 + len(tt)) AS fc
+          FROM s)"""
+  }
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
@@ -1033,43 +1074,31 @@ object SparkEntry {
                FROM s)
          SELECT f1, bucket, floor(sm * 10000.0 + 0.5) / 10000.0 AS ewma FROM e""",
 
-    // the Holt-Winters fold replayed verbatim. DuckDB's list_reduce takes
-    // no initial accumulator AND (1.0.0) silently drops list growth
-    // inside a STRUCT accumulator, so the state rides a flat DOUBLE list:
-    // [i, lvl, tr, se1..se6, fc...] — the first element IS the initial
-    // state, later elements carry [p, x].
-    "ts_holt_winters" -> {
-      val slot = "acc[(CAST(acc[1] AS INT) % 6) + 4]"
-      val lvl2 = s"(0.5 * (e[2] - $slot) + 0.5 * (acc[2] + acc[3]))"
-      val seUpd = (0 until 6).map { j =>
-        s"""CASE WHEN CAST(acc[1] AS INT) % 6 = $j
-                 THEN 0.2 * (e[2] - $lvl2) + 0.8 * acc[${j + 4}]
-                 ELSE acc[${j + 4}] END"""
-      }.mkString(",\n               ")
-      s"""$store1,
-         s AS (SELECT f1, list(bucket ORDER BY bucket) AS bk,
-                      list(total ORDER BY bucket) AS tt
-               FROM store GROUP BY 1),
-         hw AS (SELECT f1, bk, tt,
-           list_slice(list_reduce(
-             list_transform(generate_series(1, len(tt)), p -> CASE WHEN p = 1
-               THEN [1.0::DOUBLE, tt[1]::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
-                     0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
-                     0.0::DOUBLE, tt[1]::DOUBLE]
-               ELSE [p::DOUBLE, tt[p]::DOUBLE] END),
-             (acc, e) -> [
-               acc[1] + 1.0,
-               $lvl2,
-               0.3 * ($lvl2 - acc[2]) + 0.7 * acc[3],
-               $seUpd
-             ] || list_slice(acc, 10, len(acc))
-               || [acc[2] + acc[3] + $slot]
-           ), 10, 9 + len(tt)) AS fc
-          FROM s)
+    // the Holt-Winters fold replayed verbatim ([[hwCtes]])
+    "ts_holt_winters" -> s"""$hwCtes
          SELECT f1, unnest(bk) AS bucket, unnest(tt) AS total,
                 floor(unnest(fc) * 10000.0 + 0.5) / 10000.0 AS forecast
-         FROM hw"""
-    },
+         FROM hw""",
+
+    "ts_forecast_eval_hw" -> s"""$hwCtes,
+         pt AS (SELECT f1, unnest(bk) AS bucket, unnest(tt) AS total,
+                       floor(unnest(fc) * 10000.0 + 0.5) / 10000.0 AS forecast
+                FROM hw),
+         rr AS (SELECT f1, total, forecast,
+                       row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS rn
+                FROM pt),
+         ev AS (SELECT f1, total, forecast,
+                       CAST(floor(abs(forecast - total) * 10000.0 + 0.5) AS BIGINT) AS g_err,
+                       CASE WHEN total <> 0.0 THEN
+                         CAST(floor(abs(forecast - total) / total * 1000000.0 + 0.5) AS BIGINT)
+                       END AS g_rel
+                FROM rr WHERE rn > 1)
+         SELECT f1, CAST(count(*) AS BIGINT) AS n_evals,
+                CAST(sum(CASE WHEN total = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_actual,
+                floor(sum(g_err) / (count(*) * 10000.0) * 10000.0 + 0.5) / 10000.0 AS mae,
+                floor(sum(g_rel) / (count(CASE WHEN g_rel IS NOT NULL THEN 1 END) * 1000000.0)
+                      * 10000.0 + 0.5) / 10000.0 AS mape
+         FROM ev GROUP BY 1""",
 
     "ts_double_smooth" -> s"""$brownCtes
          SELECT f1, bucket,

@@ -1261,6 +1261,35 @@ object Tsdb {
         graft.functions.Hashing.rd4(col("e.forecast")).as("forecast"))
   }
 
+  /** Walk-forward evaluation of [[holtWinters]]: per-series MAE/MAPE of
+    * the one-step-ahead forecasts (excluding each series' first point,
+    * whose "forecast" is the cold-start identity). Unlike
+    * [[forecastEval]]'s rd4(avg(...)) precedent, the error sums here are
+    * EXACT integers (|err| snapped to its 1e-4 grid, |err|/actual to
+    * 1e-6, both summed as longs) so the aggregation is summation-order
+    * independent on both engines by construction.
+    */
+  def forecastEvalHw(pts1: DataFrame, alpha: Double, beta: Double,
+      gamma: Double, m: Int): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    val w = Window.partitionBy(col("f1")).orderBy(col("bucket"))
+    holtWinters(pts1, alpha, beta, gamma, m)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("f1"), col("total"), col("forecast"),
+        floor(abs(col("forecast") - col("total")) * 10000.0 + 0.5)
+          .cast("long").as("g_err"),
+        when(col("total") =!= 0.0,
+          floor(abs(col("forecast") - col("total")) / col("total") * 1000000.0 + 0.5)
+            .cast("long")).as("g_rel"))
+      .groupBy(col("f1"))
+      .agg(count(lit(1)).as("n_evals"),
+        sum(when(col("total") === 0.0, 1L).otherwise(0L)).as("n_zero_actual"),
+        rd4(sum(col("g_err")) / (count(lit(1)) * 10000.0)).as("mae"),
+        rd4(sum(col("g_rel")) /
+          (sum(when(col("g_rel").isNotNull, 1L).otherwise(0L)) * 1000000.0)).as("mape"))
+  }
+
   def forecastEval(pts1: DataFrame, alpha: Double): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
     val fc = doubleSmooth(pts1, alpha)

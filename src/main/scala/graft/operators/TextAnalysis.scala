@@ -414,6 +414,34 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(col("tot") / (col("k") * col("n_tokens"))).as("weight"))
   }
 
+  /** Temperature-scaled mixture weights (the multilingual/DoReMi-style
+    * rebalance): target share ∝ token_share^τ — τ=1 keeps the natural
+    * mixture, τ→0 approaches uniform, intermediate τ up-weights small
+    * domains without flattening the head. `weight` is the sampling
+    * multiplier target/actual per source. pow() is the one
+    * libm-dependent term, so it snaps to the 1e-6 grid immediately (the
+    * rd6 contract); shares are ratios of exact integer sums and the
+    * normalizer runs over the |sources|-row aggregate, never docs.
+    */
+  def mixTemperature(docs: DataFrame, tau: Double): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    val all = Window.partitionBy(lit(1))
+    docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("tot", sum(col("n_tokens")).over(all))
+      .withColumn("token_share", rd4(col("n_tokens") / col("tot")))
+      // pow snaps to an INTEGER 1e-6 grid so the normalizer is an exact
+      // long sum — a 20-addend double sum could flip an rd4 boundary
+      .withColumn("powed",
+        floor(pow(col("token_share"), lit(tau)) * 1000000.0 + 0.5).cast("long"))
+      .withColumn("temp_share", rd4(col("powed") / sum(col("powed")).over(all)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("temp_share"),
+        rd4(col("temp_share") / col("token_share")).as("weight"))
+  }
+
   /** Apply the [[mixWeights]] mixture as per-doc repetition factors: a
     * doc from a source with weight w trains floor(w) times, plus one
     * extra epoch for a deterministic hash-selected frac(w) fraction of

@@ -44,7 +44,8 @@ class PlanGuardSpec extends SparkSpec {
       "dedup_blocking_recall" -> "input = the same fixed 10-row Jaccard-decile grid",
       "embedding_threshold_curve" -> "input = fixed 10-row cosine-decile grid",
       "mixture_token_share" -> "same mixWeights window: per-source aggregate input",
-      "embedding_dim_stats" -> "input = per-dimension aggregate; dims fixed at 64")
+      "embedding_dim_stats" -> "input = per-dimension aggregate; dims fixed at 64",
+      "domain_mix_temperature" -> "same mixWeights window: per-source aggregate input")
     def hasLimit(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.nonEmpty
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, f) =>

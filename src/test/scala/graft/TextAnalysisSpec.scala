@@ -62,6 +62,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mixTemperature: tau<1 up-weights small domains without flattening") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq.fill(90)("a").mkString(" "), "big"),
+      (2L, Seq.fill(10)("b").mkString(" "), "small"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixTemperature(d, 0.5).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // shares 0.9/0.1 → sqrt-scaled 0.75/0.25
+    assert(r("big").getAs[Double]("temp_share") == 0.75)
+    assert(r("small").getAs[Double]("temp_share") == 0.25)
+    assert(r("small").getAs[Double]("weight") == 2.5)
+    assert(r("big").getAs[Double]("weight") < 1.0)
+  }
+
   test("zipfSlope: negative slope on a skewed vocabulary, deterministic") {
     val d = docsDf(Seq(
       (1L, (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") ++ Seq("dd")).mkString(" "))))

@@ -224,6 +224,18 @@ class TsdbSpec extends SparkSpec {
       s"seasonal fold did not converge: early MAE $early, late MAE $late")
   }
 
+  test("forecastEvalHw: naive degeneration gives the mean step size as MAE") {
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 01:10:00", "purchase", 1L, 25.0),
+      ("2024-01-01 02:10:00", "purchase", 1L, 13.0),
+      ("2024-01-01 03:10:00", "purchase", 1L, 40.0))))
+    val r = Tsdb.forecastEvalHw(pts1, 1.0, 0.0, 0.0, 3).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_evals") == 3L)
+    assert(r.head.getAs[Double]("mae") == 18.0) // (15 + 12 + 27) / 3
+  }
+
   test("seasonalBaseline compares each point to its (dow,hour) slot") {
     // three Mondays, same hour slot: 5, 5, 30 → baseline 13.33, only the
     // 30 exceeds 2x
