@@ -12,6 +12,30 @@ object PipelineOracles {
   /** DuckDB twin of Hashing.h60. */
   private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::UBIGINT"
 
+  /** One PCA power-iteration round (Similarity.pcaPower replay): snap →
+    * center → dot (1e-9 grid) → weighted per-dim sum (1e-6 grid) →
+    * driver-order norm fold. Shared by the loading report and the
+    * projection histogram.
+    */
+  private val pcaCtes: String = """
+         flat AS (SELECT vec_id, i.pos AS dim,
+                         CAST(floor(embedding[i.pos]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS g
+                  FROM embeddings
+                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         mn AS (SELECT dim, sum(g) AS sg, count(*) AS n FROM flat GROUP BY 1),
+         ctr AS (SELECT vec_id, f.dim, f.g / 1000000.0 - sg / (n * 1000000.0) AS cv, n
+                 FROM flat f JOIN mn USING (dim)),
+         d AS (SELECT vec_id,
+                      sum(CAST(floor(cv * 0.125 * 1000000000.0 + 0.5) AS BIGINT)) AS dq
+               FROM ctr GROUP BY 1),
+         u AS (SELECT dim,
+                      sum(CAST(floor(ctr.cv * (d.dq / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT)) AS ss,
+                      max(ctr.n) AS n
+               FROM ctr JOIN d USING (vec_id) GROUP BY 1),
+         uv AS (SELECT dim, ss / (n * 1000000.0) AS u FROM u),
+         nr AS (SELECT sqrt(list_reduce(list_transform(list(u ORDER BY dim), x -> x * x),
+                                        (a, b) -> a + b)) AS nrm FROM uv)"""
+
   private val tok =
     """tok AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tk FROM documents)"""
 
@@ -1908,27 +1932,21 @@ object PipelineOracles {
 
     // one power-iteration round replayed verbatim: snap → center → dot
     // (1e-9 grid) → weighted per-dim sum (1e-6 grid) → driver-order fold
-    "embedding_pca_power" -> """WITH
-         flat AS (SELECT vec_id, i.pos AS dim,
-                         CAST(floor(embedding[i.pos]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS g
-                  FROM embeddings
-                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
-         mn AS (SELECT dim, sum(g) AS sg, count(*) AS n FROM flat GROUP BY 1),
-         ctr AS (SELECT vec_id, f.dim, f.g / 1000000.0 - sg / (n * 1000000.0) AS cv, n
-                 FROM flat f JOIN mn USING (dim)),
-         d AS (SELECT vec_id,
-                      sum(CAST(floor(cv * 0.125 * 1000000000.0 + 0.5) AS BIGINT)) AS dq
-               FROM ctr GROUP BY 1),
-         u AS (SELECT dim,
-                      sum(CAST(floor(ctr.cv * (d.dq / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT)) AS ss,
-                      max(ctr.n) AS n
-               FROM ctr JOIN d USING (vec_id) GROUP BY 1),
-         uv AS (SELECT dim, ss / (n * 1000000.0) AS u FROM u),
-         nr AS (SELECT sqrt(list_reduce(list_transform(list(u ORDER BY dim), x -> x * x),
-                                        (a, b) -> a + b)) AS nrm FROM uv)
+    "embedding_pca_power" -> s"""WITH $pcaCtes
          SELECT dim, floor(u / nrm * 1000000.0 + 0.5) / 1000000.0 AS loading,
                 floor(nrm * 10000.0 + 0.5) / 10000.0 AS eigenvalue
          FROM uv CROSS JOIN nr""",
+
+    "embedding_pca_histogram" -> s"""WITH $pcaCtes,
+         ld AS (SELECT dim, floor(u / nrm * 1000000.0 + 0.5) / 1000000.0 AS lv
+                FROM uv CROSS JOIN nr),
+         pj AS (SELECT vec_id,
+                       sum(CAST(floor(ctr.cv * ld.lv * 1000000000.0 + 0.5) AS BIGINT)) AS dq
+                FROM ctr JOIN ld USING (dim) GROUP BY 1),
+         bn AS (SELECT CAST(floor((dq / 1000000000.0) / 0.5) AS BIGINT) AS bin FROM pj)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_vecs,
+                floor(bin * 0.5 * 10000.0 + 0.5) / 10000.0 AS bin_lo
+         FROM bn GROUP BY 1""",
 
     "embedding_outliers" -> """WITH
          flat AS (SELECT vec_id, i.pos AS dim,

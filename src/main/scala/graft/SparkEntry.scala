@@ -318,6 +318,8 @@ object SparkEntry {
       Tsdb.forecastEvalHw(Tsdb.points1(t(s, dir, "events")), 0.5, 0.3, 0.2, 6)),
     "domain_mix_temperature" -> ((s, dir) =>
       TextAnalysis.mixTemperature(t(s, dir, "documents"), 0.5)),
+    "embedding_pca_histogram" -> ((s, dir) =>
+      Similarity.pcaProjectionHistogram(t(s, dir, "embeddings"), 1, 0.5)),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

@@ -230,6 +230,52 @@ object TextScaleCheck {
         s"x ${occs.head} from a 200k-type vocabulary explode")
     }
 
+    // ---- 9. corpus diagnostics at width, each with a generator-derived
+    // closed form: (a) the Zipf fit over a UNIFORM vocabulary must read
+    // ~flat (the "template spam" signature the diagnostic exists to
+    // flag); (b) a boilerplate 8-gram planted into 1% of docs must top
+    // the boilerplate report with its exact df — through the two-phase
+    // inverted fetch, so gram strings never shuffled at width; (c) the
+    // filter-agreement matrix must land every doc in the cell its token
+    // count dictates (no stopwords ⇒ rules always reject; the model and
+    // composite cuts flip at exactly 23 and 63 tokens).
+    Harness.timed("zipf + boilerplate + agreement") {
+      val dc = corpus(nEnt).persist()
+      val z = TextAnalysis.zipfSlope(dc, 100).head()
+      require(z.getAs[Long]("n_points") == 100L, "zipf point count")
+      val slope = z.getAs[Double]("slope")
+      require(slope > -0.2 && slope <= 0.05,
+        f"uniform vocabulary should read flat, slope = $slope%.4f")
+      val prefix = "pb1 pb2 pb3 pb4 pb5 pb6 pb7 pb8"
+      val planted = dc.withColumn("text",
+        when(pmod(col("doc_id"), lit(100L)) === 0, concat(lit(prefix + " "), col("text")))
+          .otherwise(col("text")))
+      val top = graft.operators.Dedup
+        .topBoilerplateOf(planted, graft.operators.Dedup.shingles(planted, 8), 8, 3)
+        .collect()
+      val nPlanted = nEnt / 100 + (if (nEnt % 100 != 0) 1 else 0)
+      require(top.head.getAs[String]("gram") == prefix,
+        s"planted boilerplate not on top: '${top.head.getAs[String]("gram")}'")
+      require(top.head.getAs[Long]("df") == nPlanted,
+        s"boilerplate df ${top.head.getAs[Long]("df")} != planted $nPlanted")
+      val cells = TextAnalysis.filterAgreement(dc, 0.55).collect()
+        .map(r => (r.getAs[Boolean]("rules_pass"), r.getAs[Boolean]("model_keep"),
+          r.getAs[Boolean]("quality_keep")) -> r.getAs[Long]("n_docs")).toMap
+      def cnt(lo: Long, hi: Long) =
+        dc.filter(col("n_tok") >= lo && col("n_tok") <= hi).count()
+      require(cells.keys.forall(!_._1), "rules passed on a stopword-free corpus")
+      require(cells((false, false, false)) == cnt(20, 22),
+        "reject-all cell off the 23-token model boundary")
+      require(cells((false, true, false)) == cnt(23, 62),
+        "model-only cell off the [23, 62] window")
+      require(cells((false, true, true)) == cnt(63, 219),
+        "model+quality cell off the 63-token quality boundary")
+      println(f"[text-scale] diagnostics: zipf slope $slope%.4f (flat, as a " +
+        f"uniform vocab must), planted boilerplate df $nPlanted exact, " +
+        s"agreement cells exact on the 23/63-token boundaries")
+      dc.unpersist()
+    }
+
     docs.unpersist()
     println("[text-scale] ALL CHECKS PASSED")
     spark.stop()

@@ -1196,18 +1196,27 @@ object Similarity {
     * iteration (the oracle replays it verbatim); callers iterate to
     * convergence — each extra round is the same two jobs.
     */
-  def pcaPower(emb: DataFrame, iters: Int = 1, dim: Int = 64): DataFrame = {
+  /** Grid-snapped, mean-centered (vec_id, dim, c) table — the input both
+    * PCA entry points iterate over.
+    */
+  private def pcaCentered(emb: DataFrame): DataFrame = {
     val flat = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
       .select(col("vec_id"), (col("p0") + 1).as("dim"),
         floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long").as("g"))
     val mn = flat.groupBy(col("dim"))
       .agg(sum(col("g")).as("sg"), count(lit(1)).as("n"))
-    val cDf = flat.join(broadcast(mn), "dim")
+    flat.join(broadcast(mn), "dim")
       .select(col("vec_id"), col("dim"),
         (col("g") / 1000000.0 - col("sg") / (col("n") * 1000000.0)).as("c"),
         col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Power-iterate over a (persisted) centered table; returns the unit
+    * direction (1e-6 grid) and the eigenvalue estimate.
+    */
+  private def pcaIterate(cDf: DataFrame, dim: Int,
+      iters: Int): (Array[Double], Double) = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var eig = 0.0
     (1 to iters).foreach { _ =>
@@ -1230,12 +1239,47 @@ object Similarity {
       require(eig > 0.0, "pcaPower: zero-variance corpus has no principal component")
       v = u.map(x => math.floor(x / eig * 1000000.0 + 0.5) / 1000000.0)
     }
+    (v, eig)
+  }
+
+  def pcaPower(emb: DataFrame, iters: Int = 1, dim: Int = 64): DataFrame = {
+    val cDf = pcaCentered(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (v, eig) = pcaIterate(cDf, dim, iters)
     cDf.unpersist()
     val eigOut = math.floor(eig * 10000.0 + 0.5) / 10000.0
     val session = emb.sparkSession
     session.createDataFrame(
       (1 to dim).map(i => (i, v(i - 1), eigOut)))
       .toDF("dim", "loading", "eigenvalue")
+  }
+
+  /** Corpus distribution along the top principal component: every vector
+    * projected onto the learned direction (same 1e-9 dot grid as the
+    * training rounds) and counted into fixed-width bins — the read that
+    * makes PCA actionable (bimodality = two populations to split,
+    * heavy tails = candidate outliers, mass at zero = dead direction).
+    * The projection is one map-side pass against the broadcast loading
+    * literal plus a per-vector combine; the histogram aggregate lands on
+    * the ≤O(range/width) bin key space.
+    */
+  def pcaProjectionHistogram(emb: DataFrame, iters: Int = 1,
+      binWidth: Double = 0.5, dim: Int = 64): DataFrame = {
+    val cDf = pcaCentered(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (v, _) = pcaIterate(cDf, dim, iters)
+    val vCol = array(v.map(lit): _*)
+    val out = cDf
+      .withColumn("t", floor(col("c") * element_at(vCol, col("dim")) *
+        1000000000.0 + 0.5).cast("long"))
+      .groupBy(col("vec_id")).agg(sum(col("t")).as("dq"))
+      .select(col("vec_id"), (col("dq") / 1000000000.0).as("proj"))
+      .withColumn("bin", floor(col("proj") / binWidth).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("bin_lo", Hashing.rd4(col("bin") * binWidth))
+    cDf.unpersist()
+    out
   }
 
   /** Embedding-space outlier screen: per-vector diagonal-Mahalanobis

@@ -256,6 +256,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r(1).getAs[Double]("eigenvalue") - 25.0) < 0.01)
   }
 
+  test("pcaProjectionHistogram: symmetric rank-1 cloud lands in mirrored bins") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(3.0f, 1.0f), 0), (1L, Array(-3.0f, -1.0f), 0),
+      (2L, Array(6.0f, 2.0f), 0), (3L, Array(-6.0f, -2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pcaProjectionHistogram(e, iters = 3, binWidth = 0.5, dim = 2)
+      .collect().map(x => x.getAs[Long]("bin") -> x.getAs[Long]("n_vecs")).toMap
+    assert(r.values.sum == 4L && r.values.forall(_ == 1L))
+    // projections are ±sqrt(10) and ±2*sqrt(10): mirrored bin pairs
+    assert(r.keySet.map(b => -b - 1L) == r.keySet)
+  }
+
   test("embeddingOutliers: the out-of-distribution vector ranks first") {
     import spark.implicits._
     val e = Seq(
