@@ -1220,6 +1220,26 @@ object PipelineOracles {
                 CAST(${h60("content_hash || '_t' || tile_x || '_' || tile_y")} AS BIGINT) AS tile_hash
          FROM t""",
 
+    "mm_tile_dedup" -> s"""WITH du AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+         h AS (
+           SELECT doc_id, md5(text) AS content_hash,
+                  CAST(${h60("text")} AS BIGINT) AS hm FROM du),
+         m AS (SELECT doc_id, content_hash,
+                CAST(64 + hm % 512 AS INT) AS width,
+                CAST(64 + (hm // 512) % 512 AS INT) AS height FROM h),
+         tx AS (SELECT m.*, unnest(generate_series(0, (width - 1) // 64)) AS tile_x FROM m),
+         t AS (SELECT tx.*, unnest(generate_series(0, (height - 1) // 64)) AS tile_y FROM tx),
+         th AS (SELECT doc_id,
+                CAST(${h60("content_hash || '_t' || tile_x || '_' || tile_y")} AS BIGINT) AS tile_hash
+                FROM t)
+         SELECT tile_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_tiles
+         FROM th GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 2""",
+
     "contamination_bloom" -> s"""WITH $tok,
          sh8 AS (SELECT doc_id, CAST(${h60("sg")} AS BIGINT) AS shingle
            FROM (SELECT doc_id, unnest(list_distinct(

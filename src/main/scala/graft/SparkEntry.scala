@@ -320,6 +320,14 @@ object SparkEntry {
       TextAnalysis.mixTemperature(t(s, dir, "documents"), 0.5)),
     "embedding_pca_histogram" -> ((s, dir) =>
       Similarity.pcaProjectionHistogram(t(s, dir, "embeddings"), 1, 0.5)),
+    // re-ingestion scenario: 10 payloads arrive again under new ids (the
+    // synthetic corpus has no byte-identical media, so the dup set is
+    // planted to keep the oracle non-vacuous)
+    "mm_tile_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Multimodal.tileDedup(d.unionByName(d.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L)), 64)
+    }),
   )
 
   /** Shared oracle SQL: the depth-2 materialized store (Tsdb.points). */

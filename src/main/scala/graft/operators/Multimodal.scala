@@ -148,6 +148,22 @@ object Multimodal {
         Hashing.h60(concat(col("content_hash"), lit("_t"), col("tile_x"),
           lit("_"), col("tile_y"))).as("tile_hash"))
 
+  /** Tile-level exact dedup across the media corpus: tiles whose content
+    * hash repeats in ≥2 documents, with the keep-first survivor — the
+    * multimodal twin of Dedup.exact (repeated logos/watermarks/borders
+    * and re-encoded copies of the same image surface as shared tiles
+    * even when whole-file hashes differ by container metadata). Tile
+    * hashes are already content-derived 60-bit ints, so only ints
+    * shuffle: one hash aggregation over the map-only tile explode.
+    */
+  def tileDedup(docs: DataFrame, patch: Int): DataFrame =
+    imageTiles(docs, patch)
+      .groupBy(col("tile_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_tiles"))
+      .filter(col("n_docs") >= 2)
+
   final case class MediaBatch(doc_id: Long, payload: Array[Byte])
   final case class DecodedMedia(
       doc_id: Long, byte_len: Int, width: Int, height: Int, n_frames: Int)
