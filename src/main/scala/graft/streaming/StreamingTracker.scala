@@ -430,6 +430,53 @@ object StreamingTracker {
       }
   }
 
+  final case class HwState(i: Long, lvl: Double, tr: Double, se: Seq[Double])
+  final case class HwOut(f1: String, f2: String, ts: java.sql.Timestamp,
+      total: Double, forecast: Double)
+
+  /** Streaming additive Holt-Winters — the live twin of Tsdb.holtWinters:
+    * per-series (level, trend, seasonal[m]) state advanced point-by-point
+    * with flatMapGroupsWithState, emitting each point's one-step-ahead
+    * forecast (the anomaly monitor compares it to the arrival). State is
+    * O(|series| · m) doubles regardless of throughput; within a
+    * micro-batch points replay in ts order, so an in-order feed
+    * reproduces the batch fold bit-for-bit (same IEEE ops in the same
+    * order — StreamingSpec proves equality against the batch operator
+    * across a micro-batch split).
+    */
+  def holtWintersStream(spark: SparkSession, points: Dataset[Point],
+      alpha: Double, beta: Double, gamma: Double, m: Int): Dataset[HwOut] = {
+    import spark.implicits._
+    points
+      .groupByKey(p => (p.f1, p.f2))
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((f1, f2), it, state: GroupState[HwState]) =>
+          def rd4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+          val ordered = it.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[HwOut]
+          ordered.foreach { p =>
+            if (st == null) {
+              st = HwState(1L, p.value, 0.0, Vector.fill(m)(0.0))
+              out += HwOut(f1, f2, p.ts, p.value, rd4(p.value))
+            } else {
+              val slot = (st.i % m).toInt
+              val fc = st.lvl + st.tr + st.se(slot)
+              val lvl2 = alpha * (p.value - st.se(slot)) +
+                (1.0 - alpha) * (st.lvl + st.tr)
+              val tr2 = beta * (lvl2 - st.lvl) + (1.0 - beta) * st.tr
+              val se2 = st.se.updated(slot,
+                gamma * (p.value - lvl2) + (1.0 - gamma) * st.se(slot))
+              st = HwState(st.i + 1L, lvl2, tr2, se2)
+              out += HwOut(f1, f2, p.ts, p.value, rd4(fc))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
   final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
 

@@ -346,6 +346,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtWintersStream reproduces the batch fold across a micro-batch split") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.HwOut
+    val pts = Seq(
+      ("2024-01-01 10:10:00", 10.0), ("2024-01-01 11:10:00", 25.0),
+      ("2024-01-01 12:10:00", 13.0), ("2024-01-01 13:10:00", 40.0),
+      ("2024-01-01 14:10:00", 11.0), ("2024-01-01 15:10:00", 26.0))
+    val input = MemoryStream[Point]
+    val hw = StreamingTracker.holtWintersStream(spark, input.toDS(),
+      0.5, 0.3, 0.2, 3)
+    val q = hw.writeStream.format("memory").queryName("hw_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = pts.splitAt(3)
+      input.addData(b1.map { case (t, v) => Point("purchase", "", ts(t), v) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (t, v) => Point("purchase", "", ts(t), v) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hw_stream").as[HwOut].collect()
+        .sortBy(_.ts.getTime).map(_.forecast).toSeq
+      val batch = graft.core.Tsdb.holtWinters(
+        graft.core.Tsdb.points1(eventsDf(pts.map { case (t, v) => (t, "purchase", 1L, v) })),
+        0.5, 0.3, 0.2, 3)
+        .collect()
+        .sortBy(_.getAs[java.time.LocalDateTime]("bucket").toString)
+        .map(_.getAs[Double]("forecast")).toSeq
+      assert(streamed == batch,
+        s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming quality gate: batch curation projections run on streams unchanged") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
