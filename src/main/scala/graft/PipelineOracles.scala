@@ -1464,6 +1464,57 @@ object PipelineOracles {
          LEFT JOIN ht ON ht.query_id = bf.query_id
          GROUP BY 1""",
 
+    // the ann_recall_ivf chain, with the probe ranking evaluated at each
+    // probe level and a one-row summary per level
+    "ann_tuning_curve" -> {
+      def level(p: Int) =
+        s"""isc$p AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM (SELECT query_id, label FROM pr WHERE crnk <= $p) p
+                 JOIN q ON q.query_id = p.query_id
+                 JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+                 JOIN nrm nq ON nq.vec_id = p.query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         ap$p AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM isc$p) WHERE rnk <= 5)"""
+      def row(p: Int) =
+        s"""SELECT $p AS n_probe,
+                (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_true_total,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM bf JOIN ap$p USING (query_id, neighbor_id)) AS n_hits,
+                floor((SELECT count(*) FROM bf JOIN ap$p USING (query_id, neighbor_id))
+                      / (SELECT count(*) FROM bf) * 10000.0 + 0.5) / 10000.0 AS mean_recall"""
+      s"""WITH $nrm,
+         flat AS (SELECT label, i.pos, embedding[i.pos]::DOUBLE AS v
+                  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i),
+         cent AS (SELECT label, pos,
+                         CAST(sum(CAST(floor(v * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 10000000.0 / count(*) AS cv
+                  FROM flat GROUP BY 1, 2),
+         cvecs AS (SELECT label, list(CAST(cv AS REAL) ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+         cn AS (SELECT label, cvec, sqrt(${dot64("cvec", "cvec")}) AS cnrm FROM cvecs),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM bsc) WHERE rnk <= 5),
+         pr AS (SELECT query_id, cn.label,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY ${dot64("qv", "cvec")} / (nq.nrm * cn.cnrm) DESC, cn.label) AS crnk
+                FROM q JOIN nrm nq ON nq.vec_id = query_id CROSS JOIN cn),
+         ${level(1)},
+         ${level(2)},
+         ${level(3)}
+         ${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}"""
+    },
+
     "seq_packing" -> """WITH t1 AS (
            SELECT doc_id, lang,
                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens

@@ -320,6 +320,8 @@ object SparkEntry {
       TextAnalysis.mixTemperature(t(s, dir, "documents"), 0.5)),
     "embedding_pca_histogram" -> ((s, dir) =>
       Similarity.pcaProjectionHistogram(t(s, dir, "embeddings"), 1, 0.5)),
+    "ann_tuning_curve" -> ((s, dir) =>
+      Similarity.ivfTuningCurve(t(s, dir, "embeddings"), 10, 5, Seq(1, 2, 3))),
     // re-ingestion scenario: 10 payloads arrive again under new ids (the
     // synthetic corpus has no byte-identical media, so the dup set is
     // planted to keep the oracle non-vacuous)

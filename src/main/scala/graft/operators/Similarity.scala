@@ -1147,6 +1147,31 @@ object Similarity {
       nQueries: Int, k: Int): DataFrame =
     recallEvalOf(emb, nQueries, k, (e, n, kk) => ivfPqTopKFrom(e, cent, asn, n, kk))
 
+  /** IVF operating-point table: corpus-level recall at each probe count —
+    * the tuning read that prices "how many cells must I scan for the
+    * recall I need" before fixing an index's nProbe. Brute-force ground
+    * truth is computed ONCE (a bounded nQueries·k table, persisted) and
+    * each probe level joins against it; counts are exact integers so the
+    * mean recall is a single division.
+    */
+  def ivfTuningCurve(emb: DataFrame, nQueries: Int, k: Int,
+      probes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val bf = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = probes.map { p =>
+      val ap = ivfTopK(emb, nQueries, k, p)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      bf.join(ap,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .agg(count(lit(1)).as("n_true_total"),
+          sum(when(col("aq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(p).as("n_probe"), col("n_true_total"), col("n_hits"),
+          Hashing.rd4(col("n_hits") / col("n_true_total")).as("mean_recall"))
+    }.reduce(_.unionByName(_))
+    out
+  }
+
   private def recallEvalOf(emb: DataFrame, nQueries: Int, k: Int,
       ann: (DataFrame, Int, Int) => DataFrame): DataFrame = {
     val bf = bruteForceTopK(emb, nQueries, k)

@@ -256,6 +256,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r(1).getAs[Double]("eigenvalue") - 25.0) < 0.01)
   }
 
+  test("ivfTuningCurve: recall is monotone in the probe count") {
+    val r = Similarity.ivfTuningCurve(emb, 2, 2, Seq(1, 2)).collect()
+      .sortBy(_.getAs[Int]("n_probe"))
+    assert(r.map(_.getAs[Int]("n_probe")).toSeq == Seq(1, 2))
+    assert(r.forall(_.getAs[Long]("n_true_total") == r.head.getAs[Long]("n_true_total")))
+    assert(r(1).getAs[Double]("mean_recall") >= r(0).getAs[Double]("mean_recall"))
+    assert(r.forall { x =>
+      val m = x.getAs[Double]("mean_recall"); m >= 0.0 && m <= 1.0
+    })
+  }
+
   test("pcaProjectionHistogram: symmetric rank-1 cloud lands in mirrored bins") {
     import spark.implicits._
     val e = Seq(
