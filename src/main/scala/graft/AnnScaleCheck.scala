@@ -238,6 +238,24 @@ object AnnScaleCheck {
     }
     embA.unpersist()
 
+    // --- 7. tuning curve at width: label each vector with its learned
+    // cell and sweep nProbe — recall must be monotone in the probe count
+    // and reach ≥0.9 by nProbe=4 on this planted-cluster corpus (the
+    // operating-point read a deployment makes before fixing nProbe).
+    timed("ivfTuningCurve (nProbe 1/2/4)") {
+      val labeled = emb.join(
+        Similarity.assignToCentroids(e, cent).select(col("vec_id"),
+          col("cid").cast("int").as("label")), "vec_id")
+      val curve = Similarity.ivfTuningCurve(labeled, nQueries, k, Seq(1, 2, 4))
+        .collect().sortBy(_.getAs[Int]("n_probe"))
+      val recalls = curve.map(_.getAs[Double]("mean_recall"))
+      require(recalls.sliding(2).forall(p => p(1) >= p(0)),
+        s"recall not monotone in nProbe: ${recalls.mkString(", ")}")
+      require(recalls.last >= 0.9,
+        f"recall at nProbe=4 is ${recalls.last}%.4f < 0.9 on planted clusters")
+      println(s"  recall@$k by nProbe 1/2/4: ${recalls.map(r => f"$r%.4f").mkString(", ")}")
+    }
+
     println(s"AnnScaleCheck OK at $nVec vectors")
     spark.stop()
   }

@@ -458,6 +458,18 @@ object PipelineOracles {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY 1""",
 
+    "corpus_decontaminated" -> s"""WITH $tok, $sh8,
+         rare8 AS (SELECT shingle FROM sh8 GROUP BY 1 HAVING count(*) <= 50),
+         shc AS (SELECT sh8.doc_id, sh8.shingle FROM sh8 JOIN rare8 USING (shingle)),
+         f AS (SELECT s.doc_id, s.shingle, (s.doc_id < 50) AS is_test FROM shc s),
+         cp AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS shared
+                FROM (SELECT doc_id, shingle FROM f WHERE NOT is_test) tr
+                JOIN (SELECT doc_id, shingle FROM f WHERE is_test) te USING (shingle)
+                GROUP BY 1, 2),
+         bad AS (SELECT DISTINCT train_id AS doc_id FROM cp WHERE shared >= 2)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
     "dedup_normalized" ->
       """SELECT md5(trim(regexp_replace(
                 regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),

@@ -322,6 +322,9 @@ object SparkEntry {
       Similarity.pcaProjectionHistogram(t(s, dir, "embeddings"), 1, 0.5)),
     "ann_tuning_curve" -> ((s, dir) =>
       Similarity.ivfTuningCurve(t(s, dir, "embeddings"), 10, 5, Seq(1, 2, 3))),
+    "corpus_decontaminated" -> ((s, dir) => Dedup.decontaminatedOf(
+      t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8),
+      col("doc_id") < 50, minShared = 2L)),
     // re-ingestion scenario: 10 payloads arrive again under new ids (the
     // synthetic corpus has no byte-identical media, so the dup set is
     // planted to keep the oracle non-vacuous)

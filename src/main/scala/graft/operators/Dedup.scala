@@ -594,6 +594,23 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** The contamination family's ACTION step: the training corpus with
+    * every doc sharing ≥ `minShared` rare n-grams with the test set
+    * REMOVED — what actually ships to the trainer after the audit. One
+    * anti-join of the (corpus-sublinear) flagged-id set against the
+    * train side; the expensive stage is the shared contamination pair
+    * build the audit queries already pay for.
+    */
+  def decontaminatedOf(docs: DataFrame, shin: DataFrame, isTest: Column,
+      minShared: Long = 1L, maxDf: Long = 50L): DataFrame = {
+    val flagged = contaminationOf(docs, shin, isTest, maxDf)
+      .filter(col("shared_ngrams") >= minShared)
+      .select(col("train_id").as("doc_id")).distinct()
+    docs.filter(!isTest)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Bloom-sketch contamination prefilter: an m-bit, k=2 Bloom filter of
     * the test set's n-gram hashes, built as a distributed bit_or over
     * 64-bit words and broadcast as ONE dense array row (m/64 longs — 8 KB
