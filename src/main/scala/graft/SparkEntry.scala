@@ -124,8 +124,7 @@ object SparkEntry {
     "sample_cluster_downweight" -> ((s, dir) => Dedup.clusterDownweightOf(
       t(s, dir, "documents"), Dedup.sharedClusters(s, dir), "cd1")),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(t(s, dir, "documents"))),
-    "contamination_check" -> ((s, dir) => Dedup.contaminationOf(
-      t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), col("doc_id") < 50)),
+    "contamination_check" -> ((s, dir) => Dedup.sharedContamPairs(s, dir)),
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 10, 5)),
@@ -322,8 +321,8 @@ object SparkEntry {
       Similarity.pcaProjectionHistogram(t(s, dir, "embeddings"), 1, 0.5)),
     "ann_tuning_curve" -> ((s, dir) =>
       Similarity.ivfTuningCurve(t(s, dir, "embeddings"), 10, 5, Seq(1, 2, 3))),
-    "corpus_decontaminated" -> ((s, dir) => Dedup.decontaminatedOf(
-      t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8),
+    "corpus_decontaminated" -> ((s, dir) => Dedup.decontaminatedFrom(
+      t(s, dir, "documents"), Dedup.sharedContamPairs(s, dir),
       col("doc_id") < 50, minShared = 2L)),
     // re-ingestion scenario: 10 payloads arrive again under new ids (the
     // synthetic corpus has no byte-identical media, so the dup set is
