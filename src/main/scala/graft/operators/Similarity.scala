@@ -1303,7 +1303,11 @@ object Similarity {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_vecs"))
       .withColumn("bin_lo", Hashing.rd4(col("bin") * binWidth))
-    cDf.unpersist()
+    // the cache stays live for the returned plan's final projection pass
+    // (it executes after this returns); an eager unpersist here would
+    // force a recompute of the centered table. Bounded like the shared
+    // views: one cached table per call, dropped by the caller's
+    // clearCache between bench queries.
     out
   }
 
