@@ -315,6 +315,8 @@ object SparkEntry {
       TextAnalysis.filterAgreement(t(s, dir, "documents"), 0.55)),
     "ts_forecast_eval_hw" -> ((s, dir) =>
       Tsdb.forecastEvalHw(Tsdb.points1(t(s, dir, "events")), 0.5, 0.3, 0.2, 6)),
+    "ts_capacity_forecast" -> ((s, dir) =>
+      Tsdb.capacityForecast(Tsdb.points1(t(s, dir, "events")), 10000.0)),
     "domain_mix_temperature" -> ((s, dir) =>
       TextAnalysis.mixTemperature(t(s, dir, "documents"), 0.5)),
     "embedding_pca_histogram" -> ((s, dir) =>
@@ -1087,6 +1089,30 @@ object SparkEntry {
                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS sm
                FROM s)
          SELECT f1, bucket, floor(sm * 10000.0 + 0.5) / 10000.0 AS ewma FROM e""",
+
+    "ts_capacity_forecast" -> s"""$store1,
+         b AS (SELECT f1,
+                      CAST(row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS BIGINT) AS x,
+                      CAST(floor(total * 100.0 + 0.5) AS BIGINT) AS gy
+               FROM store),
+         ag AS (SELECT f1, CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(gy) AS sy,
+                       sum(x * gy) AS sxy, sum(x * x) AS sxx,
+                       max_by(gy, x) AS last_gy
+                FROM b GROUP BY 1 HAVING count(*) >= 2),
+         m AS (SELECT f1, n,
+                      CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+                      last_gy / 100.0 AS last_total
+               FROM ag)
+         SELECT f1, n,
+                floor(slope_cents / 100.0 * 10000.0 + 0.5) / 10000.0 AS slope_per_bucket,
+                floor(last_total * 10000.0 + 0.5) / 10000.0 AS last_total,
+                CASE WHEN slope_cents > 0.0 AND last_total < 10000.0
+                     THEN floor((10000.0 - last_total) / (slope_cents / 100.0)
+                                * 10000.0 + 0.5) / 10000.0
+                END AS buckets_to_limit
+         FROM m""",
 
     // the Holt-Winters fold replayed verbatim ([[hwCtes]])
     "ts_holt_winters" -> s"""$hwCtes

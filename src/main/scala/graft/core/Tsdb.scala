@@ -1206,6 +1206,40 @@ object Tsdb {
     * relying on the engine's division-by-zero convention would diverge
     * (Spark NULL-drops the row, DuckDB propagates ±inf).
     */
+  /** Capacity forecast per series: least-squares linear trend over the
+    * bucket sequence and the projected buckets until `limit` is crossed
+    * — the "days until the disk is full" read every metrics deployment
+    * runs. Engine-exact regression: x is the per-series bucket index
+    * (exact ints), y snaps to the 2-decimal money grid as cents (exact
+    * longs, matching the store's round-2 totals), so all five moments
+    * are exact integer sums and slope/intercept/time-to-limit are fixed
+    * IEEE expressions. Growing (slope > 0) series below the limit get a
+    * projection; flat/shrinking or already-over series report NULL. One
+    * per-series window (partitioned — no global sort) + one aggregate.
+    */
+  def capacityForecast(pts1: DataFrame, limit: Double): DataFrame = {
+    val rd4 = graft.functions.Hashing.rd4 _
+    val w = Window.partitionBy(col("f1")).orderBy(col("bucket"))
+    val base = pts1
+      .withColumn("x", row_number().over(w).cast("long"))
+      .withColumn("gy", floor(col("total") * 100.0 + 0.5).cast("long"))
+    val slopeCents = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = slopeCents / 100.0
+    val lastTotal = col("last.gy") / 100.0
+    base.groupBy(col("f1"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("gy")).as("sy"),
+        sum(col("x") * col("gy")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        max(struct(col("x"), col("gy"))).as("last"))
+      .filter(col("n") >= 2)
+      .select(col("f1"), col("n"),
+        rd4(slope).as("slope_per_bucket"),
+        rd4(lastTotal).as("last_total"),
+        when(slopeCents > 0.0 && lastTotal < limit,
+          rd4((lit(limit) - lastTotal) / slope)).as("buckets_to_limit"))
+  }
+
   /** Additive Holt-Winters (triple exponential smoothing) per series:
     * level + trend + an m-slot seasonal cycle, emitting the one-step-
     * ahead forecast at every bucket — the canonical seasonal forecaster

@@ -197,6 +197,25 @@ class TsdbSpec extends SparkSpec {
     assert(r.head.getAs[Double]("mad_score") == 44.0) // |100-12| / mad(2)
   }
 
+  test("capacityForecast: exact trend and time-to-limit on a linear series") {
+    // totals 10, 20, 30 → slope exactly 10/bucket, last 30; limit 100 is
+    // 7 buckets of growth away
+    val pts1 = Tsdb.points1(eventsDf(Seq(
+      ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
+      ("2024-01-01 01:10:00", "purchase", 1L, 20.0),
+      ("2024-01-01 02:10:00", "purchase", 1L, 30.0),
+      ("2024-01-01 00:20:00", "error", 1L, 50.0),
+      ("2024-01-01 01:20:00", "error", 1L, 40.0),
+      ("2024-01-01 02:20:00", "error", 1L, 30.0))))
+    val r = Tsdb.capacityForecast(pts1, 100.0).collect()
+      .map(x => x.getAs[String]("f1") -> x).toMap
+    assert(r("purchase").getAs[Double]("slope_per_bucket") == 10.0)
+    assert(r("purchase").getAs[Double]("buckets_to_limit") == 7.0)
+    // shrinking series: no projection
+    assert(r("error").getAs[Double]("slope_per_bucket") == -10.0)
+    assert(r("error").isNullAt(r("error").fieldIndex("buckets_to_limit")))
+  }
+
   test("holtWinters: alpha=1,beta=0,gamma=0 degenerates to naive-last-value") {
     val pts1 = Tsdb.points1(eventsDf(Seq(
       ("2024-01-01 00:10:00", "purchase", 1L, 10.0),
