@@ -130,6 +130,44 @@ object TsdbScaleCheck {
       math.abs(after.getDouble(1) - before.getDouble(1)) <= math.abs(before.getDouble(1)) * 1e-12,
       s"compact changed the epoch aggregate: $before -> $after")
 
+    // --- 6. sequential-fold family at year-at-minute range: 1M-bucket
+    // series must fold in seconds (the old per-position prefix refolds
+    // were O(n²) — ~1.4e11 lambda evaluations in ONE task at this n, an
+    // effective hang; the foldSeries rewrite is O(n) per series).
+    // Closed-form checks: a constant series' EWMA is the constant itself
+    // at every bucket, its CUSUM at target==value stays 0, and
+    // Holt-Winters' one-step forecast converges onto the constant.
+    val nBuckets = 1000000L
+    val seriesPts = spark.range(nBuckets)
+      .select(
+        concat(lit("s"), pmod(col("id"), lit(4L))).as("f1"),
+        expr("timestampadd(MINUTE, CAST(id div 4 AS INT), TIMESTAMP_NTZ'2026-01-01 00:00:00')")
+          .as("bucket"),
+        lit(42.5).as("total"), lit(1L).as("cnt"))
+    val ew = timed(s"ewma over 4 series x ${nBuckets / 4} buckets") {
+      graft.core.Tsdb.ewma(seriesPts, 0.3)
+        .agg(count(lit(1)), sum(when(col("ewma") === 42.5, 1L).otherwise(0L)))
+        .collect().head
+    }
+    require(ew.getLong(0) == nBuckets && ew.getLong(1) == nBuckets,
+      s"constant-series EWMA drifted: ${ew.getLong(1)} of ${ew.getLong(0)} rows at 42.5")
+    val cu = timed("cusum over the same series") {
+      graft.core.Tsdb.cusum(seriesPts, 42.5, 10.0)
+        .agg(count(lit(1)), sum(when(col("cusum") === 0.0 && !col("alarm"), 1L)
+          .otherwise(0L))).collect().head
+    }
+    require(cu.getLong(0) == nBuckets && cu.getLong(1) == nBuckets,
+      s"constant-series CUSUM at target drifted off zero")
+    val hw = timed("holt-winters over the same series") {
+      graft.core.Tsdb.holtWinters(seriesPts, 0.5, 0.3, 0.2, 6)
+        .filter(col("bucket") >= lit("2026-06-01").cast("timestamp_ntz"))
+        .agg(count(lit(1)), sum(when(abs(col("forecast") - 42.5) < 0.01, 1L)
+          .otherwise(0L))).collect().head
+    }
+    require(hw.getLong(0) == hw.getLong(1),
+      s"holt-winters failed to converge on the constant: " +
+        s"${hw.getLong(1)} of ${hw.getLong(0)} late-range forecasts near 42.5")
+
     println(s"TsdbScaleCheck OK at $nEvents events")
     deleteRec(dir)
     spark.stop()

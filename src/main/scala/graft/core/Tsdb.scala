@@ -652,28 +652,86 @@ object Tsdb {
       col("total").isNull.as("filled"))
   }
 
+  /** One (bucket, total) point of a series, the input row shape every
+    * sequential per-series fold consumes. bucket is timestamp_ntz
+    * (LocalDateTime) — the store's wall-clock contract.
+    */
+  private[graft] case class SeriesPt(
+      f1: String, bucket: java.time.LocalDateTime, total: Double)
+
+  private[graft] case class EwmaRow(
+      f1: String, bucket: java.time.LocalDateTime, ewma: Double)
+  private[graft] case class BrownRow(
+      f1: String, bucket: java.time.LocalDateTime,
+      level: Double, trend: Double, forecast: Double)
+  private[graft] case class CusumRow(
+      f1: String, bucket: java.time.LocalDateTime,
+      cusum: Double, alarm: Boolean)
+  private[graft] case class HwRow(
+      f1: String, bucket: java.time.LocalDateTime,
+      total: Double, forecast: Double)
+
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private implicit val seriesPtEnc: Encoder[SeriesPt] = Encoders.product[SeriesPt]
+  private implicit val ewmaEnc: Encoder[EwmaRow] = Encoders.product[EwmaRow]
+  private implicit val brownEnc: Encoder[BrownRow] = Encoders.product[BrownRow]
+  private implicit val cusumEnc: Encoder[CusumRow] = Encoders.product[CusumRow]
+  private implicit val hwEnc: Encoder[HwRow] = Encoders.product[HwRow]
+
+  /** Scala twin of [[graft.functions.Hashing.rd4]]: floor(x·1e4+0.5)/1e4
+    * as the identical IEEE op sequence (SQL floor on double yields an
+    * integer-valued double; values here are far below 2^53 so the long
+    * round-trip is exact).
+    */
+  @inline private def rd4d(x: Double): Double =
+    math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** Run an O(n) sequential fold per series: one shuffle groups each
+    * series, the group iterator is materialized and sorted by bucket in
+    * that task (same memory shape as the previous collect_list array, n =
+    * buckets in the fetched range), and `emit` folds it left-to-right
+    * ONCE. Replaces the O(n²) per-position prefix refolds — a year of
+    * 1-minute buckets (n ≈ 526k) folds in milliseconds instead of
+    * effectively hanging the task. The fold arithmetic inside `emit`
+    * preserves the exact left-to-right IEEE order of the previous SQL
+    * `aggregate` folds, so results — and the DuckDB oracle replays — are
+    * bit-identical.
+    */
+  private def foldSeries[T: org.apache.spark.sql.Encoder](pts1: DataFrame)(
+      emit: (String, Array[SeriesPt]) => Iterator[T]): DataFrame = {
+    val spark = pts1.sparkSession
+    import spark.implicits._
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.by(d => (d.toEpochSecond(java.time.ZoneOffset.UTC), d.getNano))
+    pts1.select(col("f1"), col("bucket"), col("total")).as[SeriesPt]
+      .groupByKey(_.f1)
+      .flatMapGroups((k: String, it: Iterator[SeriesPt]) =>
+        emit(k, it.toArray.sortBy(_.bucket)))
+      .toDF()
+  }
+
   /** Exponentially-weighted moving average per series (s_0 = x_0,
     * s_i = s_{i-1}·(1-α) + x_i·α). EWMA is inherently a sequential fold,
-    * so it is computed as an explicit per-series prefix fold over the
-    * collected bucket array — left-to-right with the identical operation
-    * order in the DuckDB oracle (list_reduce), making the smoothed values
-    * bit-identical. One shuffle groups each series; the O(n²) prefix cost
-    * is per SERIES over the fetched range (n = buckets in range), which
-    * is the already-small post-aggregation table, not the event stream.
+    * so it runs as ONE O(n) left-to-right fold per series ([[foldSeries]])
+    * with the identical operation order replayed in the DuckDB oracle
+    * (list_reduce), making the smoothed values bit-identical. One shuffle
+    * groups each series; n is the post-aggregation bucket count of the
+    * fetched range, and the fold is linear in it.
     */
   def ewma(pts1: DataFrame, alpha: Double): DataFrame = {
-    val a = alpha
-    pts1
-      .groupBy(col("f1"))
-      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
-      .select(col("f1"), posexplode(expr(
-        s"""transform(sequence(1, size(v)), i -> struct(
-              v[i-1].bucket AS bucket,
-              aggregate(slice(v, 2, i - 1), CAST(v[0].total AS DOUBLE),
-                        (acc, x) -> acc * ${1.0 - a} + x.total * $a) AS sm))"""))
-        .as(Seq("ord", "e")))
-      .select(col("f1"), col("e.bucket").as("bucket"),
-        graft.functions.Hashing.rd4(col("e.sm")).as("ewma"))
+    val a = alpha; val b = 1.0 - alpha
+    foldSeries[EwmaRow](pts1) { (f1, v) =>
+      var s = v(0).total
+      val out = new Array[EwmaRow](v.length)
+      out(0) = EwmaRow(f1, v(0).bucket, rd4d(s))
+      var i = 1
+      while (i < v.length) {
+        s = s * b + v(i).total * a
+        out(i) = EwmaRow(f1, v(i).bucket, rd4d(s))
+        i += 1
+      }
+      out.iterator
+    }
   }
 
   /** Rollup-invariant audit: per depth-1 series, compare the materialized
@@ -708,28 +766,26 @@ object Tsdb {
     * scalar folds are, bit-for-bit (same [[ewma]] fold shape).
     */
   def doubleSmooth(pts1: DataFrame, alpha: Double): DataFrame = {
-    val a = alpha
+    val a = alpha; val b = 1.0 - alpha
     val c = a / (1.0 - a)
-    pts1
-      .groupBy(col("f1"))
-      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
-      .withColumn("e1", expr(
-        s"""transform(sequence(1, size(v)), i ->
-              aggregate(slice(v, 2, i - 1), CAST(v[0].total AS DOUBLE),
-                        (acc, x) -> acc * ${1.0 - a} + x.total * $a))"""))
-      .select(col("f1"), posexplode(expr(
-        s"""transform(sequence(1, size(v)), i -> struct(
-              v[i-1].bucket AS bucket, e1[i-1] AS e1,
-              aggregate(slice(e1, 2, i - 1), e1[0],
-                        (acc, x) -> acc * ${1.0 - a} + x * $a) AS e2))"""))
-        .as(Seq("ord", "e")))
-      .select(col("f1"), col("e.bucket").as("bucket"),
-        graft.functions.Hashing.rd4(col("e.e1") + col("e.e1") - col("e.e2")).as("level"),
-        graft.functions.Hashing.rd4(
-          (col("e.e1") - col("e.e2")) * lit(c)).as("trend"),
-        graft.functions.Hashing.rd4(
-          (col("e.e1") + col("e.e1") - col("e.e2"))
-            + (col("e.e1") - col("e.e2")) * lit(c)).as("forecast"))
+    foldSeries[BrownRow](pts1) { (f1, v) =>
+      val n = v.length
+      val e1 = new Array[Double](n)
+      e1(0) = v(0).total
+      var i = 1
+      while (i < n) { e1(i) = e1(i - 1) * b + v(i).total * a; i += 1 }
+      val out = new Array[BrownRow](n)
+      var e2 = e1(0)
+      i = 0
+      while (i < n) {
+        if (i > 0) e2 = e2 * b + e1(i) * a
+        val lvl = e1(i) + e1(i) - e2
+        val tr = (e1(i) - e2) * c
+        out(i) = BrownRow(f1, v(i).bucket, rd4d(lvl), rd4d(tr), rd4d(lvl + tr))
+        i += 1
+      }
+      out.iterator
+    }
   }
 
   /** Wide pivot: one row per bucket, one column per series (Grafana-table
@@ -1101,23 +1157,22 @@ object Tsdb {
     * prefix fold over the collected bucket array with the identical
     * operation order in the oracle; the fold arithmetic is +/max only
     * (no transcendentals), so c is bit-identical cross-engine and the
-    * raw-value alarm comparison is portable. O(range²) only over the
-    * small post-agg bucket table per series.
+    * raw-value alarm comparison is portable. O(n) per series via
+    * [[foldSeries]].
     */
   def cusum(pts1: DataFrame, target: Double, h: Double): DataFrame =
-    pts1
-      .groupBy(col("f1"))
-      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
-      .select(col("f1"), posexplode(expr(
-        s"""transform(sequence(1, size(v)), i -> struct(
-              v[i-1].bucket AS bucket,
-              greatest(CAST(0 AS DOUBLE),
-                aggregate(slice(v, 2, i - 1), CAST(v[0].total - $target AS DOUBLE),
-                          (acc, x) -> greatest(CAST(0 AS DOUBLE), acc) + x.total - $target)) AS cs))"""))
-        .as(Seq("ord", "e")))
-      .select(col("f1"), col("e.bucket").as("bucket"),
-        graft.functions.Hashing.rd4(col("e.cs")).as("cusum"),
-        (col("e.cs") > h).as("alarm"))
+    foldSeries[CusumRow](pts1) { (f1, v) =>
+      val out = new Array[CusumRow](v.length)
+      var acc = v(0).total - target
+      var i = 0
+      while (i < v.length) {
+        if (i > 0) acc = math.max(0.0, acc) + v(i).total - target
+        val cs = math.max(0.0, acc)
+        out(i) = CusumRow(f1, v(i).bucket, rd4d(cs), cs > h)
+        i += 1
+      }
+      out.iterator
+    }
 
   /** SAX (Symbolic Aggregate approXimation) word per series: PAA over
     * fixed `segHours` time segments (mean of present hourly buckets),
@@ -1247,52 +1302,42 @@ object Tsdb {
     * state: level = first point, trend = 0, seasonal = zeros (the
     * standard cold start; later cycles wash it out at these smoothing
     * rates). The recurrence is inherently sequential PER SERIES, so —
-    * like the Brown operators — each series' points are collected into
-    * one sorted array and folded once, O(n·1) per point with the
-    * (level, trend, seasonal[m], forecasts) state carried in a struct
-    * accumulator; series are independent, so the corpus-wide shape is
-    * one hash aggregation and map-side array work, no windows. Double
-    * arithmetic is a left-to-right fold of plain IEEE ops over
-    * identically-ordered inputs on both engines, so results are
-    * bit-identical without grid snapping (the brownCtes contract).
+    * like the Brown operators — it runs as ONE O(n) in-order fold per
+    * series ([[foldSeries]]) with (level, trend, seasonal[m]) carried as
+    * locals; series are independent, so the corpus-wide shape is one
+    * shuffle and per-task linear work, no windows. Double arithmetic is
+    * a left-to-right fold of plain IEEE ops over identically-ordered
+    * inputs on both engines, so results are bit-identical without grid
+    * snapping (the hwCtes oracle replays the same fold).
     */
   def holtWinters(pts1: DataFrame, alpha: Double, beta: Double,
       gamma: Double, m: Int): DataFrame = {
     val a = alpha; val b = beta; val g = gamma
-    // lvl' appears inside tr' and se' — the SQL repeats the expression
-    // (values identical; codegen shares subexpressions where it can)
-    val lvl2 = s"""($a * (x.total - element_at(acc.se, acc.i % $m + 1))
-                    + ${1.0 - a} * (acc.lvl + acc.tr))"""
-    val fold = s"""
-      aggregate(
-        slice(v, 2, size(v) - 1),
-        named_struct(
-          'i', 1,
-          'lvl', CAST(v[0].total AS DOUBLE),
-          'tr', CAST(0.0 AS DOUBLE),
-          'se', array_repeat(CAST(0.0 AS DOUBLE), $m),
-          'fc', array(CAST(v[0].total AS DOUBLE))),
-        (acc, x) -> named_struct(
-          'i', acc.i + 1,
-          'lvl', $lvl2,
-          'tr', $b * ($lvl2 - acc.lvl) + ${1.0 - b} * acc.tr,
-          'se', transform(acc.se, (sv, j) -> CASE WHEN j = acc.i % $m
-                  THEN $g * (x.total - $lvl2) + ${1.0 - g} * sv
-                  ELSE sv END),
-          'fc', concat(acc.fc,
-            array(acc.lvl + acc.tr + element_at(acc.se, acc.i % $m + 1)))),
-        acc -> acc.fc)"""
-    pts1
-      .groupBy(col("f1"))
-      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("v"))
-      .withColumn("fc", expr(fold))
-      .select(col("f1"), posexplode(expr(
-        """transform(sequence(1, size(v)), i -> struct(
-             v[i-1].bucket AS bucket, v[i-1].total AS total,
-             fc[i-1] AS forecast))""")).as(Seq("ord", "e")))
-      .select(col("f1"), col("e.bucket").as("bucket"),
-        col("e.total").as("total"),
-        graft.functions.Hashing.rd4(col("e.forecast")).as("forecast"))
+    val omA = 1.0 - alpha; val omB = 1.0 - beta; val omG = 1.0 - gamma
+    foldSeries[HwRow](pts1) { (f1, v) =>
+      val n = v.length
+      val out = new Array[HwRow](n)
+      // cold start: level = first point, trend = 0, seasonal = zeros;
+      // forecast at position 0 is the identity (the first point itself)
+      out(0) = HwRow(f1, v(0).bucket, v(0).total, rd4d(v(0).total))
+      var lvl = v(0).total
+      var tr = 0.0
+      val se = new Array[Double](m)
+      var idx = 1 // acc.i: seasonal slot of the NEXT point is i % m
+      var i = 1
+      while (i < n) {
+        val x = v(i).total
+        val s = idx % m
+        val fc = lvl + tr + se(s)
+        val lvl2 = a * (x - se(s)) + omA * (lvl + tr)
+        val tr2 = b * (lvl2 - lvl) + omB * tr
+        se(s) = g * (x - lvl2) + omG * se(s)
+        lvl = lvl2; tr = tr2; idx += 1
+        out(i) = HwRow(f1, v(i).bucket, x, rd4d(fc))
+        i += 1
+      }
+      out.iterator
+    }
   }
 
   /** Walk-forward evaluation of [[holtWinters]]: per-series MAE/MAPE of
