@@ -250,6 +250,52 @@ object DedupScaleCheck {
       f"recall $fRecall%.4f below 0.95 with flood present — cap ate real signal")
     fpairs.unpersist()
 
+    // --- 5b. TEMPLATED near-dup flood: the recall hole the pure drop
+    // left open. 20k docs = 10k planted pairs, each 90 shared boilerplate
+    // tokens + 8 pair-shared + 2 doc-unique tokens — so q = P(a perm's
+    // min is a boilerplate gram) = 88/98, pairwise J within a pair 0.96,
+    // across pairs 0.81 (near-dups exact dedup can NOT recover). Each
+    // band's boilerplate bucket holds ≈ q⁴·20k ≈ 13k docs — far over the
+    // phase cap (2000) — so under drop semantics a planted pair is found
+    // only via a band whose agreed key is NOT all-boilerplate:
+    // p = J⁴ − (88/100)⁴ ≈ 0.25/band → analytic recall 1−(1−p)⁴ ≈ 0.68.
+    // Sub-blocking adds the flood-bucket path: the pair lands in SOME
+    // band's flood bucket w.p. 1−(1−(88/100)⁴)⁴ ≈ 0.97 and then shares
+    // a dedicated-perm 6-row sub-key that is not all-boilerplate w.p.
+    // 1−(1−(J⁶−(88/100)⁶))³ ≈ 0.68 → analytic ≈ 1−0.32·(1−0.97·0.68)
+    // ≈ 0.89. The ≥ 0.8 gate is > 25 SDs above the drop analytic at 10k
+    // pairs — observed recall at this level is impossible under drop.
+    val tplN = 20000L
+    val tplCap = 2000L
+    val tplBase = 20L * nDocs
+    val tpl = spark.range(tplBase, tplBase + tplN)
+      .select(col("id").as("doc_id"), expr(
+        """array_join(concat(
+             transform(sequence(1, 90), i -> concat('bp', i)),
+             transform(sequence(1, 8), i -> concat('p', CAST(id div 2 AS STRING), '_', i)),
+             transform(sequence(1, 2), i -> concat('d', CAST(id AS STRING), '_', i))), ' ')""")
+        .as("text"))
+    val tplBands = Dedup.lshBands(Dedup.minhashSignatures(tpl))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fatBuckets = tplBands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > tplCap).count()
+    require(fatBuckets >= 4L,
+      s"only $fatBuckets oversized buckets — template flood not flooding")
+    val tCand = timed(s"sub-blocked candFromBands over $tplN templated docs") {
+      Dedup.candFromBands(tplBands, tplCap).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nTCand = tCand.count()
+    require(nTCand <= 8L * tplN,
+      s"$nTCand candidates from templated flood — sub-blocking went quadratic")
+    val plantedFound = tCand.filter(
+      (col("doc_a") - tplBase) % 2 === 0 && col("doc_b") === col("doc_a") + 1).count()
+    val tplRecall = plantedFound.toDouble / (tplN / 2)
+    println(f"  templated-flood planted-pair recall: $plantedFound/${tplN / 2} " +
+      f"= $tplRecall%.4f (sub-block analytic ≈ 0.89; drop analytic ≈ 0.68)")
+    require(tplRecall >= 0.8,
+      f"recall $tplRecall%.4f below 0.8 — oversized-bucket sub-blocking not recovering pairs")
+    tCand.unpersist(); tplBands.unpersist()
+
     // --- 6. ingest-novelty curve: a corpus whose second half repeats the
     // first half's text verbatim (shifted ids land in deciles 5-9). With
     // the 3-gram space effectively collision-free, every 8-shingle type

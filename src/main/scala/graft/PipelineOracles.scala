@@ -246,13 +246,19 @@ object PipelineOracles {
 
   /** [[bandsPrefix]] with a custom `tok` CTE (e.g. a doc sample). */
   private def bandsPrefixFrom(tokCte: String): String = {
-    val sigCols = Dedup.minhashPerms.zipWithIndex
-      .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS mh$j" }
+    val sigCols = (Dedup.minhashPerms.zipWithIndex
+      .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS mh$j" } ++
+      Dedup.subPerms.zipWithIndex
+        .map { case ((a, b), j) => s"min((hm * $a + $b) % ${Dedup.P}) AS su$j" })
       .mkString(", ")
     val rows = Dedup.NumPerms / Dedup.Bands
+    val skExprs = (0 until Dedup.SubBands).map { sb =>
+      (0 until Dedup.SubRows).map(r => s"su${sb * Dedup.SubRows + r}")
+        .mkString(" || '_' || ") + s" AS sk$sb"
+    }.mkString(", ")
     val bandSelects = (0 until Dedup.Bands).map { bnd =>
       val key = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(" || '_' || ")
-      s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+      s"SELECT doc_id, $bnd AS band, $key AS key, $skExprs FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH $tokCte, $sh,
         hm AS (SELECT doc_id, shingle % ${Dedup.P} AS hm FROM sh),
@@ -580,6 +586,41 @@ object PipelineOracles {
 
     "dedup_minhash_lsh" -> s"""${minhashWith(0.5)}
           SELECT doc_a, doc_b, jaccard FROM pairs""",
+
+    // sub-blocked candidate path with the cap SMALL enough (2) to bind at
+    // test scale: buckets of size <= 2 self-join all-pairs; oversized
+    // buckets explode into the two half-band sub-keys and pair only
+    // within sub-buckets that are themselves <= 2 — the exact replay of
+    // Dedup.candFromBands' flood guard
+    "dedup_lsh_subblocked" -> s"""$bandsPrefix,
+         bsz AS (SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2),
+         smallb AS (SELECT b.doc_id, b.band, b.key
+                    FROM bands b JOIN bsz USING (band, key) WHERE bsz <= 2),
+         sp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM smallb x JOIN smallb y
+                  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         bigb AS (SELECT b.doc_id, b.band, b.key, u.sb,
+                         CASE u.sb WHEN 0 THEN b.sk0 WHEN 1 THEN b.sk1
+                                   ELSE b.sk2 END AS sk
+                  FROM bands b JOIN bsz USING (band, key)
+                  CROSS JOIN (SELECT unnest([0, 1, 2]) AS sb) u WHERE bsz > 2),
+         ssz AS (SELECT band, key, sb, sk, count(*) AS ssz
+                 FROM bigb GROUP BY 1, 2, 3, 4),
+         bigok AS (SELECT g.doc_id, g.band, g.key, g.sb, g.sk FROM bigb g
+                   JOIN ssz USING (band, key, sb, sk) WHERE ssz <= 2),
+         bp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bigok x JOIN bigok y
+                  ON x.band = y.band AND x.key = y.key AND x.sb = y.sb
+                 AND x.sk = y.sk AND x.doc_id < y.doc_id),
+         cand AS (SELECT DISTINCT doc_a, doc_b FROM
+                  (SELECT * FROM sp UNION ALL SELECT * FROM bp)),
+         $jaccardTail,
+         prc AS (SELECT pr.* FROM pr JOIN cand USING (doc_a, doc_b)),
+         pairs AS (SELECT doc_a, doc_b,
+                          floor((inter / (sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+                   FROM prc JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.2""",
 
     // directed containment |S(a)∩S(b)|/|S(a)| over df-capped 8-gram
     // shingles (doc_a near-contained in doc_b)

@@ -113,6 +113,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.exactPairsAt(Dedup.sharedExactPairs(s, dir), 0.6)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5)),
+    // cap 2 binds at every test SF (band buckets reach size 3-4), so the
+    // oversized-bucket sub-blocking path itself runs under the oracle;
+    // the production default (BandBucketCap) never binds below 100k docs
+    "dedup_lsh_subblocked" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), 0.2, bucketCap = 2L)),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.sharedEmbPairs(s, dir)),

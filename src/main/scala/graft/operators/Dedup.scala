@@ -30,11 +30,16 @@ object Dedup {
     * docs) puts ALL of them in the same 4 band buckets; self-joining
     * such a bucket is O(flood²) candidate pairs, which AQE can spread
     * across partitions but never shrink. Buckets above the cap are
-    * excluded from candidate generation: their members are exact/
-    * near-exact floods that the cheaper [[exact]]/[[normalizedExact]]
-    * passes catch by definition. Never binds at oracle scale (the
-    * test tables are < 100k docs), so the DuckDB twins stay uncapped
-    * brute-force — the stronger independent check, as with simhash.
+    * SUB-BLOCKED by half-band sub-keys (see [[candFromBands]]) so a
+    * templated near-dup flood keeps pairwise recall; only doubly-
+    * flooded sub-buckets — near-identical docs that the cheaper
+    * [[exact]]/[[normalizedExact]] passes catch by definition — are
+    * excluded. Never binds at default-cap oracle scale (the test
+    * tables are < 100k docs), so those DuckDB twins stay uncapped
+    * brute-force — the stronger independent check, as with simhash;
+    * the `dedup_lsh_subblocked` query registers a cap SMALL enough to
+    * bind at test scale, so the sub-blocked path itself runs under an
+    * oracle that replicates it step for step.
     */
   val BandBucketCap: Long = 100000L
 
@@ -44,6 +49,28 @@ object Dedup {
   lazy val minhashPerms: Seq[(Long, Long)] =
     (0 until NumPerms).map { j =>
       (Hashing.h60jvm(s"mh_a_$j") % (P - 1) + 1, Hashing.h60jvm(s"mh_b_$j") % P)
+    }
+
+  /** Sub-band layout for oversized-bucket recovery ([[candFromBands]]):
+    * `SubBands` bands of `SubRows` rows each over DEDICATED fresh
+    * permutations. Independence matters: sub-keys drawn from the 16
+    * primary perms would be nearly redundant with the primary bands (a
+    * pair agreeing on part of band b's rows usually agrees on all of
+    * band b — and is then already caught by band b's own small bucket),
+    * which measurably erases the recovery (planted-flood recall 0.71 vs
+    * 0.89 with fresh perms in DedupScaleCheck's templated phase). The
+    * extra 18 min-aggregates ride the same shingle pass — map-side CPU,
+    * no extra shuffle.
+    */
+  val SubBands = 3
+  val SubRows = 6
+
+  /** Dedicated sub-band permutation constants, seeded separately from
+    * [[minhashPerms]].
+    */
+  lazy val subPerms: Seq[(Long, Long)] =
+    (0 until SubBands * SubRows).map { j =>
+      (Hashing.h60jvm(s"mhs_a_$j") % (P - 1) + 1, Hashing.h60jvm(s"mhs_b_$j") % P)
     }
 
   /** Distinct word-n-gram shingles per doc, exploded to (doc_id, shingle)
@@ -353,26 +380,45 @@ object Dedup {
     val hashed = sh.withColumn("hm", col("shingle") % P)
     val aggs = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
       min((col("hm") * a + b) % P).as(s"mh$j")
+    } ++ subPerms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("hm") * a + b) % P).as(s"su$j")
     }
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band explode: (doc_id, band, key). */
+  /** LSH band explode: (doc_id, band, key, sk0..sk{SubBands-1}). The
+    * sub-keys are [[SubRows]]-perm band keys over the DEDICATED
+    * [[subPerms]] — what [[candFromBands]] sub-blocks oversized buckets
+    * by. A true near-dup pair (Jaccard j) shares a given sub-key with
+    * probability j^SubRows, so a templated flood (same boilerplate band
+    * key, varying bodies) keeps most of its genuine pairwise edges
+    * through the sub-blocking while the varying bodies spread the flood
+    * across many sub-buckets. The sub-keys are identical for every
+    * primary band (they only vary per doc), so the explode carries them
+    * through unchanged.
+    */
   def lshBands(sig: DataFrame): DataFrame = {
     val rows = NumPerms / Bands
+    val skCols = (0 until SubBands).map { sb =>
+      concat_ws("_",
+        (0 until SubRows).map(r => col(s"su${sb * SubRows + r}")): _*).as(s"sk$sb")
+    }
     val bandStructs = (0 until Bands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*).as("key"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    sig.select(col("doc_id") +: explode(array(bandStructs: _*)).as("bk") +: skCols: _*)
+      .select(Seq(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")) ++
+        (0 until SubBands).map(sb => col(s"sk$sb")): _*)
   }
 
   /** MinHash + LSH dedup: band-bucket join for candidates (buckets over
-    * [[BandBucketCap]] excluded — the boilerplate-flood guard), then
-    * exact Jaccard verification restricted to those candidates.
+    * `bucketCap` sub-blocked — the boilerplate-flood guard, see
+    * [[candFromBands]]), then exact Jaccard verification restricted to
+    * those candidates.
     */
-  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashLsh(docs: DataFrame, threshold: Double,
+      bucketCap: Long = BandBucketCap): DataFrame = {
     val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // persist the band table too: the candidate self-join reads it on
     // BOTH sides, and without the cache each side recomputes the 16-way
@@ -380,7 +426,7 @@ object Dedup {
     // they race past an unmaterialized cache and double the CPU)
     val bands = lshBands(minhashSignaturesFrom(sh))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = candFromBands(bands)
+    val cand = candFromBands(bands, bucketCap)
     pairJaccard(sh, Some(cand))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -483,30 +529,55 @@ object Dedup {
     pairs.filter(col("jaccard") >= threshold)
   }
 
-  /** Distinct ordered candidate pairs from an LSH band table. Buckets
-    * larger than `bucketCap` are excluded BEFORE the self-join (see
-    * [[BandBucketCap]]): one extra count-aggregation over the band
-    * table buys a hard O(cap²) bound per bucket in place of a
-    * quadratic blow-up on degenerate content floods.
+  /** Distinct ordered candidate pairs from an LSH band table. Buckets of
+    * size ≤ `bucketCap` self-join all-pairs as before; buckets ABOVE the
+    * cap are SUB-BLOCKED instead of dropped (the [[semanticDedup]]
+    * clusterCap precedent): each member explodes into its [[SubBands]]
+    * dedicated-perm sub-keys ([[lshBands]] sk0..sk2) and candidates must
+    * also share a sub-bucket. An identical flood shares its sub-keys
+    * too, so sub-buckets are capped AGAIN at `bucketCap` — a doubly-
+    * flooded sub-bucket means near-identical docs under both keys, which
+    * the cheaper [[exact]]/[[normalizedExact]] passes catch by
+    * definition. Net bound: O(cap²) candidates per (sub-)bucket, never
+    * O(flood²), while a TEMPLATED flood (shared boilerplate band,
+    * varying bodies) keeps pairwise recall ≈ 1-(1-j^SubRows)^SubBands
+    * per oversized bucket instead of the old drop-to-zero
+    * (DedupScaleCheck phase 5b plants exactly this and measures it).
     */
   private[graft] def candFromBands(bands: DataFrame,
       bucketCap: Long = BandBucketCap): DataFrame = {
-    val capped = cappedBuckets(bands, bucketCap)
-    capped.as("x")
-      .join(capped.as("y"),
+    val sizes = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+    val small = bands.join(
+      sizes.filter(col("bsz") <= bucketCap).select(col("band"), col("key")),
+      Seq("band", "key"))
+      .select(col("doc_id"), col("band"), col("key"))
+    val smallPairs = small.as("x")
+      .join(small.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-  }
-
-  /** Restrict a band table to (band, key) buckets of size ≤ bucketCap. */
-  private def cappedBuckets(bands: DataFrame, bucketCap: Long): DataFrame = {
-    val small = bands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= bucketCap)
-      .select(col("band"), col("key"))
-    bands.join(small, Seq("band", "key"))
+    val big = bands.join(
+      sizes.filter(col("bsz") > bucketCap).select(col("band"), col("key")),
+      Seq("band", "key"))
+      .select(col("doc_id"), col("band"), col("key"),
+        explode(array((0 until SubBands).map(sb =>
+          struct(lit(sb).as("sb"), col(s"sk$sb").as("sk"))): _*)).as("s"))
+      .select(col("doc_id"), col("band"), col("key"),
+        col("s.sb").as("sb"), col("s.sk").as("sk"))
+    val subOk = big.join(
+      big.groupBy(col("band"), col("key"), col("sb"), col("sk"))
+        .agg(count(lit(1)).as("ssz"))
+        .filter(col("ssz") <= bucketCap)
+        .select(col("band"), col("key"), col("sb"), col("sk")),
+      Seq("band", "key", "sb", "sk"))
+    val bigPairs = subOk.as("x")
+      .join(subOk.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.sb") === col("y.sb") && col("x.sk") === col("y.sk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    smallPairs.unionByName(bigPairs).distinct()
   }
 
   /** Edit-distance verification of LSH candidates: Levenshtein over the
@@ -706,7 +777,9 @@ object Dedup {
     * (doc_id, band, key). This is what an ingestion pipeline keeps
     * between batches — O(|corpus|·bands) small rows, NOT the texts.
     */
-  def lshIndex(corpus: DataFrame): DataFrame = lshBands(minhashSignatures(corpus))
+  def lshIndex(corpus: DataFrame): DataFrame =
+    lshBands(minhashSignatures(corpus))
+      .select(col("doc_id"), col("band"), col("key"))
 
   /** Incremental dedup: decide each NEW batch document against an
     * existing corpus WITHOUT rescanning the corpus — the shape that makes
@@ -732,7 +805,10 @@ object Dedup {
       batch: DataFrame, threshold: Double,
       bucketCap: Long = BandBucketCap): DataFrame = {
     val shB = shinglesSmall(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    // index-format projection (doc_id, band, key): the persisted corpus
+    // index carries no sub-keys, so the batch side conforms to it
     val bandsB = lshBands(minhashSignaturesFrom(shB))
+      .select(col("doc_id"), col("band"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the bucket cap guards BOTH candidate joins: a flooded corpus-index
     // bucket (size counted over index ∪ batch bands, so a batch that

@@ -90,6 +90,24 @@ class DedupSpec extends SparkSpec {
       x.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("oversized LSH buckets are sub-blocked, not dropped") {
+    import spark.implicits._
+    // 6 docs all byte-identical EXCEPT a tiny tail mutation on doc 6:
+    // every band bucket holds all 6 docs (over cap 2). Identical docs
+    // 1-5 share every dedicated sub-key too, so their sub-buckets stay
+    // over cap and are excluded (the exact pass owns them); doc 6's
+    // near-dup edges ride any sub-key its tail mutation made distinct.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val flood = (1L to 5L).map(id => (id, base)) :+ (6L, base + " tail mutated")
+    val r = Dedup.minhashLsh(flood.toDF("doc_id", "text"), 0.5, bucketCap = 2L)
+      .collect()
+    val pairs = r.map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    assert(pairs.forall(_._2 == 6L),
+      s"identical-flood pairs leaked through the sub-bucket cap: $pairs")
+    assert(pairs.nonEmpty,
+      "near-dup doc lost: sub-blocking recovered no edges from the oversized bucket")
+  }
+
   test("contamination finds train docs sharing an n-gram with test docs") {
     import org.apache.spark.sql.functions.col
     val r = Dedup.contamination(docs, col("doc_id") <= 2L, n = 5).collect()
