@@ -90,22 +90,49 @@ class DedupSpec extends SparkSpec {
       x.getAs[Double]("jaccard") == 1.0))
   }
 
-  test("oversized LSH buckets are sub-blocked, not dropped") {
+  test("identical flood stays excluded under the sub-bucket cap") {
     import spark.implicits._
-    // 6 docs all byte-identical EXCEPT a tiny tail mutation on doc 6:
-    // every band bucket holds all 6 docs (over cap 2). Identical docs
-    // 1-5 share every dedicated sub-key too, so their sub-buckets stay
-    // over cap and are excluded (the exact pass owns them); doc 6's
-    // near-dup edges ride any sub-key its tail mutation made distinct.
+    // 6 byte-identical docs, cap 2: every band bucket holds all 6 (over
+    // cap), and the identical docs share every dedicated sub-key too, so
+    // every sub-bucket is ALSO over cap → zero candidates. That is the
+    // contract: doubly-flooded sub-buckets are near-identical docs the
+    // cheaper exact/normalized passes own; sub-blocking must not go
+    // quadratic on them.
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
-    val flood = (1L to 5L).map(id => (id, base)) :+ (6L, base + " tail mutated")
+    val flood = (1L to 6L).map(id => (id, base))
     val r = Dedup.minhashLsh(flood.toDF("doc_id", "text"), 0.5, bucketCap = 2L)
       .collect()
+    assert(r.isEmpty,
+      s"identical-flood pairs leaked through the sub-bucket cap: ${r.mkString(",")}")
+  }
+
+  test("templated flood: sub-blocking recovers planted near-dup pairs") {
+    import spark.implicits._
+    // 8 docs = 4 planted pairs: 90 shared boilerplate tokens + 8
+    // pair-shared + 2 doc-unique. Primary band keys are usually
+    // all-boilerplate → one bucket holding most of the 8 docs (over cap
+    // 2), which the old drop semantics discarded wholesale. The varying
+    // bodies spread the flood across dedicated-perm sub-buckets, so a
+    // planted pair keeps its edge whenever some sub-key min lands on a
+    // pair-shared gram. Pairwise J: within a pair 96/100 = 0.96; across
+    // pairs 88/108 ≈ 0.81 — threshold 0.9 admits exactly the planted
+    // pairs. Hash constants are fixed, so the outcome is deterministic.
+    val bp = (1 to 90).map(i => s"bp$i")
+    val docs8 = (0L until 8L).map { id =>
+      val toks = bp ++ (1 to 8).map(i => s"p${id / 2}_$i") ++
+        (1 to 2).map(i => s"d${id}_$i")
+      (id, toks.mkString(" "))
+    }
+    val fat = Dedup.lshBands(Dedup.minhashSignatures(docs8.toDF("doc_id", "text")))
+      .groupBy(col("band"), col("key")).count().filter(col("count") > 2).count()
+    assert(fat >= 1L, "no oversized band bucket — template flood not flooding")
+    val r = Dedup.minhashLsh(docs8.toDF("doc_id", "text"), 0.9, bucketCap = 2L)
+      .collect()
     val pairs = r.map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
-    assert(pairs.forall(_._2 == 6L),
-      s"identical-flood pairs leaked through the sub-bucket cap: $pairs")
+    assert(pairs.forall(p => p._1 / 2 == p._2 / 2),
+      s"non-planted pair above 0.9: $pairs")
     assert(pairs.nonEmpty,
-      "near-dup doc lost: sub-blocking recovered no edges from the oversized bucket")
+      "sub-blocking recovered no planted pairs from the oversized buckets")
   }
 
   test("contamination finds train docs sharing an n-gram with test docs") {
