@@ -163,6 +163,35 @@ object AnnScaleCheck {
     // collapse (the appended batch is ordinary corpus mass, not dups)
     require(storeRec >= ivfPqRec - 0.05,
       f"persisted-store recall $storeRec%.4f fell below the in-memory path")
+
+    // --- 4b. cid partition pruning: the probed-cells read vs the full
+    // code scan. store.search resolves the probe set driver-side and
+    // pushes `cid IN (...)` onto the cid-partitioned codes/ read, so the
+    // plan must carry a non-empty PartitionFilters entry; at nProbe=2 of
+    // nCent cells the pruned read touches ~2/nCent of the index files.
+    val prunedPlan = store.search(queries, k, nProbe)
+      .queryExecution.executedPlan.toString
+    require("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(prunedPlan).isDefined,
+      "store.search plan carries no cid partition filter — probe reads the whole index")
+    // time the READS themselves (sum forces real data, not metadata):
+    // a 1-query probe touches nProbe of nCent cell partitions, so the
+    // pruned scan reads ~nProbe/nCent of the index files. At 10⁹+
+    // vectors this fraction is the whole game; here it just needs to be
+    // visibly smaller. (End-to-end search latency at THIS scale is
+    // job-overhead-bound either way — the 32-query searches above.)
+    val someCids = store.codes.select(col("cid")).distinct()
+      .limit(nProbe).collect().map(_.getInt(0)).toSeq
+    val nPruned = timed(s"pruned codes/ read ($nProbe of $nCent cell partitions)") {
+      store.codes.filter(col("cid").isin(someCids: _*))
+        .agg(sum(col("rnrm"))).collect(); store.codes
+        .filter(col("cid").isin(someCids: _*)).count()
+    }
+    val nFull = timed("full codes/ read (all cell partitions)") {
+      store.codes.agg(sum(col("rnrm"))).collect(); store.codes.count()
+    }
+    println(s"  pruned read rows = $nPruned of $nFull")
+    require(nPruned < nFull, "cid pruning read the whole index")
+
     // cleanup (temp store can be GBs at large nVec)
     java.nio.file.Files.walk(storeDir)
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -135,7 +135,10 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_kmeans_topk" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
       Similarity.kmeansIvfTopKFrom(t(s, dir, "embeddings"), c, a, 10, 5) }),
-    "ann_kmeanspp_topk" -> ((s, dir) => Similarity.kmeansPpIvfTopK(t(s, dir, "embeddings"), 10, 5)),
+    // trained once per (session, dir) via sharedKmeansPp — the quantizer
+    // is per-ingest state, not per-query work; search-only per call
+    "ann_kmeanspp_topk" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeansPp(s, dir)
+      Similarity.kmeansIvfTopKFrom(t(s, dir, "embeddings"), c, a, 10, 5) }),
     "ann_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(t(s, dir, "embeddings"), 10, 5)),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(t(s, dir, "embeddings"), 10, 5)),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
@@ -231,12 +234,15 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairsOf(t(s, dir, "documents"), Dedup.sharedSigs(s, dir), 0.5)),
     "ts_type_overlap" -> ((s, dir) => Tsdb.typeOverlap(t(s, dir, "events"))),
-    "q_revenue_deciles" -> (Analytics.revenueDeciles _),
+    // deciles + pareto consume ONE shared ranked pass (sharedCustomerRanked)
+    "q_revenue_deciles" -> ((s, dir) =>
+      Analytics.revenueDecilesRanked(Analytics.sharedCustomerRanked(s, dir))),
     "ts_forecast_eval" -> ((s, dir) => Tsdb.forecastEval(Tsdb.points1(t(s, dir, "events")), 0.3)),
     "ann_centroid_stats" -> ((s, dir) => { val (c, a) = Similarity.sharedKmeans(s, dir)
       Similarity.centroidStatsFrom(t(s, dir, "embeddings"), c, a) }),
     "ts_ohlc" -> ((s, dir) => Tsdb.ohlc(Tsdb.points1(t(s, dir, "events")), 6)),
-    "q_pareto_customers" -> ((s, dir) => Analytics.paretoCustomers(s, dir)),
+    "q_pareto_customers" -> ((s, dir) =>
+      Analytics.paretoCustomersRanked(Analytics.sharedCustomerRanked(s, dir))),
     "ts_topk_approx" -> ((s, dir) => Tsdb.topkApprox(t(s, dir, "events"))),
     "q_rfm" -> (Analytics.rfm _),
     "embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(t(s, dir, "embeddings"))),

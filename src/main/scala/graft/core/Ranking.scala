@@ -132,9 +132,15 @@ object Ranking {
     * action — the building block for trailing-window rollups without any
     * global window: `trailing_k_sum(r) = cum(r) - cum(r-k)` via an
     * equi-join on the consecutive rank. Values must be LongType (exact).
+    * `totalCol` adds the global row count (as [[withGlobalRank]]'s
+    * total); `valueTotals` maps a cumName to a column carrying that
+    * value's grand total (as [[withRunningSum]]'s totCol) — both ride
+    * the same bounded offsets aggregate, no extra pass.
     */
   def withRankAndSums(df: DataFrame, order: Seq[Column], rankCol: String,
-      values: Seq[(Column, String)], numParts: Int = 0): DataFrame = {
+      values: Seq[(Column, String)], numParts: Int = 0,
+      totalCol: Option[String] = None,
+      valueTotals: Map[String, String] = Map.empty): DataFrame = {
     val parts = resolveParts(df, numParts)
     var r = ranged(df, order, parts)
     values.zipWithIndex.foreach { case ((v, _), i) => r = r.withColumn(s"__v$i", v) }
@@ -145,6 +151,13 @@ object Ranking {
     // coalesce: a partition whose values are all NULL sums to NULL — treat
     // it as 0, matching the null-skipping window sum this helper replaces
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val totCols =
+      totalCol.map(tc => sum(col("__c")).over(wTot).as(tc)).toSeq ++
+        values.zipWithIndex.collect { case ((_, name), i) if valueTotals.contains(name) =>
+          sum(col(s"__s$i")).over(wTot).as(valueTotals(name))
+        }
     val offDf = r.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"),
         values.indices.map(i => coalesce(sum(col(s"__v$i")), lit(0L)).as(s"__s$i")): _*)
@@ -152,8 +165,8 @@ object Ranking {
       .select(col("__pid") +:
         (coalesce(sum(col("__c")).over(wOff), lit(0L)) + overflowGuard(col("__c"), IdxMask))
           .as("__off") +:
-        values.indices.map(i =>
-          coalesce(sum(col(s"__s$i")).over(wOff), lit(0L)).as(s"__soff$i")): _*)
+        (values.indices.map(i =>
+          coalesce(sum(col(s"__s$i")).over(wOff), lit(0L)).as(s"__soff$i")) ++ totCols): _*)
     val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var out = r.join(broadcast(offDf), "__pid")

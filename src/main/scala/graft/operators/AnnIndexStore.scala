@@ -28,8 +28,12 @@ import graft.functions.{VectorFunctions => V}
   * [[append]] encodes new vectors against the PERSISTED quantizers — no
   * retraining, no touch of previously indexed vectors — which is how
   * production IVF-PQ ingests (retrain on drift, not per batch; monitor
-  * with embedding_drift/ann_centroid_stats). At cluster scale,
-  * partition `codes/` by cid so a probe reads only its cells' files.
+  * with embedding_drift/ann_centroid_stats). `codes/` is written
+  * PARTITIONED BY cid, and [[search]] turns the (bounded) probe set
+  * into a static `cid IN (...)` filter, so a probe-2 search reads only
+  * the probed cells' files — the scan plan carries a `PartitionFilters`
+  * entry (asserted in AnnIndexStoreSpec) and at 10⁹ vectors the read is
+  * nProbe/nCent of the index instead of all of it.
   */
 final class AnnIndexStore(spark: SparkSession, path: String) {
 
@@ -46,7 +50,8 @@ final class AnnIndexStore(spark: SparkSession, path: String) {
     val cb = Similarity.ivfPqCodebook(resTab, nSub, nCode)
     cent.write.mode("overwrite").parquet(cellsDir)
     cb.write.mode("overwrite").parquet(codebookDir)
-    Similarity.ivfPqEncode(resTab, cent, cb, nSub).write.mode("overwrite").parquet(codesDir)
+    Similarity.ivfPqEncode(resTab, cent, cb, nSub)
+      .write.mode("overwrite").partitionBy("cid").parquet(codesDir)
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(path, AnnIndexStore.ParamFile),
       s"""{"nSub": $nSub, "nCent": $nCent, "nCode": $nCode}""")
@@ -79,17 +84,27 @@ final class AnnIndexStore(spark: SparkSession, path: String) {
     Similarity.ivfPqEncode(
       Similarity.ivfPqResiduals(Similarity.withNorm(emb), cent),
       cent, codebook, params.nSub)
-      .write.mode("append").parquet(codesDir)
+      .write.mode("append").partitionBy("cid").parquet(codesDir)
   }
 
   /** ADC top-k over the persisted index. `queries` is (query_id, qv);
     * raw corpus vectors are NEVER read — only the compressed code table
-    * plus the broadcast cell/codebook/ADC lookups.
+    * plus the broadcast cell/codebook/ADC lookups. The probed cell ids
+    * (≤ |queries|·nProbe ints — bounded by the query-set contract) are
+    * resolved driver-side first and pushed as a static partition filter
+    * on the cid-partitioned `codes/` read, so the only corpus-sized scan
+    * touches just the probed cells' files. The filter is a no-op
+    * semantically: ivfPqSearch inner-joins codes to the probe table on
+    * cid anyway, so results are bit-identical to the unpruned read.
     */
   def search(queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     val q = queries.select(col("query_id"), col("qv"),
       V.normF(col("qv")).as("qnrm"))
-    Similarity.ivfPqSearch(q, cells, codebook, codes, k, nProbe, params.nSub)
+    val cent = cells
+    val probed = Similarity.ivfProbes(q, cent, nProbe)
+      .select(col("cid")).distinct().collect().map(_.getInt(0)).toSeq
+    Similarity.ivfPqSearch(q, cent, codebook,
+      codes.filter(col("cid").isin(probed: _*)), k, nProbe, params.nSub)
   }
 }
 

@@ -455,6 +455,17 @@ object Similarity {
   def kmeansPpIvfTopK(emb: DataFrame, nQueries: Int, k: Int, nCent: Int = 8,
       iters: Int = 3, nProbe: Int = 2): DataFrame = {
     val e = withNorm(emb).persist()
+    val (cent, asn) = kmeansPpModel(e, nCent, iters)
+    centroidProbeSearch(e, cent, asn, nQueries, k, nProbe)
+  }
+
+  /** The k-means‖-seeded Lloyd training loop of [[kmeansPpIvfTopK]],
+    * returning (final centroids, narrow final assignment) — the reusable
+    * trained-model piece, shared so [[sharedKmeansPp]] can train once
+    * per (session, dir).
+    */
+  private[graft] def kmeansPpModel(e: DataFrame, nCent: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     var cent = kmeansParSeeds(e, nCent)
     // eager localCheckpoint per round: each round's plan references the
     // previous round's tables multiple times, so truncating the logical
@@ -492,9 +503,34 @@ object Similarity {
     }
     // `prev` IS the assignment against the final `cent` (computed right
     // after the last update) — re-assigning would repeat a corpus pass
-    centroidProbeSearch(e, cent, prev.select(col("vec_id"), col("cid")),
-      nQueries, k, nProbe)
+    (cent, prev.select(col("vec_id"), col("cid")))
   }
+
+  private val kmeansPpViewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Shared k-means‖-seeded quantizer over the `embeddings` table at the
+    * default shape (8 centroids, ≤3 Lloyd iterations with early stop):
+    * (centroids, narrow final assignment), trained ONCE per (session,
+    * dir) and frozen — the [[sharedKmeans]] pattern for the ++-seeded
+    * model. Training a coarse quantizer is a per-ingest step, not a
+    * per-query one: at 100 TB every search against the corpus reuses
+    * the same frozen model (see [[AnnIndexStore]]), so the registered
+    * query paying the 6-job seeding+Lloyd chain on every call was pure
+    * re-computation. Values are unchanged — training is deterministic
+    * (hash-seeded sample, fixed-point integer means), so the oracle
+    * replay still matches bit for bit.
+    */
+  def sharedKmeansPp(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmeansPpViewCache.getOrElseUpdate((s, dir), {
+      val e = withNorm(graft.core.Tables.load(s, dir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (cent, asn) = kmeansPpModel(e, 8, 3)
+      val frozen = (localized(cent),
+        asn.localCheckpoint())
+      e.unpersist()
+      frozen
+    })
 
   /** Symmetric int8 scalar quantization: per-vector scale = max|v|/127,
     * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]. One map-only projection;
@@ -742,6 +778,21 @@ object Similarity {
         (0 until nSub).map(s => col(s"c$s")) :+ col("rnrm"): _*)
   }
 
+  /** Per-query probe assignments: the nProbe coarse cells nearest each
+    * query, with the query-side pieces the ADC scorer reuses. Both sides
+    * are bounded (queries by contract, centroids by nCent), so the
+    * crossJoin is a broadcast nest, never a shuffle.
+    */
+  private[graft] def ivfProbes(q: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy((V.dotF(col("qv"), col("cvec")) / (col("qnrm") * col("cnrm"))).desc, col("cid"))
+    broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("qnrm"), col("cid"),
+        V.dotF(col("qv"), col("cvec")).as("qcent"))
+  }
+
   /** ADC search against an IVF-PQ index (cent + cb + encoded `wide`
     * table): probe the nProbe nearest cells per query, score candidates
     * via the broadcast ADC lookup tables only — the code table is the
@@ -750,13 +801,7 @@ object Similarity {
     */
   private[graft] def ivfPqSearch(q: DataFrame, cent: DataFrame, cb: DataFrame,
       wide: DataFrame, k: Int, nProbe: Int, nSub: Int): DataFrame = {
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy((V.dotF(col("qv"), col("cvec")) / (col("qnrm") * col("cnrm"))).desc, col("cid"))
-    val probes = broadcast(q).crossJoin(broadcast(cent))
-      .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= nProbe)
-      .select(col("query_id"), col("qnrm"), col("cid"),
-        V.dotF(col("qv"), col("cvec")).as("qcent"))
+    val probes = ivfProbes(q, cent, nProbe)
     val adc = q
       .select(col("query_id"), explode(pqSubStructs("qv", nSub)).as("x"))
       .select(col("query_id"), col("x.s").as("s"), col("x.sv").as("qs"))

@@ -152,6 +152,28 @@ class AnnIndexStoreSpec extends SparkSpec {
     rmrf(dir)
   }
 
+  test("probe search prunes codes/ by cell partition, results unchanged") {
+    val dir = tmpDir()
+    val store = new AnnIndexStore(spark, dir.toString)
+    store.build(vecsOf(corpusRows))
+    val queries = vecsOf(Seq((9001L, 3L), (9002L, 5L)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = store.search(queries, 5, nProbe = 2)
+    // the codes/ scan must carry a non-empty cid PartitionFilters entry —
+    // the read that makes a probe O(probed cells), not O(index)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"probe search scans every codes/ partition — cid pruning lost:\n$plan")
+    // pruning is semantically a no-op: identical to searching the full table
+    val q = queries.select(col("query_id"), col("qv"),
+      graft.functions.VectorFunctions.normF(col("qv")).as("qnrm"))
+    val full = Similarity.ivfPqSearch(q, store.cells, store.codebook,
+      store.codes, 5, 2, store.params.nSub)
+    assert(res.except(full).isEmpty && full.except(res).isEmpty,
+      "partition-pruned search differs from the full-scan search")
+    rmrf(dir)
+  }
+
   test("params are validated: a directory without params.json is refused") {
     val dir = tmpDir()
     val store = new AnnIndexStore(spark, dir.toString)
