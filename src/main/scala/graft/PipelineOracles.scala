@@ -2083,7 +2083,7 @@ object PipelineOracles {
                        sg2 / (n * 1000000000000.0)
                          - (sg / (n * 1000000.0)) * (sg / (n * 1000000.0)) AS va
                 FROM mn),
-         sp AS (SELECT dim, m, va FROM st WHERE va > 0.0),
+         sp AS (SELECT dim, m, va FROM st WHERE va > 0.000000001),
          sc AS (SELECT vec_id,
                        sum(CAST(floor((g / 1000000.0 - m) * (g / 1000000.0 - m) / va
                                       * 1000000.0 + 0.5) AS BIGINT)) AS sq

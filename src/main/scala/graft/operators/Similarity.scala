@@ -1201,9 +1201,14 @@ object Similarity {
     */
   def ivfTuningCurve(emb: DataFrame, nQueries: Int, k: Int,
       probes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    // eager localCheckpoint, not persist: the truth table is BOUNDED
+    // (nQueries·k rows), each probe level re-reads it, and a persist here
+    // would outlive the call (library callers don't clearCache between
+    // reads — the cache-leak ADVICE finding); checkpoint blocks are
+    // reclaimed with the RDD instead of pinning executor storage
     val bf = bruteForceTopK(emb, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val out = probes.map { p =>
       val ap = ivfTopK(emb, nQueries, k, p)
         .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
@@ -1371,15 +1376,25 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
       .select(col("vec_id"), (col("p0") + 1).as("dim"),
         floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long").as("g"))
+    // second moment as exact DECIMAL(38,0): per-row g² is ~1e12 for
+    // unit-range components, so a LONG sum would silently wrap around
+    // ~3e7 vectors (Spark's non-ANSI sum) while DuckDB promotes BIGINT
+    // sums to HUGEINT — the decimal sum keeps both engines exact at any
+    // corpus width, and the one cast-to-double happens after the sum on
+    // both sides (identical nearest-double rounding)
     val mn = flat.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
-        sum(col("g") * col("g")).as("sg2"))
+        sum((col("g") * col("g")).cast("decimal(38,0)")).as("sg2"))
     val nD = col("n").cast("double")
     val meanE = col("sg") / (nD * 1000000.0)
+    // va epsilon, not va > 0: a positive-but-degenerate variance
+    // (va ~ 1e-12) turns a |dev| ~ 1 into a ~1e18 per-term addend and
+    // wraps the per-vector score sum; with va ≥ 1e-9 the worst 64-dim
+    // score sum stays ~6e18 < Long.Max. Same cut in the oracle.
     val stats = mn
       .select(col("dim"), meanE.as("m"),
-        (col("sg2") / (nD * 1000000000000.0) - meanE * meanE).as("va"))
-      .filter(col("va") > 0.0)
+        (col("sg2").cast("double") / (nD * 1000000000000.0) - meanE * meanE).as("va"))
+      .filter(col("va") > 0.000000001)
     val dev = col("g") / 1000000.0 - col("m")
     flat.join(broadcast(stats), "dim")
       .select(col("vec_id"),
@@ -1408,12 +1423,14 @@ object Similarity {
       .select(posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select((col("pos0") + 1).as("dim"),
         floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long").as("g"))
+    // DECIMAL(38,0) second moment — see embeddingOutliers: a LONG sum of
+    // ~1e12 addends wraps around ~3e7 vectors; DuckDB's HUGEINT doesn't
     val agg = flat.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
-        sum(col("g") * col("g")).as("sg2"))
+        sum((col("g") * col("g")).cast("decimal(38,0)")).as("sg2"))
     val nD = col("n").cast("double")
     val mean = col("sg") / (nD * 1000000.0)
-    val varr = col("sg2") / (nD * 1000000000000.0) - mean * mean
+    val varr = col("sg2").cast("double") / (nD * 1000000000000.0) - mean * mean
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("var_v").desc, col("dim"))
     agg
