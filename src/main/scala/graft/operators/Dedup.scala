@@ -268,20 +268,23 @@ object Dedup {
     * batches); per bucket, how many distinct 8-gram shingle types appear,
     * how many appear for the FIRST time, and their ratio — the
     * "is this crawl still adding new content" signal that decides when
-    * continued scraping of a source stops paying for itself. All shapes
-    * are hash aggregates on the shingle key (map-side combinable): the
-    * first-seen table is a min-aggregate over the shared shingle view, and
-    * the per-bucket rollup joins it back on the 8-byte shingle hash. The
+    * continued scraping of a source stops paying for itself. ONE shuffle
+    * on the 8-byte shingle hash does everything: collect_set(bucket) per
+    * type (≤ nBuckets small ints, partial-aggregatable map-side), then
+    * an explode with array_min as the first-seen bucket feeds the
+    * nBuckets-key rollup — no distinct pass, no min-aggregate pass, no
+    * corpus-sized incidence self-join (the old three-shuffle shape this
+    * replaces; counts are identical, so the oracle is unchanged). The
     * bucket id is exact integer arithmetic (doc_id·n div N) so both
     * engines bucket identically.
     */
   def ngramNoveltyOf(docs: DataFrame, sh8: DataFrame, nBuckets: Int = 10): DataFrame = {
     val tot = docs.agg((max(col("doc_id")) + 1).as("nd"))
-    val b = sh8.crossJoin(broadcast(tot))
+    val perType = sh8.crossJoin(broadcast(tot))
       .select(expr(s"doc_id * $nBuckets div nd").as("bucket"), col("shingle"))
-      .distinct()
-    val first = b.groupBy(col("shingle")).agg(min(col("bucket")).as("fb"))
-    b.join(first, "shingle")
+      .groupBy(col("shingle")).agg(collect_set(col("bucket")).as("bs"))
+      .select(explode(col("bs")).as("bucket"), array_min(col("bs")).as("fb"))
+    perType
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_types"),
         sum(when(col("fb") === col("bucket"), 1L).otherwise(0L)).as("n_new_types"))

@@ -327,23 +327,26 @@ object StreamingTracker {
     * partition-skewed topic). For fully sealed data use the batch
     * Tsdb.asofJoin.
     *
-    * STATE-FORMAT BREAK (round 4): per-key state widened from a single
-    * (Timestamp, Double) to a List of them for the watermarked buffer.
-    * A query restarted from a pre-round-4 checkpoint fails on state
-    * deserialization — restart with a FRESH checkpoint directory when
-    * upgrading across this change (acceptable pre-release; noted so an
-    * operator recognizes the error).
+    * STATE-FORMAT VERSIONING: the per-key state carries an explicit
+    * format version ([[AsofStateVersion]]), checked on every read — a
+    * checkpoint written by a different format fails LOUDLY with an
+    * upgrade instruction instead of mis-decoding (the round-4
+    * tuple→List widening relied on the engine's schema check alone;
+    * same-schema semantic changes would have slipped through). Bump the
+    * version on ANY change to the buffer's meaning, and restart with a
+    * FRESH checkpoint directory across a bump (acceptable pre-release).
     */
   def asofStream(spark: SparkSession, points: Dataset[TaggedPoint],
       horizonMs: Long = 3600000L): Dataset[AsofMatch] = {
     import spark.implicits._
     points
       .groupByKey(_.f2)
-      .flatMapGroupsWithState[List[(java.sql.Timestamp, Double)], AsofMatch](
+      .flatMapGroupsWithState[AsofState, AsofMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (f2, it, state: GroupState[List[(java.sql.Timestamp, Double)]]) =>
+        case (f2, it, state: GroupState[AsofState]) =>
           val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.side))
-          var buf = state.getOption.getOrElse(Nil) // ascending by ts
+          state.getOption.foreach(s => requireAsofStateVersion(s.version))
+          var buf = state.getOption.map(_.buf).getOrElse(Nil) // ascending by ts
           val out = Seq.newBuilder[AsofMatch]
           ordered.foreach { e =>
             if (e.side == 0) {
@@ -363,11 +366,31 @@ object StreamingTracker {
             val cut = buf.last._1.getTime - horizonMs
             val (old, recent) = buf.partition(_._1.getTime < cut)
             buf = old.lastOption.toList ++ recent
-            state.update(buf)
+            state.update(AsofState(AsofStateVersion, buf))
           }
           out.result().iterator
       }
   }
+
+  /** Current [[asofStream]] per-key state format. v2 = versioned
+    * watermarked build buffer (v1 was the unversioned List state).
+    */
+  val AsofStateVersion = 2
+
+  final case class AsofState(version: Int,
+      buf: List[(java.sql.Timestamp, Double)])
+
+  /** The loud gate [[asofStream]] applies to every state read: any
+    * version mismatch — an old checkpoint that happens to decode, or a
+    * newer writer's state read by older code — aborts the query with an
+    * upgrade instruction instead of silently mis-interpreting the buffer.
+    */
+  private[graft] def requireAsofStateVersion(v: Int): Unit =
+    if (v != AsofStateVersion)
+      throw new IllegalStateException(
+        s"asofStream state format v$v incompatible with expected v$AsofStateVersion — " +
+          "this checkpoint was written by a different graft version; " +
+          "restart the query with a fresh checkpoint directory")
 
   final case class RateOut(f1: String, f2: String, ts: java.sql.Timestamp,
       increase: Option[Double])

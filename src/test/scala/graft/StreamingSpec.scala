@@ -245,6 +245,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofStream: a foreign state-format version fails loudly") {
+    // the gate every state read applies: a checkpoint written by a
+    // different format version must abort with the upgrade instruction,
+    // never silently mis-interpret the buffer
+    val err = intercept[IllegalStateException] {
+      StreamingTracker.requireAsofStateVersion(1)
+    }
+    assert(err.getMessage.contains("v1") &&
+      err.getMessage.contains(s"v${StreamingTracker.AsofStateVersion}") &&
+      err.getMessage.contains("fresh checkpoint"))
+    StreamingTracker.requireAsofStateVersion(StreamingTracker.AsofStateVersion)
+  }
+
   test("dedupStream drops repeated content within the watermark horizon") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
