@@ -67,6 +67,19 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMedian = medians.map(_._2).sum
     def r3(v: Double): String = f"$v%.3f"
+    // the committed DuckDB-oracle baseline (tools/bench_oracle.py): the
+    // single-node reference cost of the same logical work, making the
+    // "within 2x of BASELINE" gate a number instead of an N/A
+    val duckdbTotal: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_duckdb.json")), "UTF-8")
+        """"duckdb_total_sec"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    val vsBaseline = duckdbTotal
+      .map(d => s""","duckdb_total_sec":${r3(d)},"spark_vs_duckdb":${r3(total / d)}""")
+      .getOrElse("")
     val sentinelJson = sentinels.map(r3).mkString("[", ",", "]")
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -89,6 +102,6 @@ object Bench {
     }
     val qs = kept.mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)},"sentinel_sec":$sentinelJson,"n_queries":${names.size},"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)}$vsBaseline,"sentinel_sec":$sentinelJson,"n_queries":${names.size},"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }
