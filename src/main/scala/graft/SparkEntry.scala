@@ -192,6 +192,7 @@ object SparkEntry {
     "contamination_bloom" -> ((s, dir) => Dedup.contaminationBloomOf(
       t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), col("doc_id") < 50)),
     "ts_ewma" -> ((s, dir) => Tsdb.ewma(Tsdb.points1(t(s, dir, "events")), 0.3)),
+    "ts_lttb" -> ((s, dir) => Tsdb.lttb(Tsdb.points1(t(s, dir, "events")), 24)),
     "ts_rollup_audit" -> ((s, dir) => Tsdb.rollupAudit(t(s, dir, "events"))),
     "sample_topn_per_stratum" -> ((s, dir) =>
       TextAnalysis.sampleTopNPerStratum(t(s, dir, "documents"), col("lang"), 10, "s1")),
@@ -387,6 +388,70 @@ object SparkEntry {
     * [i, lvl, tr, se1..se6, fc...] — the first element IS the initial
     * state, later elements carry [p, x].
     */
+  /** LTTB oracle: the identical sequential selection replayed as a
+    * RECURSIVE CTE in the rows domain — one recursion step per middle
+    * bucket, the argmax a correlated ORDER BY area DESC, idx ASC LIMIT 1
+    * (first-max tie-break, matching the Scala scan). Bucket means
+    * divide exact integer sums once; every area is one fixed IEEE op
+    * sequence — bit-identical to Tsdb.lttb. Deliberately NOT the
+    * list_reduce fold the other sequential oracles use: DuckDB 1.0.0
+    * mis-evaluates nested lambdas over multi-row list columns (the fold
+    * was correct on any single series and corrupted only when several
+    * series shared a vector chunk — a vectorizer bug the rows-domain
+    * recursion sidesteps entirely).
+    */
+  private def lttbCtes(k: Int): String = {
+    val m = k - 2
+    s"""WITH RECURSIVE store AS (
+         SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,
+                round(sum(value),2) AS total
+         FROM events GROUP BY 1,2),
+         pts AS (SELECT f1,
+                  CAST(row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS INT) AS idx,
+                  bucket, total,
+                  CAST(epoch(bucket) AS BIGINT) AS xei,
+                  CAST(floor(total * 10000.0 + 0.5) AS BIGINT) AS gi
+                 FROM store),
+         meta AS (SELECT f1, CAST(count(*) AS INT) AS n FROM pts GROUP BY 1),
+         bks AS (SELECT f1, n, u.b,
+                  CAST(floor((u.b - 1.0) * (n - 2) / $m.0) AS INT) + 2 AS cs,
+                  CAST(floor(u.b * (n - 2) / $m.0) AS INT) + 1 AS ce,
+                  CASE WHEN u.b = $m THEN n
+                       ELSE CAST(floor(u.b * (n - 2) / $m.0) AS INT) + 2 END AS ns,
+                  CASE WHEN u.b = $m THEN n
+                       ELSE CAST(floor((u.b + 1.0) * (n - 2) / $m.0) AS INT) + 1 END AS ne
+                 FROM meta CROSS JOIN (SELECT unnest(generate_series(1, $m)) AS b) u
+                 WHERE n > $k),
+         nxt AS (SELECT bk.f1, bk.b,
+                  CAST(sum(p.xei) AS DOUBLE) / count(*) AS xavg,
+                  (CAST(sum(p.gi) AS DOUBLE) / count(*)) / 10000.0 AS yavg
+                 FROM bks bk JOIN pts p ON p.f1 = bk.f1 AND p.idx BETWEEN bk.ns AND bk.ne
+                 GROUP BY 1, 2),
+         sel AS (
+           SELECT f1, 0 AS step, 1 AS prev FROM meta WHERE n > $k
+           UNION ALL
+           SELECT s.f1, s.step + 1,
+             (SELECT p.idx
+              FROM pts p, bks bk, nxt nx, pts pv
+              WHERE bk.f1 = s.f1 AND bk.b = s.step + 1
+                AND nx.f1 = s.f1 AND nx.b = s.step + 1
+                AND pv.f1 = s.f1 AND pv.idx = s.prev
+                AND p.f1 = s.f1 AND p.idx BETWEEN bk.cs AND bk.ce
+              ORDER BY abs((pv.xei::DOUBLE - nx.xavg)
+                             * ((p.gi::DOUBLE) / 10000.0 - (pv.gi::DOUBLE) / 10000.0)
+                           - (pv.xei::DOUBLE - p.xei::DOUBLE)
+                             * (nx.yavg - (pv.gi::DOUBLE) / 10000.0)) DESC,
+                       p.idx ASC
+              LIMIT 1)
+           FROM sel s WHERE s.step < $m),
+         fin AS (
+           SELECT f1, 1 AS idx FROM meta WHERE n > $k
+           UNION ALL SELECT f1, prev FROM sel WHERE step >= 1
+           UNION ALL SELECT f1, n FROM meta WHERE n > $k
+           UNION ALL SELECT p.f1, p.idx
+                     FROM pts p JOIN meta mm USING (f1) WHERE mm.n <= $k)"""
+  }
+
   private val hwCtes: String = {
     val slot = "acc[(CAST(acc[1] AS INT) % 6) + 4]"
     val lvl2 = s"(0.5 * (e[2] - $slot) + 0.5 * (acc[2] + acc[3]))"
@@ -1100,6 +1165,10 @@ object SparkEntry {
                           acc * CAST(${1.0 - 0.3} AS DOUBLE) + x * CAST(${0.3} AS DOUBLE)))) AS sm
                FROM s)
          SELECT f1, bucket, floor(sm * 10000.0 + 0.5) / 10000.0 AS ewma FROM e""",
+
+    "ts_lttb" -> s"""${lttbCtes(24)}
+         SELECT f.f1, p.bucket, p.total
+         FROM fin f JOIN pts p ON p.f1 = f.f1 AND p.idx = f.idx""",
 
     "ts_capacity_forecast" -> s"""$store1,
          b AS (SELECT f1,

@@ -1160,6 +1160,69 @@ object Tsdb {
     * raw-value alarm comparison is portable. O(n) per series via
     * [[foldSeries]].
     */
+  /** Largest-Triangle-Three-Buckets display downsampling per series —
+    * the dashboard renderer's "draw 526k minute-buckets as k points
+    * without losing the spikes" pass (Steinarsson 2013, the algorithm
+    * Grafana applies client-side; kadiyadb leaves rendering to the
+    * caller, this keeps the reduction server-side where the data is).
+    * Per series: first/last points always kept; the middle n−2 points
+    * split into k−2 equal index buckets, and each bucket keeps the
+    * point forming the largest triangle with the PREVIOUS kept point
+    * and the NEXT bucket's mean — a sequential O(n) selection, the
+    * [[foldSeries]] family. Engine-exact determinism: bucket means
+    * divide exact integer sums (epoch seconds; totals snapped to the
+    * 1e-4 grid) once, the area formula is one fixed IEEE op sequence
+    * per candidate, ties keep the earliest candidate (strict >), and
+    * bucket boundaries are exact integer floor division — the DuckDB
+    * twin replays the identical fold (nested-lambda argmax) bit for
+    * bit. Series with ≤ k points pass through unchanged.
+    */
+  def lttb(pts1: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, s"lttb needs k >= 3, got $k")
+    foldSeries[SeriesPt](pts1) { (f1, v) =>
+      val n = v.length
+      if (n <= k) v.iterator
+      else {
+        val xe = v.map(_.bucket.toEpochSecond(java.time.ZoneOffset.UTC))
+        val g = v.map(p => math.floor(p.total * 10000.0 + 0.5).toLong)
+        val m = k - 2
+        val out = new Array[SeriesPt](k)
+        out(0) = v(0)
+        var prev = 0
+        var i = 0
+        while (i < m) {
+          val start = (i.toLong * (n - 2) / m).toInt + 1
+          val end = ((i + 1).toLong * (n - 2) / m).toInt + 1 // exclusive
+          val (ns, ne) =
+            if (i == m - 1) (n - 1, n)
+            else (end, (((i + 2).toLong * (n - 2)) / m).toInt + 1)
+          var sx = 0L; var sy = 0L
+          var j = ns
+          while (j < ne) { sx += xe(j); sy += g(j); j += 1 }
+          val cnt = (ne - ns).toDouble
+          val xAvg = sx.toDouble / cnt
+          val yAvg = (sy.toDouble / cnt) / 10000.0
+          val ax = xe(prev).toDouble
+          val ay = g(prev).toDouble / 10000.0
+          var best = -1.0; var sel = start
+          j = start
+          while (j < end) {
+            val by = g(j).toDouble / 10000.0
+            val area = math.abs(
+              (ax - xAvg) * (by - ay) - (ax - xe(j).toDouble) * (yAvg - ay))
+            if (area > best) { best = area; sel = j }
+            j += 1
+          }
+          out(i + 1) = v(sel)
+          prev = sel
+          i += 1
+        }
+        out(k - 1) = v(n - 1)
+        out.iterator
+      }
+    }
+  }
+
   def cusum(pts1: DataFrame, target: Double, h: Double): DataFrame =
     foldSeries[CusumRow](pts1) { (f1, v) =>
       val out = new Array[CusumRow](v.length)

@@ -523,6 +523,23 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Double]("mape") == 0.0)
   }
 
+  test("lttb: first/last kept, the spike survives, short series pass through") {
+    // 12 hourly buckets, flat at 10 except a spike at hour 7; k=6 → 4
+    // middle buckets. The spike forms the largest triangle in its bucket
+    // and MUST be among the kept points — the property LTTB exists for.
+    val rows = (0 to 11).map { i =>
+      (f"2024-01-01 $i%02d:10:00", "view", 1L, if (i == 7) 900.0 else 10.0)
+    }
+    val r = Tsdb.lttb(Tsdb.points1(eventsDf(rows)), 6).collect()
+    assert(r.length == 6, s"k=6 points expected, got ${r.length}")
+    val hours = r.map(_.getAs[java.time.LocalDateTime]("bucket").getHour).sorted
+    assert(hours.head == 0 && hours.last == 11, "first/last buckets must be kept")
+    assert(r.exists(_.getAs[Double]("total") == 900.0), "spike lost by downsampling")
+    // n <= k: untouched passthrough
+    val all = Tsdb.lttb(Tsdb.points1(eventsDf(rows)), 12).collect()
+    assert(all.length == 12)
+  }
+
   test("ohlc: open/close by bucket order, high/low keep the spike") {
     // one 6h slot, hourly totals 10, 500, 3: open=10, high=500, low=3, close=3
     val pts1 = Tsdb.points1(eventsDf(Seq(
