@@ -207,6 +207,7 @@ object SparkEntry {
     "ts_pivot_wide" -> ((s, dir) => Tsdb.pivotWide(Tsdb.points1(t(s, dir, "events")),
       Seq("click", "error", "purchase", "signup", "view"))),
     "olap_cube_report" -> (Analytics.cubeReport _),
+    "q_market_basket" -> ((s, dir) => Analytics.marketBasket(s, dir)),
     "ts_level_shift" -> ((s, dir) => Tsdb.levelShift(Tsdb.points1(t(s, dir, "events")), 6, 20.0)),
     "ts_burn_rate" -> ((s, dir) => Tsdb.burnRate(t(s, dir, "events"), 0.05, 6)),
     "ts_apdex" -> ((s, dir) => Tsdb.apdex(t(s, dir, "events"), 50.0)),
@@ -1255,9 +1256,28 @@ object SparkEntry {
     "olap_cube_report" ->
       """SELECT extract(year FROM o_orderdate) AS order_year,
                 o_orderpriority AS priority,
-                round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+                count(*) AS n_orders
          FROM orders
          GROUP BY CUBE (extract(year FROM o_orderdate), o_orderpriority)""",
+
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       count(*) AS pair_count
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         mg AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1)
+         SELECT part_a, part_b, pair_count, ma.cnt AS cnt_a, mb.cnt AS cnt_b,
+                floor((pair_count * n_orders) / (ma.cnt * mb.cnt) * 10000.0 + 0.5)
+                  / 10000.0 AS lift
+         FROM pr
+         JOIN mg ma ON ma.l_partkey = part_a
+         JOIN mg mb ON mb.l_partkey = part_b
+         CROSS JOIN tot
+         ORDER BY pair_count DESC, part_a, part_b LIMIT 50""",
 
     "ts_rollup_audit" ->
       """WITH d1 AS (SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,

@@ -431,7 +431,12 @@ object Analytics {
     t(s, dir, "orders")
       .cube(year(col("o_orderdate")).as("order_year"),
         col("o_orderpriority").as("priority"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      // exact LONG cents sum (o_totalprice is a 2-dec grid value), the
+      // q_rfm/customerRevenue contract: the grand-total cell folds the
+      // whole fact table, and a double sum there rounds differently
+      // than the oracle's at a .005 boundary (caught by the 10× stress
+      // re-green — one cell off by 0.01 at 1.5M orders)
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** TPC-H Q18 (adapted): large-volume orders (HAVING subquery join). */
@@ -665,4 +670,44 @@ object Analytics {
         (sum(col("__cents")) / 100.0).as("total_revenue"),
         min(col("revenue")).as("min_revenue"),
         max(col("revenue")).as("max_revenue"))
+
+  /** Market-basket affinity: support and lift for part pairs that
+    * co-occur in ≥ minSup orders — the association-rules read behind
+    * "frequently bought together". The within-order pair explode is
+    * bounded by basket size (TPC-H baskets are ≤ 7 lines → ≤ 21 pairs
+    * per order), so the self-join co-partitions on l_orderkey and
+    * never goes quadratic in the fact table; the marginals join is
+    * part-keyed. All counts are exact integers; lift =
+    * (pair_count · n_orders) / (cnt_a · cnt_b) is one rd4'd division
+    * of exact LONG products, and top-k is a TakeOrdered with full key
+    * tie-breaks — no global sort at any width. Overflow headroom: the
+    * numerator product needs pair_count·n_orders > 9.2e18 to wrap
+    * (pair_count ≤ n_orders ⇒ safe below ~3e9 orders; DuckDB errors
+    * loudly rather than wrapping if ever exceeded).
+    */
+  def marketBasket(s: SparkSession, dir: String,
+      minSup: Long = 2L, topK: Int = 50): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val totals = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSup)
+    val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    pairs
+      .join(marg.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
+      .join(marg.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("pair_count"),
+        col("cnt_a"), col("cnt_b"),
+        graft.functions.Hashing.rd4(
+          (col("pair_count") * col("n_orders")) / (col("cnt_a") * col("cnt_b")))
+          .as("lift"))
+      .orderBy(col("pair_count").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
 }

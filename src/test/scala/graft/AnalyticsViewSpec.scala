@@ -43,4 +43,24 @@ class AnalyticsViewSpec extends SparkSpec {
     assert(view.queryExecution.optimizedPlan.isInstanceOf[
       org.apache.spark.sql.execution.LogicalRDD])
   }
+
+  test("marketBasket: ordered pairs, exact support, lift reconciles") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val r = Analytics.marketBasket(spark, dir).collect()
+    assert(r.nonEmpty && r.length <= 50)
+    assert(r.forall(x => x.getAs[Long]("part_a") < x.getAs[Long]("part_b")),
+      "pairs must be ordered part_a < part_b")
+    assert(r.forall(_.getAs[Long]("pair_count") >= 2L), "minSup violated")
+    // lift of the head row reconciles against an independent recount
+    val h = r.head
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val ca = li.filter(col("l_partkey") === h.getAs[Long]("part_a")).count()
+    val cb = li.filter(col("l_partkey") === h.getAs[Long]("part_b")).count()
+    assert(h.getAs[Long]("cnt_a") == ca && h.getAs[Long]("cnt_b") == cb)
+    val lift = math.floor(
+      (h.getAs[Long]("pair_count") * nOrders).toDouble / (ca * cb) * 10000.0 + 0.5) / 10000.0
+    assert(h.getAs[Double]("lift") == lift, s"lift ${h.getAs[Double]("lift")} != $lift")
+  }
 }
