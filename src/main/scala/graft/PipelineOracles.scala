@@ -451,6 +451,35 @@ object PipelineOracles {
                 ELSE []::VARCHAR[] END)) AS sg FROM tok))"""
 
   def all: Map[String, String] = Map(
+    // CCNet terciles: doc-level LM scores (the text_lm_score chain),
+    // per-lang NTILE(3) on (avg_nll, doc_id); bucket means divide one
+    // exact integer sum of the 1e-4-grid scores
+    "corpus_ccnet_buckets" -> """WITH tk AS (
+           SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+         sc AS (SELECT doc_id,
+                       floor(ln(n_total / cnt) * 1000000.0 + 0.5) / 1000000.0 AS nll
+                FROM tk JOIN vocab USING (tok) CROSS JOIN tot),
+         d AS (SELECT doc_id, count(*) AS n_tokens,
+                      floor(avg(nll) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+               FROM sc GROUP BY 1),
+         j AS (SELECT d.doc_id, d.n_tokens, d.avg_nll, doc.lang
+               FROM d JOIN documents doc USING (doc_id)),
+         r AS (SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+                         ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+               FROM j)
+         SELECT lang, bucket,
+                CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS tier,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                floor(CAST(sum(CAST(floor(avg_nll * 10000.0 + 0.5) AS BIGINT))
+                           AS DOUBLE) / 10000.0 / count(*)
+                      * 10000.0 + 0.5) / 10000.0 AS mean_nll
+         FROM r GROUP BY 1, 2, 3""",
+
     "contamination_check" -> s"""WITH $tok, $sh8,
          rare8 AS (SELECT shingle FROM sh8 GROUP BY 1 HAVING count(*) <= 50),
          shc AS (SELECT sh8.doc_id, sh8.shingle FROM sh8 JOIN rare8 USING (shingle)),

@@ -193,6 +193,7 @@ object SparkEntry {
       t(s, dir, "documents"), Dedup.sharedShingles(s, dir, 8), col("doc_id") < 50)),
     "ts_ewma" -> ((s, dir) => Tsdb.ewma(Tsdb.points1(t(s, dir, "events")), 0.3)),
     "ts_lttb" -> ((s, dir) => Tsdb.lttb(Tsdb.points1(t(s, dir, "events")), 24)),
+    "ts_stl_decompose" -> ((s, dir) => Tsdb.stlDecompose(Tsdb.points1(t(s, dir, "events")), 12)),
     "ts_rollup_audit" -> ((s, dir) => Tsdb.rollupAudit(t(s, dir, "events"))),
     "sample_topn_per_stratum" -> ((s, dir) =>
       TextAnalysis.sampleTopNPerStratum(t(s, dir, "documents"), col("lang"), 10, "s1")),
@@ -208,6 +209,7 @@ object SparkEntry {
       Seq("click", "error", "purchase", "signup", "view"))),
     "olap_cube_report" -> (Analytics.cubeReport _),
     "q_market_basket" -> ((s, dir) => Analytics.marketBasket(s, dir)),
+    "q_skyline" -> ((s, dir) => Analytics.skyline(s, dir)),
     "ts_level_shift" -> ((s, dir) => Tsdb.levelShift(Tsdb.points1(t(s, dir, "events")), 6, 20.0)),
     "ts_burn_rate" -> ((s, dir) => Tsdb.burnRate(t(s, dir, "events"), 0.05, 6)),
     "ts_apdex" -> ((s, dir) => Tsdb.apdex(t(s, dir, "events"), 50.0)),
@@ -218,6 +220,7 @@ object SparkEntry {
     "seq_packing" -> ((s, dir) => TextAnalysis.seqPack(t(s, dir, "documents"), 256)),
     "domain_mix_weights" -> ((s, dir) => TextAnalysis.mixWeights(t(s, dir, "documents"))),
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"))),
+    "corpus_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(t(s, dir, "documents"))),
     "data_shuffle_shards" -> ((s, dir) => TextAnalysis.trainingShuffle(t(s, dir, "documents"), 8, "sh1")),
     "sample_token_budget" -> ((s, dir) => TextAnalysis.sampleTokenBudget(t(s, dir, "documents"), 800L, "tb1")),
     "text_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
@@ -1171,6 +1174,35 @@ object SparkEntry {
          SELECT f.f1, p.bucket, p.total
          FROM fin f JOIN pts p ON p.f1 = f.f1 AND p.idx = f.idx""",
 
+    // STL-lite: trend window sums exact cents; detrended values stay
+    // exactly scaled (25*cents - tsum) so slot means divide once.
+    "ts_stl_decompose" -> s"""$store1,
+         c AS (SELECT f1, bucket, total,
+                      CAST(floor(total * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM store),
+         tr AS (SELECT f1, bucket, total, cents,
+                       sum(cents) OVER w AS tsum,
+                       count(*) OVER w AS tcnt,
+                       extract(hour FROM bucket) AS hod
+                FROM c
+                WINDOW w AS (PARTITION BY f1 ORDER BY bucket
+                             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         tt AS (SELECT *, 25 * cents - tsum AS detr_scaled
+                FROM tr WHERE tcnt = 25),
+         se AS (SELECT f1, hod,
+                       floor(CAST(sum(detr_scaled) AS DOUBLE)
+                             / (count(*) * 2500.0) * 10000.0 + 0.5) / 10000.0
+                         AS seasonal
+                FROM tt GROUP BY 1, 2)
+         SELECT t.f1, t.bucket, t.total,
+                floor(CAST(t.tsum AS DOUBLE) / 2500.0 * 10000.0 + 0.5) / 10000.0
+                  AS trend,
+                se.seasonal,
+                floor((t.total
+                       - floor(CAST(t.tsum AS DOUBLE) / 2500.0 * 10000.0 + 0.5) / 10000.0
+                       - se.seasonal) * 10000.0 + 0.5) / 10000.0 AS remainder
+         FROM tt t JOIN se ON se.f1 = t.f1 AND se.hod = t.hod""",
+
     "ts_capacity_forecast" -> s"""$store1,
          b AS (SELECT f1,
                       CAST(row_number() OVER (PARTITION BY f1 ORDER BY bucket) AS BIGINT) AS x,
@@ -1278,6 +1310,22 @@ object SparkEntry {
          JOIN mg mb ON mb.l_partkey = part_b
          CROSS JOIN tot
          ORDER BY pair_count DESC, part_a, part_b LIMIT 50""",
+
+    // skyline sweep: per-price-group max, exclusive prefix max over
+    // strictly-cheaper groups, survive iff group max AND beats the prefix
+    "q_skyline" ->
+      """WITH pr AS (SELECT p_partkey,
+                       CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS pc,
+                       CAST(p_size AS BIGINT) AS sz
+                FROM part),
+         g AS (SELECT pc, max(sz) AS gmax FROM pr GROUP BY 1),
+         gm AS (SELECT pc, gmax,
+                       max(gmax) OVER (ORDER BY pc
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+                FROM g)
+         SELECT p.p_partkey, CAST(p.pc AS DOUBLE) / 100.0 AS price, p.sz AS size
+         FROM pr p JOIN gm ON gm.pc = p.pc
+         WHERE p.sz = gm.gmax AND (gm.prevmax IS NULL OR p.sz > gm.prevmax)""",
 
     "ts_rollup_audit" ->
       """WITH d1 AS (SELECT event_type AS f1, date_trunc('hour', ts) AS bucket,

@@ -232,6 +232,33 @@ object Ranking {
     }
   }
 
+  /** EXCLUSIVE running max of a LongType `value` over a global `order`
+    * (each row sees the max over all STRICTLY earlier rows; the first
+    * row gets NULL) — the prefix-scan sibling of [[withRunningSum]],
+    * same plan shape: one range shuffle, per-partition local prefix
+    * windows (partitioned on `__pid`), a bounded ≤ numParts-row offsets
+    * aggregate whose prefix max broadcasts back. Powers sort-based
+    * sweep algorithms (e.g. the skyline dominance test) without an
+    * unpartitioned window.
+    */
+  def withRunningMax(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String, numParts: Int = 0): DataFrame = {
+    val parts = resolveParts(df, numParts)
+    val r = ranged(df, order, parts).withColumn("__v", value)
+    require(r.schema("__v").dataType == LongType,
+      s"running-max value must be long, got ${r.schema("__v").dataType}")
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = r.groupBy(col("__pid"))
+      .agg(max(col("__v")).as("__pm"))
+      .limit(parts) // exact bound: ≤ one row per shuffle partition
+      .select(col("__pid"), max(col("__pm")).over(wOff).as("__moff"))
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    r.join(broadcast(offDf), "__pid")
+      .withColumn(outCol, greatest(max(col("__v")).over(wLoc), col("__moff")))
+      .drop("__pid", "__mid", "__v", "__moff")
+  }
+
   /** Exact SQL `NTILE(n)` bucket from a global rank and total count: the
     * first (total % n) buckets take ⌈total/n⌉ rows, the rest ⌊total/n⌋ —
     * bit-identical to the window NTILE every engine implements, computed

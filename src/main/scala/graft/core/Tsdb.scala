@@ -1567,4 +1567,44 @@ object Tsdb {
         graft.functions.Hashing.rd4(
           col("n_both") / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
   }
+
+  /** STL-lite seasonal decomposition per series: trend = centered
+    * (2·halfW+1)-bucket moving average, seasonal = per-(series, slot)
+    * mean of the detrended values, remainder = value − trend − seasonal.
+    * The classic decomposition read a dashboard layers under
+    * [[seasonalBaseline]] / [[seasonalityStrength]].
+    *
+    * Engine-exact: `points1` totals sit on the 0.01 grid, so the trend
+    * window sums CENTS as longs (order-free), divides once; the
+    * detrended value is kept EXACTLY scaled as `w·cents − windowSum`
+    * (long) so the slot means are again a single division of an exact
+    * integer sum. Per-series ROWS windows only — a series-year at 1h is
+    * ~8.8k rows per task, and series are the parallelism unit, so no
+    * global sort anywhere.
+    */
+  def stlDecompose(pts1: DataFrame, halfW: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 2 * halfW + 1
+    val win = Window.partitionBy(col("f1")).orderBy(col("bucket"))
+      .rowsBetween(-halfW, halfW)
+    val trended = pts1
+      .withColumn("cents", floor(col("total") * 100.0 + 0.5).cast("long"))
+      .withColumn("tsum", sum(col("cents")).over(win))
+      .withColumn("tcnt", count(lit(1)).over(win))
+      .filter(col("tcnt") === w)
+      .withColumn("detr_scaled", lit(w.toLong) * col("cents") - col("tsum"))
+      .withColumn("hod", hour(col("bucket")))
+    val seasonal = trended.groupBy(col("f1"), col("hod"))
+      .agg(sum(col("detr_scaled")).as("s_num"), count(lit(1)).as("s_cnt"))
+      .withColumn("seasonal",
+        graft.functions.Hashing.rd4(
+          col("s_num").cast("double") / (col("s_cnt") * lit(w * 100.0))))
+    trended
+      .withColumn("trend",
+        graft.functions.Hashing.rd4(col("tsum").cast("double") / lit(w * 100.0)))
+      .join(seasonal.select(col("f1"), col("hod"), col("seasonal")), Seq("f1", "hod"))
+      .select(col("f1"), col("bucket"), col("total"), col("trend"), col("seasonal"),
+        graft.functions.Hashing.rd4(
+          col("total") - col("trend") - col("seasonal")).as("remainder"))
+  }
 }

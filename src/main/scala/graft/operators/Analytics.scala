@@ -710,4 +710,31 @@ object Analytics {
       .orderBy(col("pair_count").desc, col("part_a"), col("part_b"))
       .limit(topK)
   }
+
+  /** Skyline (Pareto frontier) of parts: minimize retail price, maximize
+    * size — no other part is both cheaper-or-equal and bigger-or-equal
+    * with one strict. Sort-based sweep, not a quadratic dominance join:
+    * collapse to per-price-group max size (one map-side-combine
+    * aggregate over the distinct-price grid), take the EXCLUSIVE prefix
+    * max over strictly-cheaper groups via [[graft.core.Ranking
+    * .withRunningMax]] (range shuffle + broadcast offsets — no
+    * unpartitioned window), then a part survives iff it is its price
+    * group's max size AND beats every cheaper group's max. Equal-price
+    * equal-size ties all survive (neither dominates — dominance needs
+    * one strict inequality). Prices ride the exact cents grid.
+    */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val pr = t(s, dir, "part").select(
+      col("p_partkey"),
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("pc"),
+      col("p_size").cast("long").as("sz"))
+    val g = pr.groupBy(col("pc")).agg(max(col("sz")).as("gmax"))
+    val gm = Ranking.withRunningMax(g, Seq(col("pc")), col("gmax"), "prevmax")
+    pr.join(gm, Seq("pc"))
+      .filter(col("sz") === col("gmax") &&
+        (col("prevmax").isNull || col("sz") > col("prevmax")))
+      .select(col("p_partkey"),
+        (col("pc").cast("double") / 100.0).as("price"),
+        col("sz").as("size"))
+  }
 }

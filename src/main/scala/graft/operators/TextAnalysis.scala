@@ -971,4 +971,33 @@ object TextAnalysis {
           sum(col("nbpe")).cast("double") / sum(col("nws"))).as("fertility"),
         graft.functions.Hashing.rd4(
           sum(col("nbpe")) * lit(100.0) / sum(col("nc"))).as("bpe_per_100_chars"))
+
+  /** CCNet-style per-language quality terciles: each doc scored by its
+    * unigram-LM mean NLL ([[lmScore]]), ranked within its language, and
+    * split head / middle / tail (head = most fluent third — what CCNet
+    * keeps for LM training). The per-language rank comes from
+    * [[graft.core.Ranking.withRunningSum]] (value 1 ⇒ a consecutive
+    * per-stratum rank + the stratum size in the same pass — range
+    * shuffle on (lang, score), a language may span MANY partitions, no
+    * one-task-per-language window) and the tercile from the exact
+    * [[graft.core.Ranking.ntileOfRank]] NTILE replica. Per-bucket mean
+    * NLL divides an exact integer sum of the 1e-4-grid scores once.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    graft.core.Ranking.withRunningSum(scored, Some("lang"),
+      Seq(col("avg_nll"), col("doc_id")), lit(1L), "rnk", Some("n_lang"))
+      .withColumn("bucket",
+        graft.core.Ranking.ntileOfRank(3, col("rnk"), col("n_lang")))
+      .withColumn("tier", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), col("bucket").cast("int")))
+      .groupBy(col("lang"), col("bucket"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(floor(col("avg_nll") * 10000.0 + 0.5).cast("long")).as("g_nll"))
+      .select(col("lang"), col("bucket"), col("tier"), col("n_docs"), col("n_tokens"),
+        graft.functions.Hashing.rd4(
+          col("g_nll").cast("double") / 10000.0 / col("n_docs")).as("mean_nll"))
+  }
 }

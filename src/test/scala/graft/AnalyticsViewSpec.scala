@@ -63,4 +63,23 @@ class AnalyticsViewSpec extends SparkSpec {
       (h.getAs[Long]("pair_count") * nOrders).toDouble / (ca * cb) * 10000.0 + 0.5) / 10000.0
     assert(h.getAs[Double]("lift") == lift, s"lift ${h.getAs[Double]("lift")} != $lift")
   }
+
+  test("skyline equals the brute-force dominance filter") {
+    import org.apache.spark.sql.functions.col
+    val got = Analytics.skyline(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("price"), r.getAs[Long]("size")))
+      .toSet
+    // brute force over the small dim: keep iff no part is <=-price,
+    // >=-size with one strict (on the same cents grid the operator uses)
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong, r.getInt(2).toLong))
+    val want = parts.filter { case (_, pc, sz) =>
+      !parts.exists { case (_, pc2, sz2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.map { case (k, pc, sz) => (k, pc.toDouble / 100.0, sz) }.toSet
+    assert(got == want, s"skyline mismatch: got ${got.size}, want ${want.size}")
+  }
 }

@@ -142,4 +142,16 @@ class RankingSpec extends SparkSpec {
     assert(got == Seq(b, 2 * b, 3 * b, 4 * b),
       s"long running sum drifted: $got")
   }
+
+  test("withRunningMax equals the exclusive window max across partition cuts") {
+    val df = sample(257).withColumn("val", col("v").cast("long"))
+    val got = Ranking.withRunningMax(df, Seq(col("k")), col("val"), "pmax",
+      numParts = 7)
+    val want = df.withColumn("pmax", max(col("val")).over(
+      Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)))
+    assert(got.select("k", "pmax").except(want.select("k", "pmax")).isEmpty &&
+      want.select("k", "pmax").except(got.select("k", "pmax")).isEmpty)
+    // first row in order sees NULL (empty exclusive prefix)
+    assert(got.orderBy(col("k")).select(col("pmax")).head().isNullAt(0))
+  }
 }

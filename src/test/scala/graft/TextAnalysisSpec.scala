@@ -533,4 +533,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.keySet == Set(1L, 2L)) // doc 3 has no query term
     assert(r(1L) > r(2L) && r(2L) > 0.0) // tf 2 beats tf 1 at equal length
   }
+
+  test("ccnetBuckets: terciles balance per lang and head is more fluent than tail") {
+    import spark.implicits._
+    // 7 en docs spanning common→rare vocabulary, 3 de docs — tests the
+    // remainder bucket (7 = 3+2+2) and the per-lang restart
+    val d = ((1 to 7).map(i =>
+        (i.toLong, ("the common words " * 3) + (s"rare$i unique$i " * i), "en")) ++
+      (8 to 10).map(i => (i.toLong, s"das wort $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.ccnetBuckets(d).collect()
+    val byLang = r.groupBy(_.getAs[String]("lang"))
+    // bucket doc counts per lang differ by at most 1 (NTILE contract)
+    for ((lang, rows) <- byLang) {
+      val counts = rows.map(_.getAs[Long]("n_docs"))
+      assert(counts.max - counts.min <= 1, s"$lang buckets unbalanced: ${counts.toSeq}")
+      val byTier = rows.map(x => x.getAs[String]("tier") -> x.getAs[Double]("mean_nll")).toMap
+      if (byTier.contains("head") && byTier.contains("tail"))
+        assert(byTier("head") <= byTier("tail"),
+          s"$lang head ${byTier("head")} not more fluent than tail ${byTier("tail")}")
+    }
+    assert(byLang("en").map(_.getAs[Long]("n_docs")).sum == 7L)
+    assert(byLang("de").map(_.getAs[Long]("n_docs")).sum == 3L)
+  }
 }

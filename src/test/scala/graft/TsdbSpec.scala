@@ -632,4 +632,20 @@ class TsdbSpec extends SparkSpec {
         (x.getAs[Long]("est_count"), x.getAs[Long]("upper_bound"))).toMap
     assert(r == Map(1L -> (3L, 7L), 2L -> (4L, 7L)))
   }
+
+  test("stlDecompose: constant series is pure trend; series stay independent") {
+    // series A constant 42/h over 72h, series B constant 10/h — interior
+    // rows (full 25-bucket window) decompose to trend-only, per series
+    val rows = (0 until 72).flatMap(i => Seq(
+      (f"2024-01-0${1 + i / 24}%d ${i % 24}%02d:05:00", "view", 1L, 42.0),
+      (f"2024-01-0${1 + i / 24}%d ${i % 24}%02d:07:00", "click", 2L, 10.0)))
+    val r = Tsdb.stlDecompose(Tsdb.points1(eventsDf(rows)), 12).collect()
+    assert(r.length == 2 * (72 - 24), "12 edge buckets trimmed per side per series")
+    for (x <- r) {
+      val want = if (x.getAs[String]("f1") == "view") 42.0 else 10.0
+      assert(x.getAs[Double]("trend") == want &&
+        x.getAs[Double]("seasonal") == 0.0 && x.getAs[Double]("remainder") == 0.0,
+        s"non-trivial decomposition of a constant series: $x")
+    }
+  }
 }
