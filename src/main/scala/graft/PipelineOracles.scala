@@ -480,6 +480,38 @@ object PipelineOracles {
                       * 10000.0 + 0.5) / 10000.0 AS mean_nll
          FROM r GROUP BY 1, 2, 3""",
 
+    // RAKE: stopword-free islands via running stop count, word
+    // degree/freq on a 1e-6 grid, phrase = exact long sum of word grids
+    "text_rake_keyphrases" -> """WITH tk0 AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+           FROM documents),
+         tkp AS (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks))) AS pos
+                 FROM tk0),
+         tk AS (SELECT doc_id, pos, toks[pos] AS tok,
+                       (toks[pos] IN ('the','a','of','and','to','in','is')
+                        OR toks[pos] = '') AS is_stop
+                FROM tkp),
+         g AS (SELECT *, sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM tk),
+         ph AS (SELECT doc_id, grp, pos, tok,
+                       count(*) OVER (PARTITION BY doc_id, grp) AS plen
+                FROM g WHERE NOT is_stop),
+         w6 AS (SELECT tok,
+                       CAST(floor(CAST(sum(plen) AS DOUBLE) / count(*)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS wscore6
+                FROM ph GROUP BY 1),
+         sc AS (SELECT doc_id, grp,
+                       string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                       CAST(sum(wscore6) AS BIGINT) AS ps6
+                FROM ph JOIN w6 USING (tok) GROUP BY 1, 2)
+         SELECT phrase, count(*) AS n_occur,
+                floor(CAST(max(ps6) AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+                  / 10000.0 AS score
+         FROM sc GROUP BY 1
+         ORDER BY max(ps6) DESC, phrase LIMIT 50""",
+
     "contamination_check" -> s"""WITH $tok, $sh8,
          rare8 AS (SELECT shingle FROM sh8 GROUP BY 1 HAVING count(*) <= 50),
          shc AS (SELECT sh8.doc_id, sh8.shingle FROM sh8 JOIN rare8 USING (shingle)),
@@ -769,6 +801,18 @@ object PipelineOracles {
     // Similarity.embeddingDedup: only pairs sharing a band are compared
     "dedup_embedding" -> s"""WITH $nrm, $sigs, $embPairs
          SELECT vec_a, vec_b, label, cos_sim FROM epairs""",
+
+    // kNN graph from the same banded pair table, symmetrized then
+    // ranked per vector (cos DESC, neighbor_id tie-break)
+    "ann_knn_join" -> s"""WITH $nrm, $sigs, $embPairs,
+         sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM epairs
+                 UNION ALL
+                 SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM epairs),
+         r AS (SELECT vec_id, neighbor_id, cos_sim,
+                      CAST(row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+               FROM sym)
+         SELECT vec_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5""",
 
     "embedding_survivors" -> s"""WITH $nrm, $sigs, $embPairs
          SELECT e.vec_id, e.label FROM embeddings e

@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.sharedEmbPairs(s, dir)),
+    "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(s, dir, 5)),
     "dedup_survivors" -> ((s, dir) =>
       Dedup.survivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
     "dedup_clusters" -> ((s, dir) => Dedup.sharedClusters(s, dir)),
@@ -194,6 +195,7 @@ object SparkEntry {
     "ts_ewma" -> ((s, dir) => Tsdb.ewma(Tsdb.points1(t(s, dir, "events")), 0.3)),
     "ts_lttb" -> ((s, dir) => Tsdb.lttb(Tsdb.points1(t(s, dir, "events")), 24)),
     "ts_stl_decompose" -> ((s, dir) => Tsdb.stlDecompose(Tsdb.points1(t(s, dir, "events")), 12)),
+    "ts_gorilla_bits" -> ((s, dir) => Tsdb.gorillaBits(Tsdb.points1(t(s, dir, "events")))),
     "ts_rollup_audit" -> ((s, dir) => Tsdb.rollupAudit(t(s, dir, "events"))),
     "sample_topn_per_stratum" -> ((s, dir) =>
       TextAnalysis.sampleTopNPerStratum(t(s, dir, "documents"), col("lang"), 10, "s1")),
@@ -221,6 +223,7 @@ object SparkEntry {
     "domain_mix_weights" -> ((s, dir) => TextAnalysis.mixWeights(t(s, dir, "documents"))),
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"))),
     "corpus_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(t(s, dir, "documents"))),
+    "text_rake_keyphrases" -> ((s, dir) => TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), 50)),
     "data_shuffle_shards" -> ((s, dir) => TextAnalysis.trainingShuffle(t(s, dir, "documents"), 8, "sh1")),
     "sample_token_budget" -> ((s, dir) => TextAnalysis.sampleTokenBudget(t(s, dir, "documents"), 800L, "tb1")),
     "text_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
@@ -1173,6 +1176,43 @@ object SparkEntry {
     "ts_lttb" -> s"""${lttbCtes(24)}
          SELECT f.f1, p.bucket, p.total
          FROM fin f JOIN pts p ON p.f1 = f.f1 AND p.idx = f.idx""",
+
+    // Gorilla-style bit cost: delta-of-delta ts classes + cents-grid
+    // value-delta classes, all integer CASE ladders
+    "ts_gorilla_bits" -> s"""$store1,
+         d AS (SELECT f1, bucket,
+                      CAST(epoch(bucket) AS BIGINT) AS t,
+                      CAST(floor(total * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM store),
+         lg AS (SELECT f1,
+                       t - lag(t, 1) OVER w AS dt,
+                       (t - lag(t, 1) OVER w)
+                         - (lag(t, 1) OVER w - lag(t, 2) OVER w) AS dod,
+                       cents - lag(cents, 1) OVER w AS dv
+                FROM d
+                WINDOW w AS (PARTITION BY f1 ORDER BY bucket)),
+         b AS (SELECT f1,
+                      CASE WHEN dt IS NULL THEN 64
+                           WHEN dod IS NULL THEN 27
+                           WHEN dod = 0 THEN 1
+                           WHEN abs(dod) <= 64 THEN 9
+                           WHEN abs(dod) <= 256 THEN 12
+                           WHEN abs(dod) <= 2048 THEN 16
+                           ELSE 36 END AS tb,
+                      CASE WHEN dv IS NULL THEN 64
+                           WHEN dv = 0 THEN 1
+                           WHEN abs(dv) < 128 THEN 10
+                           WHEN abs(dv) < 32768 THEN 18
+                           WHEN abs(dv) < 8388608 THEN 26
+                           WHEN abs(dv) < 2147483648 THEN 34
+                           ELSE 66 END AS vb
+               FROM lg)
+         SELECT f1, count(*) AS n_points,
+                CAST(sum(tb) AS BIGINT) AS ts_bits,
+                CAST(sum(vb) AS BIGINT) AS val_bits,
+                floor((count(*) * 128.0) / (sum(tb) + sum(vb)) * 10000.0 + 0.5)
+                  / 10000.0 AS ratio
+         FROM b GROUP BY 1""",
 
     // STL-lite: trend window sums exact cents; detrended values stay
     // exactly scaled (25*cents - tsum) so slot means divide once.

@@ -1568,6 +1568,51 @@ object Tsdb {
           col("n_both") / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
   }
 
+  /** Gorilla-style compressibility audit per series (the storage-cost
+    * read a TSDB capacity planner runs; kadiyadb's fixed-width block
+    * files — block/block.go — are the uncompressed baseline this
+    * compares against). Timestamps cost delta-of-delta bit classes
+    * (Gorilla §4.1: 1 bit when the cadence holds, 9/12/16/36 as the
+    * jitter grows; 64 for a series head, 27 for its first delta);
+    * values cost delta classes on the exact cents grid (1 bit when
+    * repeated, else 2 control bits + an 8/16/24/32/64 zigzag window) —
+    * an integer-grid stand-in for Gorilla's float-XOR
+    * leading/trailing-zero windows that both engines evaluate
+    * identically. Per-series lag windows only; one aggregate.
+    */
+  def gorillaBits(pts1: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("f1")).orderBy(col("bucket"))
+    val d = pts1
+      .withColumn("t", unix_timestamp(col("bucket")))
+      .withColumn("cents", floor(col("total") * 100.0 + 0.5).cast("long"))
+      .withColumn("dt", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("dod", col("dt") - lag(col("dt"), 1).over(w))
+      .withColumn("dv", col("cents") - lag(col("cents"), 1).over(w))
+    val tsBits = when(col("dt").isNull, lit(64L))
+      .when(col("dod").isNull, lit(27L))
+      .when(col("dod") === 0L, lit(1L))
+      .when(abs(col("dod")) <= 64L, lit(9L))
+      .when(abs(col("dod")) <= 256L, lit(12L))
+      .when(abs(col("dod")) <= 2048L, lit(16L))
+      .otherwise(lit(36L))
+    val valBits = when(col("dv").isNull, lit(64L))
+      .when(col("dv") === 0L, lit(1L))
+      .when(abs(col("dv")) < lit(1L << 7), lit(10L))
+      .when(abs(col("dv")) < lit(1L << 15), lit(18L))
+      .when(abs(col("dv")) < lit(1L << 23), lit(26L))
+      .when(abs(col("dv")) < lit(1L << 31), lit(34L))
+      .otherwise(lit(66L))
+    d.select(col("f1"), tsBits.as("tb"), valBits.as("vb"))
+      .groupBy(col("f1"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("tb")).as("ts_bits"), sum(col("vb")).as("val_bits"))
+      .select(col("f1"), col("n_points"), col("ts_bits"), col("val_bits"),
+        graft.functions.Hashing.rd4(
+          (col("n_points") * lit(128.0)) / (col("ts_bits") + col("val_bits")))
+          .as("ratio"))
+  }
+
   /** STL-lite seasonal decomposition per series: trend = centered
     * (2·halfW+1)-bucket moving average, seasonal = per-(series, slot)
     * mean of the detrended values, remainder = value − trend − seasonal.

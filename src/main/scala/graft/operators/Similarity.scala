@@ -1453,4 +1453,30 @@ object Similarity {
         Hashing.rd4(expr("percentile(gd, 0.5D)")).as("p50"),
         Hashing.rd4(expr("percentile(gd, 0.9D)")).as("p90"))
   }
+
+  /** Batch kNN GRAPH over the whole corpus (every vector's top-k
+    * neighbors) — the build step for SemDeDup-style clustering, graph
+    * walks, and label propagation. NOT an all-pairs scan: candidate
+    * edges come from the banded-LSH pair table ([[sharedEmbPairs]],
+    * already candidate-first and cached across the similarity family),
+    * symmetrized, then ranked per vector. The per-vector window
+    * partitions on vec_id — millions of small partitions, each bounded
+    * by that vector's band-candidate count, never a global sort. Like
+    * any LSH graph, recall is bounded by the banding (plus the shared
+    * view's cos ≥ [[SharedEmbFloor]] edge floor — neighbors below it
+    * are not graph-worthy here); the recall matrix ops quantify that
+    * trade on the query ops' side.
+    */
+  def knnJoin(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val pairs = sharedEmbPairs(s, dir)
+    val sym = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos_sim"))
+      .unionByName(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cos_sim")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
 }

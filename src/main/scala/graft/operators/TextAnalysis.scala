@@ -972,6 +972,49 @@ object TextAnalysis {
         graft.functions.Hashing.rd4(
           sum(col("nbpe")) * lit(100.0) / sum(col("nc"))).as("bpe_per_100_chars"))
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) at corpus level:
+    * candidate phrases are maximal stopword-free token runs (islands by
+    * running stopword count — per-doc windows only), each word scores
+    * degree/frequency over all phrase occurrences, and a phrase scores
+    * the sum of its word scores; identical phrase texts aggregate with
+    * their corpus frequency. Engine-exact: the single degree/freq
+    * division snaps to a 1e-6 integer grid per word, phrase sums are
+    * long sums of those grid values, and the final top-k orders on the
+    * exact integer score with a phrase-text tie-break. Plan: one
+    * explode, two per-doc windows, the word-stats wordcount shuffle
+    * (AQE splits stop-adjacent skew), one phrase aggregate, TakeOrdered.
+    */
+  def rakeKeyphrases(docs: DataFrame, topK: Int): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val tk = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isin(stop: _*) || col("tok") === "")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ph = tk
+      .withColumn("grp", sum(col("is_stop").cast("long")).over(wDoc))
+      .filter(!col("is_stop"))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+    val wstats = ph.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"),
+        floor(col("deg").cast("double") / col("freq") * 1000000.0 + 0.5)
+          .cast("long").as("wscore6"))
+    ph.join(wstats, "tok")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("phrase"),
+        sum(col("wscore6")).as("ps6"))
+      .groupBy(col("phrase"))
+      // identical phrase text ⇒ identical word multiset ⇒ identical ps6
+      .agg(count(lit(1)).as("n_occur"), max(col("ps6")).as("ps6"))
+      .orderBy(col("ps6").desc, col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("n_occur"),
+        graft.functions.Hashing.rd4(col("ps6").cast("double") / 1000000.0).as("score"))
+  }
+
   /** CCNet-style per-language quality terciles: each doc scored by its
     * unigram-LM mean NLL ([[lmScore]]), ranked within its language, and
     * split head / middle / tail (head = most fluent third — what CCNet

@@ -59,4 +59,26 @@ class AnnViewSpec extends SparkSpec {
     assert(a1.queryExecution.optimizedPlan.isInstanceOf[
       org.apache.spark.sql.execution.LogicalRDD])
   }
+
+  test("knnJoin: every edge is a shared-view pair, ranks consecutive, cos non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Similarity.sharedEmbPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val g = Similarity.knnJoin(spark, dir, 3).collect()
+    assert(g.nonEmpty)
+    for (x <- g) {
+      val (s0, d0) = (x.getAs[Long]("vec_id"), x.getAs[Long]("neighbor_id"))
+      val key = if (s0 < d0) (s0, d0) else (d0, s0)
+      assert(pairs.get(key).contains(x.getAs[Double]("cos_sim")),
+        s"edge $key not in the shared pair view")
+    }
+    for ((_, rows) <- g.groupBy(_.getAs[Long]("vec_id"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos not non-increasing")
+      assert(sorted.length <= 3)
+    }
+  }
 }

@@ -534,6 +534,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) > r(2L) && r(2L) > 0.0) // tf 2 beats tf 1 at equal length
   }
 
+  test("rakeKeyphrases: degree/freq word scores sum per phrase, ties break on text") {
+    // doc1: "red apple and green apple" → phrases "red apple", "green apple"
+    // doc2: "the apple" → phrase "apple"
+    // apple: freq 3, deg 2+2+1=5 → 5/3; red/green: freq 1, deg 2 → 2
+    val d = docsDf(Seq((1L, "red apple and green apple"), (2L, "the apple")))
+    val r = TextAnalysis.rakeKeyphrases(d, 10).collect()
+    val byPhrase = r.map(x => x.getAs[String]("phrase") ->
+      (x.getAs[Long]("n_occur"), x.getAs[Double]("score"))).toMap
+    val appleW = math.floor(5.0 / 3.0 * 1000000.0 + 0.5) / 1000000.0 // grid word score
+    def rd4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(byPhrase("apple") == ((1L, rd4(appleW))))
+    assert(byPhrase("red apple") == ((1L, rd4(2.0 + appleW))))
+    assert(byPhrase("green apple") == ((1L, rd4(2.0 + appleW))))
+    // equal scores order lexicographically: green before red
+    val order = r.map(_.getAs[String]("phrase")).toSeq
+    assert(order.indexOf("green apple") < order.indexOf("red apple"))
+  }
+
   test("ccnetBuckets: terciles balance per lang and head is more fluent than tail") {
     import spark.implicits._
     // 7 en docs spanning common→rare vocabulary, 3 de docs — tests the

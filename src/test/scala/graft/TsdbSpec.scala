@@ -633,6 +633,28 @@ class TsdbSpec extends SparkSpec {
     assert(r == Map(1L -> (3L, 7L), 2L -> (4L, 7L)))
   }
 
+  test("gorillaBits: regular cadence costs 1 bit/point, deltas climb the ladder") {
+    // series A: 48 hourly points, constant 42.0 — head 64+27, then dod=0
+    // (1 bit each); values head 64, then dv=0 (1 bit each)
+    val a = (0 until 48).map(i =>
+      (f"2024-01-0${1 + i / 24}%d ${i % 24}%02d:05:00", "view", 1L, 42.0))
+    // series B: 4 hourly points 1.0, 1.0, 4.0, 1.0 — dv cents 0, +300, -300
+    // (both inside the 16-bit window: 2+16 bits)
+    val b = Seq(0 -> 1.0, 1 -> 1.0, 2 -> 4.0, 3 -> 1.0).map { case (i, v) =>
+      (f"2024-01-01 0$i%d:10:00", "click", 2L, v) }
+    val r = Tsdb.gorillaBits(Tsdb.points1(eventsDf(a ++ b))).collect()
+      .map(x => x.getAs[String]("f1") -> x).toMap
+    val va = r("view")
+    assert(va.getAs[Long]("n_points") == 48L)
+    assert(va.getAs[Long]("ts_bits") == 64L + 27L + 46L)
+    assert(va.getAs[Long]("val_bits") == 64L + 47L)
+    assert(va.getAs[Double]("ratio") ==
+      math.floor(48 * 128.0 / (137 + 111) * 10000.0 + 0.5) / 10000.0)
+    val vb = r("click")
+    assert(vb.getAs[Long]("ts_bits") == 64L + 27L + 2L)
+    assert(vb.getAs[Long]("val_bits") == 64L + 1L + 18L + 18L)
+  }
+
   test("stlDecompose: constant series is pure trend; series stay independent") {
     // series A constant 42/h over 72h, series B constant 10/h — interior
     // rows (full 25-bucket window) decompose to trend-only, per series
