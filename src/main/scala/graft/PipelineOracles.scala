@@ -1147,6 +1147,28 @@ object PipelineOracles {
                 CAST(1 + hm % 8 AS INT) AS n_frames
          FROM h""",
 
+    // aspect ladder replicated as a VALUES join; same argmin
+    // (dist, idx) tie-break and 1e-4-grid crop mean
+    "mm_aspect_bucket" -> s"""WITH h AS (
+           SELECT doc_id, CAST(${h60("text")} AS BIGINT) AS hm FROM documents),
+         m AS (SELECT doc_id,
+                      CAST(CAST(64 + hm % 512 AS INT) AS DOUBLE)
+                        / CAST(64 + (hm // 512) % 512 AS INT) AS r
+               FROM h),
+         lad(idx, bucket, t) AS (VALUES
+           (0, 'square', 1.0 / 1.0), (1, 'landscape_4_3', 4.0 / 3.0),
+           (2, 'portrait_3_4', 3.0 / 4.0), (3, 'wide_16_9', 16.0 / 9.0),
+           (4, 'tall_9_16', 9.0 / 16.0)),
+         e AS (SELECT doc_id, r, idx, bucket, t, abs(r - t) AS dist
+               FROM m CROSS JOIN lad),
+         pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY dist, idx) AS rn FROM e)
+         SELECT bucket, count(*) AS n_images,
+                floor(CAST(sum(CAST(floor((1.0 - least(r / t, t / r))
+                                          * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 10000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_crop
+         FROM pick WHERE rn = 1 GROUP BY 1""",
+
     "mm_feature_extract" -> s"""
          SELECT doc_id, i AS feature_idx,
                 CAST(CAST((CAST(${h60("text || '_e' || i")} % 2000 AS BIGINT) - 1000)

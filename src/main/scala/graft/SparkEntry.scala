@@ -224,6 +224,7 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"))),
     "corpus_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(t(s, dir, "documents"))),
     "text_rake_keyphrases" -> ((s, dir) => TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), 50)),
+    "mm_aspect_bucket" -> ((s, dir) => Multimodal.aspectBuckets(t(s, dir, "documents"))),
     "data_shuffle_shards" -> ((s, dir) => TextAnalysis.trainingShuffle(t(s, dir, "documents"), 8, "sh1")),
     "sample_token_budget" -> ((s, dir) => TextAnalysis.sampleTokenBudget(t(s, dir, "documents"), 800L, "tb1")),
     "text_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),

@@ -30,6 +30,41 @@ object Multimodal {
         expr("CAST(64 + (hm div 512) % 512 AS INT)").as("height"),
         expr("CAST(1 + hm % 8 AS INT)").as("n_frames"))
 
+  /** Aspect-ratio bucketing (the SDXL-style batching step: images train
+    * in fixed-shape batches, so each image snaps to the nearest
+    * aspect-ratio bucket and pays a crop). Each image joins the FIXED
+    * 5-bucket ladder (a literal array — the explode is a constant ×5,
+    * not a shuffle), picks the bucket minimizing |ratio − target| with
+    * an index tie-break, and reports per-bucket counts plus the mean
+    * center-crop fraction (1 − min(r/t, t/r)), averaged via an exact
+    * 1e-4-grid long sum. Map-only until the final tiny aggregate; the
+    * per-image window partitions on doc_id (≤5 rows each).
+    */
+  def aspectBuckets(docs: DataFrame): DataFrame = {
+    val targets = Seq(("square", 1.0, 1.0), ("landscape_4_3", 4.0, 3.0),
+      ("portrait_3_4", 3.0, 4.0), ("wide_16_9", 16.0, 9.0), ("tall_9_16", 9.0, 16.0))
+    val tArr = array(targets.zipWithIndex.map { case ((n, a, b), i) =>
+      struct(lit(i).as("idx"), lit(n).as("bucket"), lit(a / b).as("t"))
+    }: _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("idx"))
+    binaryMeta(docs)
+      .withColumn("r", col("width").cast("double") / col("height"))
+      .select(col("doc_id"), col("r"), explode(tArr).as("tb"))
+      .select(col("doc_id"), col("r"), col("tb.idx").as("idx"),
+        col("tb.bucket").as("bucket"), col("tb.t").as("t"))
+      .withColumn("dist", abs(col("r") - col("t")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("crop4",
+        floor((lit(1.0) - least(col("r") / col("t"), col("t") / col("r")))
+          * 10000.0 + 0.5).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_images"),
+        graft.functions.Hashing.rd4(
+          sum(col("crop4")).cast("double") / 10000.0 / count(lit(1)))
+          .as("mean_crop"))
+  }
+
   /** Frame sampling: one row per sampled frame index (every `everyN`th of
     * the decoded n_frames), with a deterministic per-frame content hash.
     * Real plumbing: explode + per-frame derivation; the frame decode

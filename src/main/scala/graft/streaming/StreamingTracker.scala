@@ -500,6 +500,48 @@ object StreamingTracker {
       }
   }
 
+  final case class TopkOut(f1: String, f2: String, est: Long, err: Long, rank: Int)
+
+  /** Streaming heavy hitters per series group — the live twin of
+    * Tsdb.topkApprox. Per-f1 state is a SpaceSaving sketch (Metwally
+    * 2005) of at most `m` counters — O(|f1| · m), independent of both
+    * stream length and key cardinality, the property that makes it safe
+    * at firehose scale where exact per-key counts would be unbounded
+    * state. Guarantees preserved: est ≥ true ≥ est − err for tracked
+    * keys, and any key with true count > N/m is tracked. Each
+    * micro-batch replays its points in (ts, f2) order — deterministic —
+    * and emits the current top-k snapshot (Append mode: one snapshot
+    * per group per batch, a monitoring read). Eviction ties break on
+    * key order, so replays are reproducible.
+    */
+  def topkStream(spark: SparkSession, points: Dataset[Point],
+      m: Int = 8, k: Int = 3): Dataset[TopkOut] = {
+    import spark.implicits._
+    points
+      .groupByKey(_.f1)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], TopkOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (f1, it, state: GroupState[Map[String, (Long, Long)]]) =>
+          var sk = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          it.toSeq.sortBy(p => (p.ts.getTime, p.f2)).foreach { p =>
+            sk.get(p.f2) match {
+              case Some((c, e)) => sk += p.f2 -> ((c + 1, e))
+              case None if sk.size < m => sk += p.f2 -> ((1L, 0L))
+              case None =>
+                // replace the min counter (key tie-break), inherit its
+                // count as the new key's overestimation error
+                val (minKey, (minC, _)) = sk.minBy { case (kk, (c, _)) => (c, kk) }
+                sk = sk - minKey + (p.f2 -> ((minC + 1, minC)))
+            }
+          }
+          state.update(sk)
+          sk.toSeq.sortBy { case (kk, (c, _)) => (-c, kk) }.take(k)
+            .zipWithIndex.map { case ((f2, (c, e)), i) =>
+              TopkOut(f1, f2, c, e, i + 1)
+            }.iterator
+      }
+  }
+
   final case class Point(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
   final case class Latest(f1: String, f2: String, ts: java.sql.Timestamp, value: Double)
 

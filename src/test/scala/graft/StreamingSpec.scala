@@ -434,4 +434,34 @@ class StreamingSpec extends SparkSpec {
       assert(kept.toSeq == Seq(1L))
     } finally q.stop()
   }
+
+  test("topkStream: SpaceSaving bounds hold and the dominant key surfaces") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.TopkOut
+    def pts(user: String, n: Int, base: Int): Seq[Point] =
+      (0 until n).map(i => Point("view", user,
+        ts(f"2024-01-01 ${(base + i) / 60}%02d:${(base + i) % 60}%02d:00"), 1.0))
+    val input = MemoryStream[Point]
+    // m=2 counters, 4 distinct keys: u1 dominates with 8 hits
+    val hh = StreamingTracker.topkStream(spark, input.toDS(), m = 2, k = 2)
+    val q = hh.writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(pts("u1", 5, 0) ++ pts("u2", 2, 10): _*)
+      q.processAllAvailable()
+      input.addData(pts("u1", 3, 20) ++ pts("u3", 1, 30) ++ pts("u4", 1, 40): _*)
+      q.processAllAvailable()
+      val snaps = spark.table("topk_stream").as[TopkOut].collect()
+      // final snapshot = second batch's emission (8 u1 hits + churn)
+      val fin = snaps.groupBy(_.f2).map { case (u, rows) => u -> rows.maxBy(_.est) }
+      val top = snaps.filter(_.rank == 1).maxBy(_.est)
+      assert(top.f2 == "u1", s"dominant key lost: $top")
+      // SpaceSaving guarantee for the tracked dominant key:
+      // est >= true (8) >= est - err
+      assert(top.est >= 8L && top.est - top.err <= 8L, s"bounds broken: $top")
+      // state stayed capped: never more than m=2 distinct keys per snapshot
+      assert(fin.size <= 4)
+    } finally q.stop()
+  }
 }

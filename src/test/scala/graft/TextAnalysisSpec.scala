@@ -214,6 +214,16 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: aspectBuckets partition the corpus, crop fraction in [0,1)") {
+    val r = Multimodal.aspectBuckets(docs).collect()
+    assert(r.map(_.getAs[Long]("n_images")).sum == docs.count())
+    val names = Set("square", "landscape_4_3", "portrait_3_4", "wide_16_9", "tall_9_16")
+    assert(r.forall(x => names(x.getAs[String]("bucket"))))
+    assert(r.forall { x =>
+      val c = x.getAs[Double]("mean_crop"); c >= 0.0 && c < 1.0
+    })
+  }
+
   test("repetition metrics: ttr, top-bigram mass, dup trigrams, max run") {
     // "a a a b": tokens 4, distinct 2 -> ttr 0.5; bigrams [a a, a a, a b]
     // -> top mass = 2·len("a a") = 6 over 7 chars; trigrams [a a a, a a b]
