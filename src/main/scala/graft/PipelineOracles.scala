@@ -814,6 +814,41 @@ object PipelineOracles {
                FROM sym)
          SELECT vec_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5""",
 
+    // PageRank over the knn graph, 3 unrolled rounds of exact integer
+    // arithmetic on the 1e9 grid (rg // od contribs, damped rebase)
+    "embedding_pagerank" -> s"""WITH $nrm, $sigs, $embPairs,
+         sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM epairs
+                 UNION ALL
+                 SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM epairs),
+         kr AS (SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                FROM sym),
+         ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM kr WHERE rnk <= 5),
+         og AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM ed GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         r0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) // n AS rg
+                FROM embeddings CROSS JOIN nn),
+         c1 AS (SELECT dst, CAST(sum(rg // od) AS BIGINT) AS insum
+                FROM ed JOIN og USING (src) JOIN r0 ON r0.vec_id = ed.src GROUP BY 1),
+         r1 AS (SELECT e.vec_id,
+                       (15 * (CAST(1000000000 AS BIGINT) // n)
+                        + 85 * coalesce(insum, 0)) // 100 AS rg
+                FROM embeddings e CROSS JOIN nn LEFT JOIN c1 ON c1.dst = e.vec_id),
+         c2 AS (SELECT dst, CAST(sum(rg // od) AS BIGINT) AS insum
+                FROM ed JOIN og USING (src) JOIN r1 ON r1.vec_id = ed.src GROUP BY 1),
+         r2 AS (SELECT e.vec_id,
+                       (15 * (CAST(1000000000 AS BIGINT) // n)
+                        + 85 * coalesce(insum, 0)) // 100 AS rg
+                FROM embeddings e CROSS JOIN nn LEFT JOIN c2 ON c2.dst = e.vec_id),
+         c3 AS (SELECT dst, CAST(sum(rg // od) AS BIGINT) AS insum
+                FROM ed JOIN og USING (src) JOIN r2 ON r2.vec_id = ed.src GROUP BY 1),
+         r3 AS (SELECT e.vec_id,
+                       (15 * (CAST(1000000000 AS BIGINT) // n)
+                        + 85 * coalesce(insum, 0)) // 100 AS rg
+                FROM embeddings e CROSS JOIN nn LEFT JOIN c3 ON c3.dst = e.vec_id)
+         SELECT vec_id, rg FROM r3 ORDER BY rg DESC, vec_id LIMIT 20""",
+
     "embedding_survivors" -> s"""WITH $nrm, $sigs, $embPairs
          SELECT e.vec_id, e.label FROM embeddings e
          WHERE e.vec_id NOT IN (SELECT DISTINCT vec_b FROM epairs)""",

@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.sharedEmbPairs(s, dir)),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(s, dir, 5)),
+    "embedding_pagerank" -> ((s, dir) => Similarity.pagerank(s, dir)),
     "dedup_survivors" -> ((s, dir) =>
       Dedup.survivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
     "dedup_clusters" -> ((s, dir) => Dedup.sharedClusters(s, dir)),
@@ -196,6 +197,7 @@ object SparkEntry {
     "ts_lttb" -> ((s, dir) => Tsdb.lttb(Tsdb.points1(t(s, dir, "events")), 24)),
     "ts_stl_decompose" -> ((s, dir) => Tsdb.stlDecompose(Tsdb.points1(t(s, dir, "events")), 12)),
     "ts_gorilla_bits" -> ((s, dir) => Tsdb.gorillaBits(Tsdb.points1(t(s, dir, "events")))),
+    "ts_attribution" -> ((s, dir) => Tsdb.attribution(t(s, dir, "events"))),
     "ts_rollup_audit" -> ((s, dir) => Tsdb.rollupAudit(t(s, dir, "events"))),
     "sample_topn_per_stratum" -> ((s, dir) =>
       TextAnalysis.sampleTopNPerStratum(t(s, dir, "documents"), col("lang"), 10, "s1")),
@@ -1177,6 +1179,34 @@ object SparkEntry {
     "ts_lttb" -> s"""${lttbCtes(24)}
          SELECT f.f1, p.bucket, p.total
          FROM fin f JOIN pts p ON p.f1 = f.f1 AND p.idx = f.idx""",
+
+    // first/last-touch attribution: inclusive touch count indexes the
+    // touches, each model is one (user, index) equi-join
+    "ts_attribution" ->
+      """WITH b AS (SELECT user_id, ts, event_id, event_type, value,
+                  (event_type IN ('view','click')) AS is_touch,
+                  sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tcnt
+           FROM events),
+         t AS (SELECT user_id AS tu, tcnt AS ti, event_type AS touch_type
+               FROM b WHERE is_touch),
+         p AS (SELECT user_id AS pu, tcnt AS last_ti,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM b WHERE event_type = 'purchase'),
+         lastm AS (SELECT 'last_touch' AS model,
+                          coalesce(touch_type, 'none') AS touch_type,
+                          count(*) AS n_purchases,
+                          CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+                   FROM p LEFT JOIN t ON tu = pu AND ti = last_ti
+                   GROUP BY 2),
+         firstm AS (SELECT 'first_touch' AS model,
+                           coalesce(touch_type, 'none') AS touch_type,
+                           count(*) AS n_purchases,
+                           CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+                    FROM p LEFT JOIN t ON tu = pu
+                      AND ti = (CASE WHEN last_ti >= 1 THEN 1 ELSE 0 END)
+                    GROUP BY 2)
+         SELECT * FROM lastm UNION ALL SELECT * FROM firstm""",
 
     // Gorilla-style bit cost: delta-of-delta ts classes + cents-grid
     // value-delta classes, all integer CASE ladders

@@ -1568,6 +1568,42 @@ object Tsdb {
           col("n_both") / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
   }
 
+  /** Marketing attribution over the event stream: each purchase's
+    * revenue is attributed to the user's FIRST marketing touch
+    * (view/click) and separately to the LAST touch before the purchase
+    * — the two classic single-touch models, reported side by side per
+    * touch type ('none' = converted with no prior touch). Index-join
+    * shape, not IGNORE-NULLS window gymnastics: one per-user window
+    * numbers the touches (inclusive running count, so a purchase row's
+    * count IS its last preceding touch index), and each model is an
+    * equi-join on (user, index) — co-partitioned, no second window.
+    * Revenue snaps to cents before the long sum; one division at the
+    * end. Ties in ts break on event_id (total order).
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = events
+      .withColumn("is_touch", col("event_type").isin("view", "click"))
+      .withColumn("tcnt", sum(col("is_touch").cast("long")).over(w))
+    val touches = base.filter(col("is_touch"))
+      .select(col("user_id").as("tu"), col("tcnt").as("ti"),
+        col("event_type").as("touch_type"))
+    val purch = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("tcnt").as("last_ti"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    def model(name: String, idx: Column) =
+      purch.withColumn("want", idx)
+        .join(touches, col("pu") === col("tu") && col("want") === col("ti"), "left")
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cs"))
+        .select(lit(name).as("model"), col("touch_type"), col("n_purchases"),
+          (col("cs").cast("double") / 100.0).as("revenue"))
+    model("last_touch", col("last_ti"))
+      .unionByName(model("first_touch",
+        when(col("last_ti") >= 1L, lit(1L)).otherwise(lit(0L))))
+  }
+
   /** Gorilla-style compressibility audit per series (the storage-cost
     * read a TSDB capacity planner runs; kadiyadb's fixed-width block
     * files — block/block.go — are the uncompressed baseline this

@@ -1467,6 +1467,50 @@ object Similarity {
     * are not graph-worthy here); the recall matrix ops quantify that
     * trade on the query ops' side.
     */
+  /** PageRank over the [[knnJoin]] graph — centrality-based coreset /
+    * representative-sample selection on the embedding space (the
+    * "which documents anchor this corpus" read). Fixed `iters`
+    * power-iteration rounds, UNROLLED into the plan: each round is one
+    * edges ⋈ ranks shuffle on src + one aggregate on dst + a rebase
+    * over the node set — the standard edge-partitioned Pregel shape,
+    * no driver-side loop state. ALL arithmetic is exact integer: ranks
+    * live on a 1e9 grid, contributions use integer `div` by
+    * out-degree, damping is (15·(G div N) + 85·inSum) div 100 — so
+    * both engines round identically at every step (leaked dangling
+    * mass is deliberately not redistributed; this is a ranking, not a
+    * distribution). N rides a 1-row broadcast.
+    */
+  def pagerank(s: SparkSession, dir: String, k: Int = 5, iters: Int = 3,
+      topN: Int = 20): DataFrame =
+    pagerankGraph(
+      knnJoin(s, dir, k).select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+      graft.core.Tables.load(s, dir, "embeddings").select(col("vec_id")),
+      iters, topN)
+
+  /** [[pagerank]] on an explicit (src, dst) edge table over `nodes` —
+    * the reusable graph core (and the unit-test seam).
+    */
+  def pagerankGraph(edges: DataFrame, nodes: DataFrame, iters: Int,
+      topN: Int): DataFrame = {
+    val G = 1000000000L
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val tot = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(tot)
+      .select(col("vec_id"), expr(s"${G}L div n").as("rg"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks.select(col("vec_id").as("src"), col("rg")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("rg div od")).as("insum"))
+      ranks = nodes.crossJoin(tot)
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr(s"(15L * (${G}L div n) + 85L * coalesce(insum, 0L)) div 100L").as("rg"))
+    }
+    ranks.orderBy(col("rg").desc, col("vec_id")).limit(topN)
+  }
+
   def knnJoin(s: SparkSession, dir: String, k: Int): DataFrame = {
     val pairs = sharedEmbPairs(s, dir)
     val sym = pairs

@@ -378,4 +378,24 @@ class SimilaritySpec extends SparkSpec {
         ((x.getAs[Long]("n_pairs"), x.getAs[Long]("n_pairs_at_or_above")))).toMap
     assert(r == Map(0.9 -> ((2L, 2L)), 0.4 -> ((1L, 3L))))
   }
+
+  test("pagerankGraph replays the exact integer recurrence on a planted star") {
+    import spark.implicits._
+    // star: 2,3,4 all point at 1; node 5 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val got = Similarity.pagerankGraph(edges, nodes, 3, 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rg")).toMap
+    // replay the same integer recurrence sequentially
+    val G = 1000000000L; val n = 5L
+    var r = (1L to 5L).map(_ -> G / n).toMap
+    for (_ <- 1 to 3) {
+      val in1 = Seq(2L, 3L, 4L).map(s => r(s) / 1L).sum // od = 1 for each spoke
+      r = r.keys.map(k =>
+        k -> (15L * (G / n) + 85L * (if (k == 1L) in1 else 0L)) / 100L).toMap
+    }
+    assert(got == r, s"got $got want $r")
+    assert(got(1L) > got(2L) && got(2L) == got(5L),
+      "hub must outrank spokes; spokes and isolated node share the floor")
+  }
 }

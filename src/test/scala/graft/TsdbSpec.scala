@@ -633,6 +633,26 @@ class TsdbSpec extends SparkSpec {
     assert(r == Map(1L -> (3L, 7L), 2L -> (4L, 7L)))
   }
 
+  test("attribution: first/last-touch models split planted revenue correctly") {
+    // production schema includes event_id (the ts tie-break)
+    val ev = eventsDf(Seq(
+      ("2024-01-01 10:00:00", "view", 1L, 0.0),
+      ("2024-01-01 11:00:00", "click", 1L, 0.0),
+      ("2024-01-01 12:00:00", "purchase", 1L, 10.0),
+      ("2024-01-01 13:00:00", "purchase", 1L, 5.0), // still last-touched by the click
+      ("2024-01-01 09:00:00", "purchase", 2L, 7.0))) // converted untouched
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.expr("CAST(hour(ts) AS BIGINT)"))
+    val r = Tsdb.attribution(ev).collect()
+      .map(x => (x.getAs[String]("model"), x.getAs[String]("touch_type")) ->
+        ((x.getAs[Long]("n_purchases"), x.getAs[Double]("revenue")))).toMap
+    assert(r == Map(
+      ("last_touch", "click") -> ((2L, 15.0)),
+      ("last_touch", "none") -> ((1L, 7.0)),
+      ("first_touch", "view") -> ((2L, 15.0)),
+      ("first_touch", "none") -> ((1L, 7.0))), s"got $r")
+  }
+
   test("gorillaBits: regular cadence costs 1 bit/point, deltas climb the ladder") {
     // series A: 48 hourly points, constant 42.0 — head 64+27, then dod=0
     // (1 bit each); values head 64, then dv=0 (1 bit each)
