@@ -814,6 +814,29 @@ object PipelineOracles {
                FROM sym)
          SELECT vec_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5""",
 
+    // knn-graph connected components: canonical undirected edges, the
+    // same reach recursion as dedup_clusters
+    "embedding_knn_clusters" -> s"""WITH RECURSIVE $nrm, $sigs, $embPairs,
+         sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM epairs
+                 UNION ALL
+                 SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM epairs),
+         kr AS (SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                FROM sym),
+         und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                        greatest(vec_id, neighbor_id) AS b
+                 FROM kr WHERE rnk <= 5),
+         edges AS (SELECT a AS src, b AS dst FROM und
+                   UNION SELECT b, a FROM und),
+         reach(id, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         csz AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1)
+         SELECT vec_id, cluster_id, csize FROM comp JOIN csz USING (cluster_id)""",
+
     // PageRank over the knn graph, 3 unrolled rounds of exact integer
     // arithmetic on the 1e9 grid (rg // od contribs, damped rebase)
     "embedding_pagerank" -> s"""WITH $nrm, $sigs, $embPairs,

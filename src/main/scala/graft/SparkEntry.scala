@@ -214,6 +214,8 @@ object SparkEntry {
     "olap_cube_report" -> (Analytics.cubeReport _),
     "q_market_basket" -> ((s, dir) => Analytics.marketBasket(s, dir)),
     "q_skyline" -> ((s, dir) => Analytics.skyline(s, dir)),
+    "q_discount_elasticity" -> ((s, dir) => Analytics.discountElasticity(s, dir)),
+    "embedding_knn_clusters" -> ((s, dir) => Similarity.knnClusters(s, dir, 5)),
     "ts_level_shift" -> ((s, dir) => Tsdb.levelShift(Tsdb.points1(t(s, dir, "events")), 6, 20.0)),
     "ts_burn_rate" -> ((s, dir) => Tsdb.burnRate(t(s, dir, "events"), 0.05, 6)),
     "ts_apdex" -> ((s, dir) => Tsdb.apdex(t(s, dir, "events"), 50.0)),
@@ -1381,6 +1383,23 @@ object SparkEntry {
          JOIN mg mb ON mb.l_partkey = part_b
          CROSS JOIN tot
          ORDER BY pair_count DESC, part_a, part_b LIMIT 50""",
+
+    // closed-form OLS slope from exact integer sums (discount on the
+    // 0.01 grid x100, quantity integer-valued), one division + rescale
+    "q_discount_elasticity" ->
+      """WITH d AS (SELECT p_type,
+                  CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         a AS (SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * y) AS sxy, sum(x * x) AS sxx
+               FROM d GROUP BY 1)
+         SELECT p_type, n,
+                floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx) * 100.0 * 10000.0 + 0.5) / 10000.0
+                  AS qty_per_discount_unit
+         FROM a WHERE n >= 2 AND n * sxx - sx * sx <> 0""",
 
     // skyline sweep: per-price-group max, exclusive prefix max over
     // strictly-cheaper groups, survive iff group max AND beats the prefix

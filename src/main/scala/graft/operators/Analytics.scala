@@ -711,6 +711,34 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Discount elasticity per part type: OLS slope of line-item quantity
+    * against discount — "does discounting move volume, and where" (the
+    * pricing-team read). Closed-form slope from EXACT integer sums
+    * (quantity is integer-valued, discount lives on the 0.01 grid →
+    * ×100 longs), one double division at the end, rescaled to
+    * quantity-per-full-discount-unit; the [[graft.core.Tsdb]]
+    * capacity-forecast arithmetic applied to a fact⋈dim join (part
+    * broadcasts under AQE, the aggregation is map-side partial on the
+    * bounded p_type key). Degenerate groups (no discount variance)
+    * are dropped.
+    */
+  def discountElasticity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        floor(col("l_discount") * 100.0 + 0.5).cast("long").as("x"),
+        floor(col("l_quantity") + 0.5).cast("long").as("y"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2L &&
+        (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0L)
+      .select(col("p_type"), col("n"),
+        graft.functions.Hashing.rd4(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")) * 100.0)
+          .as("qty_per_discount_unit"))
+
   /** Skyline (Pareto frontier) of parts: minimize retail price, maximize
     * size — no other part is both cheaper-or-equal and bigger-or-equal
     * with one strict. Sort-based sweep, not a quadratic dominance join:

@@ -1487,6 +1487,24 @@ object Similarity {
       graft.core.Tables.load(s, dir, "embeddings").select(col("vec_id")),
       iters, topN)
 
+  /** Connected components over the [[knnJoin]] graph — SemDeDup-style
+    * semantic cluster discovery on the vector side, reusing the SAME
+    * convergence-checked hash-min propagation as the doc-side
+    * [[graft.operators.Dedup.clustersFromPairs]] (observe()-counted
+    * rounds, loud non-convergence). Directed top-k edges canonicalize
+    * to undirected pairs first (a pair kept by either endpoint is an
+    * edge). Output: (vec_id, cluster_id, csize) for every vector with
+    * at least one graph edge.
+    */
+  def knnClusters(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val und = knnJoin(s, dir, k)
+      .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+      .distinct()
+    graft.operators.Dedup.clustersFromPairs(und)
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
   /** [[pagerank]] on an explicit (src, dst) edge table over `nodes` —
     * the reusable graph core (and the unit-test seam).
     */

@@ -64,6 +64,27 @@ class AnalyticsViewSpec extends SparkSpec {
     assert(h.getAs[Double]("lift") == lift, s"lift ${h.getAs[Double]("lift")} != $lift")
   }
 
+  test("discountElasticity: head row slope reconciles against raw sums") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val r = Analytics.discountElasticity(spark, dir).collect()
+    assert(r.nonEmpty)
+    val h = r.head
+    val d = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type") === h.getAs[String]("p_type"))
+      .select(floor(col("l_discount") * 100.0 + 0.5).cast("long").as("x"),
+        floor(col("l_quantity") + 0.5).cast("long").as("y"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = d.length.toLong
+    val (sx, sy) = (d.map(_._1).sum, d.map(_._2).sum)
+    val (sxy, sxx) = (d.map(p => p._1 * p._2).sum, d.map(p => p._1 * p._1).sum)
+    val want = math.floor(
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx) * 100.0 * 10000.0 + 0.5) / 10000.0
+    assert(h.getAs[Long]("n") == n)
+    assert(h.getAs[Double]("qty_per_discount_unit") == want)
+  }
+
   test("skyline equals the brute-force dominance filter") {
     import org.apache.spark.sql.functions.col
     val got = Analytics.skyline(spark, dir).collect()

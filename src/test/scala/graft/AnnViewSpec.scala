@@ -60,6 +60,24 @@ class AnnViewSpec extends SparkSpec {
       org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  test("knnClusters: hash-min labels are component minima and edges stay intra-cluster") {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val comp = Similarity.knnClusters(spark, dir, 3).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("csize")))).toMap
+    assert(comp.nonEmpty)
+    // converged hash-min: every label <= its member, and is itself a member of its cluster
+    assert(comp.forall { case (v, (c, _)) => c <= v && comp(c)._1 == c })
+    // csize is the exact member count
+    val sizes = comp.values.groupBy(_._1).map { case (c, xs) => c -> xs.size.toLong }
+    assert(comp.forall { case (_, (c, sz)) => sizes(c) == sz })
+    // every undirected knn edge connects members of one cluster
+    val edges = Similarity.knnJoin(spark, dir, 3)
+      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b")).distinct().collect()
+    assert(edges.forall(e => comp(e.getAs[Long]("a"))._1 == comp(e.getAs[Long]("b"))._1))
+  }
+
   test("knnJoin: every edge is a shared-view pair, ranks consecutive, cos non-increasing") {
     import org.apache.spark.sql.functions.col
     val pairs = Similarity.sharedEmbPairs(spark, dir).collect()
