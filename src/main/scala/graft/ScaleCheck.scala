@@ -53,6 +53,20 @@ object ScaleCheck {
       .filter(twoPhase("d") =!= windowed("d")).count()
     println(s"ntile mismatches vs window on sample: $diff")
     require(diff == 0L, "two-phase NTILE diverged from the windowed version")
+
+    // withRunningMax (the skyline sweep primitive) with a CLOSED-FORM
+    // oracle: v(id) = id % 97 over id-order has exclusive prefix max
+    // min(id, 97) - 1 (and NULL at id = 0) — every one of the 50M rows
+    // is checked exactly, no windowed reference needed
+    timed(s"withRunningMax over $rows rows (closed form)") {
+      val vm = Ranking.withRunningMax(
+        spark.range(rows).select(col("id"), pmod(col("id"), lit(97L)).as("v")),
+        Seq(col("id")), col("v"), "pmax")
+      val bad = vm.filter(
+        when(col("id") === 0L, col("pmax").isNotNull)
+          .otherwise(col("pmax") =!= least(col("id"), lit(97L)) - 1L)).count()
+      require(bad == 0L, s"running max diverged from closed form on $bad rows")
+    }
     spark.stop()
   }
 }

@@ -116,8 +116,8 @@ object SparkEntry {
     // cap 2 binds at every test SF (band buckets reach size 3-4), so the
     // oversized-bucket sub-blocking path itself runs under the oracle;
     // the production default (BandBucketCap) never binds below 100k docs
-    "dedup_lsh_subblocked" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), 0.2, bucketCap = 2L)),
+    "dedup_lsh_subblocked" -> ((s, dir) => Dedup.minhashLshOf(
+      Dedup.sharedShingles(s, dir), Dedup.sharedSigs(s, dir), 0.2, bucketCap = 2L)),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(t(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.sharedEmbPairs(s, dir)),

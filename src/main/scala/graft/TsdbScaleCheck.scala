@@ -168,6 +168,61 @@ object TsdbScaleCheck {
       s"holt-winters failed to converge on the constant: " +
         s"${hw.getLong(1)} of ${hw.getLong(0)} late-range forecasts near 42.5")
 
+    // --- 7. the newer per-series window family on the same 1M-bucket
+    // series: STL decomposes a constant to pure trend (exact cents
+    // arithmetic — zero seasonal/remainder on EVERY interior row), and
+    // the Gorilla bit audit hits its closed-form cost for a perfectly
+    // regular cadence (1 bit/point past the head). Both are per-series
+    // lag/window shapes — series count is the parallelism unit.
+    val stl = timed("stlDecompose over the 1M-bucket series") {
+      graft.core.Tsdb.stlDecompose(seriesPts, 12)
+        .agg(count(lit(1)), sum(when(col("trend") === 42.5 &&
+          col("seasonal") === 0.0 && col("remainder") === 0.0, 1L).otherwise(0L)))
+        .collect().head
+    }
+    require(stl.getLong(0) == nBuckets - 4 * 24 && stl.getLong(1) == stl.getLong(0),
+      s"constant-series STL drifted: ${stl.getLong(1)} of ${stl.getLong(0)} rows clean " +
+        s"(expected ${nBuckets - 4 * 24})")
+    val go = timed("gorillaBits over the same series") {
+      graft.core.Tsdb.gorillaBits(seriesPts)
+        .agg(sum(col("ts_bits")), sum(col("val_bits")), sum(col("n_points")))
+        .collect().head
+    }
+    val perSeries = nBuckets / 4
+    require(go.getLong(2) == nBuckets &&
+      go.getLong(0) == 4 * (64L + 27L + (perSeries - 2)) &&
+      go.getLong(1) == 4 * (64L + (perSeries - 1)),
+      s"regular-cadence Gorilla bits off closed form: $go")
+
+    // --- 8. attribution at the full event volume: revenue is CONSERVED
+    // exactly through both models (every purchase lands in exactly one
+    // touch bucket per model) — the per-user window + (user, index)
+    // equi-join shape at 50M events / 1M users.
+    val att = spark.range(nEvents)
+      .withColumn("user_id", pmod(col("id"), lit(1000000L)))
+      .withColumn("off", pmod(xxhash64(col("id"), lit(7)), lit(days * 86400L)))
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(off AS INT), TIMESTAMP_NTZ'2026-01-01 00:00:00')"))
+      .withColumn("h", pmod(xxhash64(col("id"), lit(8)), lit(10L)))
+      .withColumn("event_type", when(col("h") === 0L, "purchase")
+        .when(col("h") <= 5L, "view").otherwise("click"))
+      .withColumn("value", pmod(xxhash64(col("id"), lit(9)), lit(10000L)) / 100.0)
+      .select(col("id").as("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val trueCents = att.filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(floor(col("value") * 100.0 + 0.5).cast("long")))
+      .collect().head
+    val attOut = timed(s"attribution over $nEvents events / 1M users") {
+      graft.core.Tsdb.attribution(att)
+        .groupBy(col("model"))
+        .agg(sum(col("n_purchases")).as("np"),
+          sum(floor(col("revenue") * 100.0 + 0.5).cast("long")).as("cents"))
+        .collect()
+    }
+    require(attOut.length == 2 && attOut.forall(r =>
+      r.getAs[Long]("np") == trueCents.getLong(0) &&
+        r.getAs[Long]("cents") == trueCents.getLong(1)),
+      s"attribution leaked revenue: true $trueCents vs ${attOut.mkString(";")}")
+
     println(s"TsdbScaleCheck OK at $nEvents events")
     deleteRec(dir)
     spark.stop()

@@ -435,6 +435,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** [[minhashLsh]] over already-built shingle + signature tables (the
+    * [[sharedShingles]]/[[sharedSigs]] store-read path): candidates from
+    * the frozen sketches at the caller's `bucketCap`, exact verify
+    * against the frozen shingles — the corpus is never re-tokenized.
+    * Identical output to the cold path (the shared views ARE
+    * shingles/minhashSignatures of the same corpus).
+    */
+  def minhashLshOf(sh: DataFrame, sig: DataFrame, threshold: Double,
+      bucketCap: Long = BandBucketCap): DataFrame = {
+    val cand = candFromBands(lshBands(sig), bucketCap)
+    pairJaccard(sh, Some(cand))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   private val sharedShinglesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
