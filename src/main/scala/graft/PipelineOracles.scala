@@ -450,6 +450,45 @@ object PipelineOracles {
                                     i -> array_to_string(tk[i:i+7], ' '))
                 ELSE []::VARCHAR[] END)) AS sg FROM tok))"""
 
+  /** Quantizer-cell + sub-band candidate chain with exact cosines as
+    * `spairs` — the dedup_semantic replica, shared with the blocked kNN
+    * graph oracle. Requires `nrm` and `sigs` in scope.
+    */
+  private val semPairCtes: String = s"""sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv
+                FROM embeddings),
+         seeds AS (SELECT vec_id, embedding, hv,
+                   row_number() OVER (ORDER BY hv, vec_id) AS cid
+                   FROM sd QUALIFY cid <= 8),
+         c0 AS (SELECT s.cid, s.embedding AS cvec, n.nrm AS cnrm
+                FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         af AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
+                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
+         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
+         szs AS (SELECT cid, count(*) AS csize FROM asnf GROUP BY 1),
+         cs AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM asnf a JOIN asnf b ON b.cid = a.cid AND a.vec_id < b.vec_id
+                JOIN szs ON szs.cid = a.cid AND szs.csize <= 64),
+         bnd AS (SELECT a.cid, a.vec_id, bb.band, (s.sig >> (4 * bb.band)) & 15 AS key
+                 FROM asnf a
+                 JOIN szs ON szs.cid = a.cid AND szs.csize > 64
+                 JOIN sigs s ON s.vec_id = a.vec_id
+                 CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) bb),
+         cb AS (SELECT DISTINCT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b
+                FROM bnd x JOIN bnd y ON y.cid = x.cid AND y.band = x.band
+                  AND y.key = x.key AND x.vec_id < y.vec_id),
+         cand AS (SELECT * FROM cs UNION ALL SELECT * FROM cb),
+         spairs AS (SELECT c.cid, c.vec_a, c.vec_b,
+                          ${dot64("ea.embedding", "eb.embedding")} / (na.nrm * nb.nrm) AS cos
+                   FROM cand c
+                   JOIN embeddings ea ON ea.vec_id = c.vec_a
+                   JOIN embeddings eb ON eb.vec_id = c.vec_b
+                   JOIN nrm na ON na.vec_id = c.vec_a
+                   JOIN nrm nb ON nb.vec_id = c.vec_b)"""
+
   def all: Map[String, String] = Map(
     // CCNet terciles: doc-level LM scores (the text_lm_score chain),
     // per-lang NTILE(3) on (avg_nll, doc_id); bucket means divide one
@@ -1863,43 +1902,23 @@ object PipelineOracles {
     // SemDeDup replay: the same hash-seeded 2-round Lloyd training as
     // ann_kmeans_topk, then within-cluster pairs — clusters over the size
     // cap (64) are sub-blocked by LSH band exactly like the Spark side
-    "dedup_semantic" -> s"""WITH $nrm, $sigs,
-         sd AS (SELECT vec_id, embedding, ${h60("CAST(vec_id AS VARCHAR)")} AS hv
-                FROM embeddings),
-         seeds AS (SELECT vec_id, embedding, hv,
-                   row_number() OVER (ORDER BY hv, vec_id) AS cid
-                   FROM sd QUALIFY cid <= 8),
-         c0 AS (SELECT s.cid, s.embedding AS cvec, n.nrm AS cnrm
-                FROM seeds s JOIN nrm n ON n.vec_id = s.vec_id),
-         ${kmeansIterSql(1, "c0")},
-         ${kmeansIterSql(2, "c1")},
-         af AS (SELECT e.vec_id, c.cid,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${dot64("e.embedding", "c.cvec")} / (n.nrm * c.cnrm) DESC, c.cid) AS r
-                FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id CROSS JOIN c2 c),
-         asnf AS (SELECT vec_id, cid FROM af WHERE r = 1),
-         szs AS (SELECT cid, count(*) AS csize FROM asnf GROUP BY 1),
-         cs AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
-                FROM asnf a JOIN asnf b ON b.cid = a.cid AND a.vec_id < b.vec_id
-                JOIN szs ON szs.cid = a.cid AND szs.csize <= 64),
-         bnd AS (SELECT a.cid, a.vec_id, bb.band, (s.sig >> (4 * bb.band)) & 15 AS key
-                 FROM asnf a
-                 JOIN szs ON szs.cid = a.cid AND szs.csize > 64
-                 JOIN sigs s ON s.vec_id = a.vec_id
-                 CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) bb),
-         cb AS (SELECT DISTINCT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b
-                FROM bnd x JOIN bnd y ON y.cid = x.cid AND y.band = x.band
-                  AND y.key = x.key AND x.vec_id < y.vec_id),
-         cand AS (SELECT * FROM cs UNION ALL SELECT * FROM cb),
-         pairs AS (SELECT c.cid, c.vec_a, c.vec_b,
-                          ${dot64("ea.embedding", "eb.embedding")} / (na.nrm * nb.nrm) AS cos
-                   FROM cand c
-                   JOIN embeddings ea ON ea.vec_id = c.vec_a
-                   JOIN embeddings eb ON eb.vec_id = c.vec_b
-                   JOIN nrm na ON na.vec_id = c.vec_a
-                   JOIN nrm nb ON nb.vec_id = c.vec_b)
+    "dedup_semantic" -> s"""WITH $nrm, $sigs, $semPairCtes
          SELECT cid, vec_a, vec_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
-         FROM pairs WHERE cos >= 0.4""",
+         FROM spairs WHERE cos >= 0.4""",
+
+    // blocked kNN graph: the SAME quantizer-cell + sub-band candidate
+    // chain as dedup_semantic, symmetrized and ranked per vector
+    "ann_knn_join_blocked" -> s"""WITH $nrm, $sigs, $semPairCtes,
+         spr AS (SELECT vec_a, vec_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+                 FROM spairs WHERE cos >= 0.4),
+         sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos FROM spr
+                 UNION ALL SELECT vec_b, vec_a, cos FROM spr),
+         kr AS (SELECT vec_id, neighbor_id, cos,
+                       CAST(row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+                FROM sym)
+         SELECT vec_id, rnk, neighbor_id, cos AS cos_sim
+         FROM kr WHERE rnk <= 5""",
 
     "text_lm_score" -> """WITH tk AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok

@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
     "dedup_embedding" -> ((s, dir) => Similarity.sharedEmbPairs(s, dir)),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(s, dir, 5)),
+    "ann_knn_join_blocked" -> ((s, dir) => Similarity.knnJoinBlocked(s, dir, 5)),
     "embedding_pagerank" -> ((s, dir) => Similarity.pagerank(s, dir)),
     "dedup_survivors" -> ((s, dir) =>
       Dedup.survivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),

@@ -1487,6 +1487,33 @@ object Similarity {
       graft.core.Tables.load(s, dir, "embeddings").select(col("vec_id")),
       iters, topN)
 
+  /** [[knnJoin]] with QUANTIZER-CELL blocking — the graph-build path
+    * that holds when flat LSH banding floods: candidate edges come
+    * from [[semanticDedupFrom]]'s cell + sub-band chain (small cells
+    * pair within the cell, fat cells additionally require a shared
+    * hyperplane band — the DedupScaleCheck-proven shape), reusing the
+    * memoized [[sharedKmeans]] quantizer, then symmetrize + rank per
+    * vector as in [[knnJoin]]. At 10⁹ vectors the candidate volume is
+    * bounded by cellCap²·nCells + banded-fat-cell pairs, independent
+    * of any single hot LSH bucket.
+    */
+  def knnJoinBlocked(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val (c, a) = sharedKmeans(s, dir)
+    val pairs = semanticDedupFrom(graft.core.Tables.load(s, dir, "embeddings"),
+      c, a, 0.4, clusterCap = 64, bands = 2, rowsPerBand = 4)
+    val sym = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+        col("cos").as("cos_sim"))
+      .unionByName(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
+          col("cos").as("cos_sim")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Connected components over the [[knnJoin]] graph — SemDeDup-style
     * semantic cluster discovery on the vector side, reusing the SAME
     * convergence-checked hash-min propagation as the doc-side

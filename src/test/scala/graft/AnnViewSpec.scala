@@ -60,6 +60,28 @@ class AnnViewSpec extends SparkSpec {
       org.apache.spark.sql.execution.LogicalRDD])
   }
 
+  test("knnJoinBlocked: edges are semantic pairs, ranks consecutive per vector") {
+    import org.apache.spark.sql.functions.col
+    val (c, a) = Similarity.sharedKmeans(spark, dir)
+    val pairs = Similarity.semanticDedupFrom(
+      graft.core.Tables.load(spark, dir, "embeddings"), c, a, 0.4,
+      clusterCap = 64, bands = 2, rowsPerBand = 4).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val g = Similarity.knnJoinBlocked(spark, dir, 5).collect()
+    assert(g.nonEmpty)
+    for (x <- g) {
+      val (s0, d0) = (x.getAs[Long]("vec_id"), x.getAs[Long]("neighbor_id"))
+      val key = if (s0 < d0) (s0, d0) else (d0, s0)
+      assert(pairs.get(key).contains(x.getAs[Double]("cos_sim")),
+        s"edge $key not a semantic pair")
+    }
+    for ((_, rows) <- g.groupBy(_.getAs[Long]("vec_id"))) {
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.length).toSeq && rnks.length <= 5)
+    }
+  }
+
   test("knnClusters: hash-min labels are component minima and edges stay intra-cluster") {
     import org.apache.spark.sql.functions.{col, least, greatest}
     val comp = Similarity.knnClusters(spark, dir, 3).collect()
