@@ -500,6 +500,43 @@ object StreamingTracker {
       }
   }
 
+  final case class AttrState(first: Option[String], last: Option[String])
+  final case class AttrOut(f2: String, ts: java.sql.Timestamp, revenue: Double,
+      first_touch: String, last_touch: String)
+
+  /** Streaming marketing attribution — the live twin of
+    * Tsdb.attribution. Per-user state is ONLY (first touch, last touch)
+    * — two small strings, O(|users|) regardless of stream length — and
+    * each purchase emits its attributed row the moment it arrives
+    * (batch attribution waits for the full history). f1 carries the
+    * event type, f2 the user. Same in-order cross-batch parity scope
+    * as [[asofStream]]: replaying the batch history through the stream
+    * yields the batch operator's first/last assignments.
+    */
+  def attributionStream(spark: SparkSession, points: Dataset[Point]): Dataset[AttrOut] = {
+    import spark.implicits._
+    points
+      .groupByKey(_.f2)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(None, None))
+          val out = Seq.newBuilder[AttrOut]
+          it.toSeq.sortBy(p => (p.ts.getTime, p.f1)).foreach { p =>
+            p.f1 match {
+              case "view" | "click" =>
+                st = AttrState(st.first.orElse(Some(p.f1)), Some(p.f1))
+              case "purchase" =>
+                out += AttrOut(user, p.ts, p.value,
+                  st.first.getOrElse("none"), st.last.getOrElse("none"))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class TopkOut(f1: String, f2: String, est: Long, err: Long, rank: Int)
 
   /** Streaming heavy hitters per series group — the live twin of

@@ -435,6 +435,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream carries first/last touch across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingTracker.AttrOut
+    val input = MemoryStream[Point]
+    val at = StreamingTracker.attributionStream(spark, input.toDS())
+    val q = at.writeStream.format("memory").queryName("attr_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 view → click → purchase(10); u2 purchase(7) untouched
+      input.addData(
+        Point("view", "u1", ts("2024-01-01 10:00:00"), 0.0),
+        Point("click", "u1", ts("2024-01-01 11:00:00"), 0.0),
+        Point("purchase", "u1", ts("2024-01-01 12:00:00"), 10.0),
+        Point("purchase", "u2", ts("2024-01-01 09:00:00"), 7.0))
+      q.processAllAvailable()
+      // batch 2: u1 purchases again with NO new touch — state must still
+      // say first=view, last=click
+      input.addData(Point("purchase", "u1", ts("2024-01-01 13:00:00"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_stream").as[AttrOut].collect()
+        .map(r => (r.f2, r.ts.toString) -> ((r.revenue, r.first_touch, r.last_touch)))
+        .toMap
+      assert(rows == Map(
+        ("u1", "2024-01-01 12:00:00.0") -> ((10.0, "view", "click")),
+        ("u1", "2024-01-01 13:00:00.0") -> ((5.0, "view", "click")),
+        ("u2", "2024-01-01 09:00:00.0") -> ((7.0, "none", "none"))), s"got $rows")
+    } finally q.stop()
+  }
+
   test("topkStream: SpaceSaving bounds hold and the dominant key surfaces") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
