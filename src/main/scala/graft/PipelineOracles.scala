@@ -1211,6 +1211,30 @@ object PipelineOracles {
                   OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
          FROM d""",
 
+    // keyframes: min frame per scene + shot length over the scene CTEs
+    "mm_keyframes" -> s"""WITH h AS (
+           SELECT doc_id, md5(text) AS content_hash,
+                  CAST(1 + ${h60("text")} % 8 AS INT) AS n_frames FROM documents),
+         fr AS (SELECT doc_id, content_hash,
+                       unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM h),
+         fh AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                       CAST(${h60("content_hash || '_f' || frame_idx")} AS BIGINT) AS frame_hash
+                FROM fr),
+         lg AS (SELECT doc_id, frame_idx, frame_hash,
+                       lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_hash
+                FROM fh),
+         d AS (SELECT doc_id, frame_idx,
+                      (prev_hash IS NULL OR
+                       bit_count(xor(frame_hash, prev_hash)) > 25) AS is_boundary
+               FROM lg),
+         sc AS (SELECT doc_id, frame_idx,
+                       CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
+                FROM d)
+         SELECT doc_id, scene_id, min(frame_idx) AS keyframe_idx,
+                count(*) AS scene_len
+         FROM sc GROUP BY 1, 2""",
+
     // full k-means training loop replayed: hash-chosen seeds, 2 Lloyd
     // iterations with fixed-point centroid means, probe-2 search
     "ann_kmeans_topk" -> s"""WITH $nrm,

@@ -230,6 +230,8 @@ object SparkEntry {
     "corpus_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(t(s, dir, "documents"))),
     "text_rake_keyphrases" -> ((s, dir) => TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), 50)),
     "mm_aspect_bucket" -> ((s, dir) => Multimodal.aspectBuckets(t(s, dir, "documents"))),
+    "mm_keyframes" -> ((s, dir) => Multimodal.keyframes(t(s, dir, "documents"))),
+    "q_top_customers_per_nation" -> ((s, dir) => Analytics.topCustomersPerNation(s, dir)),
     "data_shuffle_shards" -> ((s, dir) => TextAnalysis.trainingShuffle(t(s, dir, "documents"), 8, "sh1")),
     "sample_token_budget" -> ((s, dir) => TextAnalysis.sampleTokenBudget(t(s, dir, "documents"), 800L, "tb1")),
     "text_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
@@ -1384,6 +1386,21 @@ object SparkEntry {
          JOIN mg mb ON mb.l_partkey = part_b
          CROSS JOIN tot
          ORDER BY pair_count DESC, part_a, part_b LIMIT 50""",
+
+    // per-nation top-3 via the consecutive per-stratum rank (the
+    // one-task-per-nation window replaced by withRunningSum)
+    "q_top_customers_per_nation" ->
+      """WITH rev AS (SELECT o_custkey,
+                    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                         AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+         j AS (SELECT n_name AS nation, o_custkey AS custkey, cents
+               FROM rev JOIN customer ON c_custkey = o_custkey
+               JOIN nation ON n_nationkey = c_nationkey),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY nation
+                 ORDER BY cents DESC, custkey) AS BIGINT) AS rnk FROM j)
+         SELECT nation, rnk, custkey, CAST(cents AS DOUBLE) / 100.0 AS revenue
+         FROM r WHERE rnk <= 3""",
 
     // closed-form OLS slope from exact integer sums (discount on the
     // 0.01 grid x100, quantity integer-valued), one division + rescale

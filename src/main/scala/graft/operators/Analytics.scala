@@ -714,6 +714,32 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Top-3 customers by order revenue within every nation — windowed
+    * top-k per group WITHOUT a per-nation window: nation cardinality is
+    * fixed (25), so `PARTITION BY nation ORDER BY revenue` would sort
+    * 1/25th of the customer base in ONE task (the one-task-per-language
+    * hazard the ranking machinery exists to kill). The per-nation rank
+    * comes from [[graft.core.Ranking.withRunningSum]] (value 1 ⇒
+    * consecutive per-stratum rank; a nation spans many partitions).
+    * Revenue is an exact cents sum; nation is a fixed-size broadcast.
+    */
+  def topCustomersPerNation(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+    val j = rev
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey").as("custkey"), col("cents"))
+    Ranking.withRunningSum(j, Some("nation"),
+      Seq(col("cents").desc, col("custkey")), lit(1L), "rnk")
+      .filter(col("rnk") <= k)
+      .select(col("nation"), col("rnk"), col("custkey"),
+        (col("cents").cast("double") / 100.0).as("revenue"))
+  }
+
   /** Discount elasticity per part type: OLS slope of line-item quantity
     * against discount — "does discounting move volume, and where" (the
     * pricing-team read). Closed-form slope from EXACT integer sums

@@ -30,6 +30,19 @@ object Multimodal {
         expr("CAST(64 + (hm div 512) % 512 AS INT)").as("height"),
         expr("CAST(1 + hm % 8 AS INT)").as("n_frames"))
 
+  /** Keyframe selection: one representative frame per detected scene
+    * (the first frame of each [[sceneDetect]] shot) with the shot
+    * length — the standard "sample one frame per shot" reduction a
+    * video pipeline runs before per-frame embedding, cutting decode /
+    * embed cost from O(frames) to O(shots). One aggregate over the
+    * per-doc scene stream.
+    */
+  def keyframes(docs: DataFrame, maxHamming: Int = 25): DataFrame =
+    sceneDetect(docs, maxHamming)
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("keyframe_idx"),
+        count(lit(1)).as("scene_len"))
+
   /** Aspect-ratio bucketing (the SDXL-style batching step: images train
     * in fixed-shape batches, so each image snaps to the nearest
     * aspect-ratio bucket and pays a crop). Each image joins the FIXED

@@ -64,6 +64,28 @@ class AnalyticsViewSpec extends SparkSpec {
     assert(h.getAs[Double]("lift") == lift, s"lift ${h.getAs[Double]("lift")} != $lift")
   }
 
+  test("topCustomersPerNation: ranks consecutive, revenue descending, head reconciles") {
+    import org.apache.spark.sql.functions.{col, floor, sum}
+    val r = Analytics.topCustomersPerNation(spark, dir).collect()
+    assert(r.nonEmpty)
+    for ((nation, rows) <- r.groupBy(_.getAs[String]("nation"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to sorted.length).toSeq,
+        s"$nation ranks not consecutive")
+      val revs = sorted.map(_.getAs[Double]("revenue"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+        s"$nation revenue not descending")
+      assert(sorted.length <= 3)
+    }
+    // the global top revenue equals a raw recount of that customer's orders
+    val top = r.maxBy(_.getAs[Double]("revenue"))
+    val cents = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_custkey") === top.getAs[Long]("custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")))
+      .head().getLong(0)
+    assert(top.getAs[Double]("revenue") == cents.toDouble / 100.0)
+  }
+
   test("discountElasticity: head row slope reconciles against raw sums") {
     import org.apache.spark.sql.functions.{col, floor}
     val r = Analytics.discountElasticity(spark, dir).collect()

@@ -214,6 +214,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: keyframes pick the first frame per scene and tile the clip") {
+    val kf = Multimodal.keyframes(docs).collect().groupBy(_.getAs[Long]("doc_id"))
+    val meta = Multimodal.binaryMeta(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
+    for ((doc, scenes) <- kf) {
+      val ordered = scenes.sortBy(_.getAs[Long]("scene_id"))
+      assert(ordered.map(_.getAs[Long]("scene_id")).toSeq ==
+        (1L to ordered.length).toSeq, s"doc $doc scene ids not consecutive")
+      assert(ordered.head.getAs[Int]("keyframe_idx") == 0,
+        s"doc $doc scene 1 must open at frame 0")
+      // shots tile the clip exactly: lengths sum to the frame count
+      assert(ordered.map(_.getAs[Long]("scene_len")).sum == meta(doc).toLong)
+      // each keyframe starts where the previous shot ended
+      val starts = ordered.map(_.getAs[Int]("keyframe_idx").toLong)
+      val lens = ordered.map(_.getAs[Long]("scene_len"))
+      assert(starts.zip(lens).zip(starts.tail).forall {
+        case ((s0, l0), s1) => s1 == s0 + l0 })
+    }
+  }
+
   test("multimodal: aspectBuckets partition the corpus, crop fraction in [0,1)") {
     val r = Multimodal.aspectBuckets(docs).collect()
     assert(r.map(_.getAs[Long]("n_images")).sum == docs.count())
