@@ -62,10 +62,16 @@ object ScaleCheck {
       val vm = Ranking.withRunningMax(
         spark.range(rows).select(col("id"), pmod(col("id"), lit(97L)).as("v")),
         Seq(col("id")), col("v"), "pmax")
-      val bad = vm.filter(
-        when(col("id") === 0L, col("pmax").isNotNull)
-          .otherwise(col("pmax") =!= least(col("id"), lit(97L)) - 1L)).count()
-      require(bad == 0L, s"running max diverged from closed form on $bad rows")
+      // null-safe: `ok` is true/false (never NULL), and the row count is
+      // asserted too — a dropped row or an unexpected NULL pmax cannot
+      // silently pass the three-valued filter
+      val ok = when(col("id") === 0L, col("pmax").isNull)
+        .otherwise(coalesce(col("pmax") === least(col("id"), lit(97L)) - 1L, lit(false)))
+      val agg = vm.agg(count(lit(1)).as("n"),
+        sum(when(ok, 1L).otherwise(0L)).as("good")).collect().head
+      require(agg.getLong(0) == rows && agg.getLong(1) == rows,
+        s"running max diverged from closed form: ${agg.getLong(1)} of " +
+          s"${agg.getLong(0)} rows ok (expected $rows)")
     }
     spark.stop()
   }

@@ -248,10 +248,13 @@ object Ranking {
     require(r.schema("__v").dataType == LongType,
       s"running-max value must be long, got ${r.schema("__v").dataType}")
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    // overflowGuard (adds 0, raises past the 33-bit local index) rides the
+    // same aggregate: NULL + 0 stays NULL, max + 0 stays max
     val offDf = r.groupBy(col("__pid"))
-      .agg(max(col("__v")).as("__pm"))
+      .agg(max(col("__v")).as("__pm"), count(lit(1)).as("__c"))
       .limit(parts) // exact bound: ≤ one row per shuffle partition
-      .select(col("__pid"), max(col("__pm")).over(wOff).as("__moff"))
+      .select(col("__pid"),
+        (max(col("__pm")).over(wOff) + overflowGuard(col("__c"), IdxMask)).as("__moff"))
     val wLoc = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     r.join(broadcast(offDf), "__pid")

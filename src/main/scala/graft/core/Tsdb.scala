@@ -1586,12 +1586,16 @@ object Tsdb {
     val base = events
       .withColumn("is_touch", col("event_type").isin("view", "click"))
       .withColumn("tcnt", sum(col("is_touch").cast("long")).over(w))
+    // both models join purch⋈touches, so the events-wide window subtree
+    // would otherwise execute four times (the marketBasket precedent)
     val touches = base.filter(col("is_touch"))
       .select(col("user_id").as("tu"), col("tcnt").as("ti"),
         col("event_type").as("touch_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val purch = base.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("tcnt").as("last_ti"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def model(name: String, idx: Column) =
       purch.withColumn("want", idx)
         .join(touches, col("pu") === col("tu") && col("want") === col("ti"), "left")

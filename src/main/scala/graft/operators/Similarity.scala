@@ -1454,19 +1454,6 @@ object Similarity {
         Hashing.rd4(expr("percentile(gd, 0.9D)")).as("p90"))
   }
 
-  /** Batch kNN GRAPH over the whole corpus (every vector's top-k
-    * neighbors) — the build step for SemDeDup-style clustering, graph
-    * walks, and label propagation. NOT an all-pairs scan: candidate
-    * edges come from the banded-LSH pair table ([[sharedEmbPairs]],
-    * already candidate-first and cached across the similarity family),
-    * symmetrized, then ranked per vector. The per-vector window
-    * partitions on vec_id — millions of small partitions, each bounded
-    * by that vector's band-candidate count, never a global sort. Like
-    * any LSH graph, recall is bounded by the banding (plus the shared
-    * view's cos ≥ [[SharedEmbFloor]] edge floor — neighbors below it
-    * are not graph-worthy here); the recall matrix ops quantify that
-    * trade on the query ops' side.
-    */
   /** PageRank over the [[knnJoin]] graph — centrality-based coreset /
     * representative-sample selection on the embedding space (the
     * "which documents anchor this corpus" read). Fixed `iters`
@@ -1499,8 +1486,11 @@ object Similarity {
     */
   def knnJoinBlocked(s: SparkSession, dir: String, k: Int): DataFrame = {
     val (c, a) = sharedKmeans(s, dir)
+    // freeze before the symmetrizing union: both branches read it, and
+    // semanticDedupFrom's candidate+verify subtree is the expensive part
+    // (the minhashLsh AQE-race precedent)
     val pairs = semanticDedupFrom(graft.core.Tables.load(s, dir, "embeddings"),
-      c, a, 0.4, clusterCap = 64, bands = 2, rowsPerBand = 4)
+      c, a, 0.4, clusterCap = 64, bands = 2, rowsPerBand = 4).localCheckpoint()
     val sym = pairs
       .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
         col("cos").as("cos_sim"))
@@ -1535,9 +1525,13 @@ object Similarity {
   /** [[pagerank]] on an explicit (src, dst) edge table over `nodes` —
     * the reusable graph core (and the unit-test seam).
     */
-  def pagerankGraph(edges: DataFrame, nodes: DataFrame, iters: Int,
+  def pagerankGraph(edges0: DataFrame, nodes: DataFrame, iters: Int,
       topN: Int): DataFrame = {
     val G = 1000000000L
+    // freeze the edge table: out-degree plus every unrolled round joins
+    // it, and an unmaterialized subtree would re-run the upstream kNN
+    // window per consumer (the clustersFromPairs edges precedent)
+    val edges = edges0.localCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val tot = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(tot)
@@ -1556,6 +1550,19 @@ object Similarity {
     ranks.orderBy(col("rg").desc, col("vec_id")).limit(topN)
   }
 
+  /** Batch kNN GRAPH over the whole corpus (every vector's top-k
+    * neighbors) — the build step for SemDeDup-style clustering, graph
+    * walks, and label propagation. NOT an all-pairs scan: candidate
+    * edges come from the banded-LSH pair table ([[sharedEmbPairs]],
+    * already candidate-first and cached across the similarity family),
+    * symmetrized, then ranked per vector. The per-vector window
+    * partitions on vec_id — millions of small partitions, each bounded
+    * by that vector's band-candidate count, never a global sort. Like
+    * any LSH graph, recall is bounded by the banding (plus the shared
+    * view's cos ≥ [[SharedEmbFloor]] edge floor — neighbors below it
+    * are not graph-worthy here); the recall matrix ops quantify that
+    * trade on the query ops' side.
+    */
   def knnJoin(s: SparkSession, dir: String, k: Int): DataFrame = {
     val pairs = sharedEmbPairs(s, dir)
     val sym = pairs

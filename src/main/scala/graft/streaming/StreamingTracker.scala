@@ -509,9 +509,13 @@ object StreamingTracker {
     * — two small strings, O(|users|) regardless of stream length — and
     * each purchase emits its attributed row the moment it arrives
     * (batch attribution waits for the full history). f1 carries the
-    * event type, f2 the user. Same in-order cross-batch parity scope
-    * as [[asofStream]]: replaying the batch history through the stream
-    * yields the batch operator's first/last assignments.
+    * event type, f2 the user. Parity scope: replaying the batch
+    * history through the stream yields the batch operator's
+    * first/last assignments for in-order feeds with DISTINCT
+    * timestamps per user. At equal timestamps the batch operator
+    * breaks ties on event_id, which [[Point]] does not carry; the
+    * stream instead applies the deterministic touches-before-purchase
+    * rule (a same-instant touch counts for the purchase).
     */
   def attributionStream(spark: SparkSession, points: Dataset[Point]): Dataset[AttrOut] = {
     import spark.implicits._
@@ -522,7 +526,9 @@ object StreamingTracker {
         case (user, it, state: GroupState[AttrState]) =>
           var st = state.getOption.getOrElse(AttrState(None, None))
           val out = Seq.newBuilder[AttrOut]
-          it.toSeq.sortBy(p => (p.ts.getTime, p.f1)).foreach { p =>
+          // equal-ts tie-break: touches apply before the purchase
+          it.toSeq.sortBy(p =>
+            (p.ts.getTime, if (p.f1 == "purchase") 1 else 0, p.f1)).foreach { p =>
             p.f1 match {
               case "view" | "click" =>
                 st = AttrState(st.first.orElse(Some(p.f1)), Some(p.f1))
