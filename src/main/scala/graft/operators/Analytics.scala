@@ -687,11 +687,8 @@ object Analytics {
     */
   def marketBasket(s: SparkSession, dir: String,
       minSup: Long = 2L, topK: Int = 50): DataFrame = {
-    // three consumers (pair self-join, marginals, order total) read the
-    // distinct projection; persist so the distinct shuffle runs once
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val pairs = li.as("a")
       .join(li.as("b"),
