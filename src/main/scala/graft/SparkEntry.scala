@@ -182,8 +182,8 @@ object SparkEntry {
     "ts_gapfill_locf" -> ((s, dir) =>
       Tsdb.gapfillLocf(Tsdb.points1(t(s, dir, "events")),
         lit("2024-01-05"), lit("2024-01-08"), Seq("purchase", "error"))),
-    "text_tfidf_top_terms" -> ((s, dir) =>
-      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), 3)),
+    "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTermsFrom(
+      t(s, dir, "documents"), TextAnalysis.sharedTokens(s, dir), 3)),
     "text_dup_span_coverage" -> ((s, dir) =>
       TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), 8)),
     "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),
@@ -226,8 +226,9 @@ object SparkEntry {
     "ts_cusum" -> ((s, dir) => Tsdb.cusum(Tsdb.points1(t(s, dir, "events")), 200.0, 400.0)),
     "seq_packing" -> ((s, dir) => TextAnalysis.seqPack(t(s, dir, "documents"), 256)),
     "domain_mix_weights" -> ((s, dir) => TextAnalysis.mixWeights(t(s, dir, "documents"))),
-    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"))),
-    "corpus_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(t(s, dir, "documents"))),
+    "text_lm_score" -> ((s, dir) => TextAnalysis.sharedNll(s, dir)),
+    "corpus_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBucketsFrom(
+      TextAnalysis.sharedNll(s, dir), t(s, dir, "documents"))),
     "text_rake_keyphrases" -> ((s, dir) => TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), 50)),
     "mm_aspect_bucket" -> ((s, dir) => Multimodal.aspectBuckets(t(s, dir, "documents"))),
     "mm_keyframes" -> ((s, dir) => Multimodal.keyframes(t(s, dir, "documents"))),
@@ -266,7 +267,7 @@ object SparkEntry {
     "q_yoy_growth" -> (Analytics.yoyGrowth _),
     "ts_props_funnel" -> ((s, dir) => Tsdb.propsFunnel(t(s, dir, "events"))),
     "mm_scene_detect" -> ((s, dir) => Multimodal.sceneDetect(t(s, dir, "documents"))),
-    "ts_slo_streaks" -> ((s, dir) => Tsdb.sloStreaks(t(s, dir, "events"), 0.25)),
+    "ts_slo_streaks" -> ((s, dir) => Tsdb.sharedIncidents(s, dir, 0.25)),
     "dedup_normalized" -> ((s, dir) => Dedup.normalizedExact(t(s, dir, "documents"))),
     "ann_knn_label" -> ((s, dir) => Similarity.knnLabel(t(s, dir, "embeddings"), 10, 5)),
     "quality_percentiles" -> ((s, dir) =>
@@ -279,12 +280,12 @@ object SparkEntry {
     // 12 < |corpus vocabulary| at every test SF, so the band cutoff is
     // genuinely exercised (40 admitted the whole synthetic vocabulary)
     "text_vocab_coverage" -> ((s, dir) =>
-      TextAnalysis.vocabCoverage(t(s, dir, "documents"), 12)),
+      TextAnalysis.vocabCoverageOf(TextAnalysis.sharedTokens(s, dir), 12)),
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurveOf(Dedup.sharedPairs(s, dir))),
     "dedup_blocking_recall" -> ((s, dir) => Dedup.blockingRecallFrom(
       Dedup.sharedExactPairs(s, dir), Dedup.sharedSigs(s, dir))),
-    "ts_mttr" -> ((s, dir) => Tsdb.mttr(t(s, dir, "events"), 0.25)),
+    "ts_mttr" -> ((s, dir) => Tsdb.mttrFrom(Tsdb.sharedIncidents(s, dir, 0.25))),
     "ann_recall_multiprobe" -> ((s, dir) =>
       Similarity.recallEvalMultiProbe(t(s, dir, "embeddings"), 10, 5)),
     "ann_recall_ivf" -> ((s, dir) =>
@@ -311,11 +312,11 @@ object SparkEntry {
       TextAnalysis.mixtureTokenShare(t(s, dir, "documents"), "mx1")),
     "text_chunk_windows" -> ((s, dir) =>
       TextAnalysis.chunkWindows(t(s, dir, "documents"), 64, 16)),
-    "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(
-      t(s, dir, "documents"), Seq("spark", "window", "join"), 10)),
-    "hybrid_rrf_topk" -> ((s, dir) => Similarity.hybridRrfTopK(
-      t(s, dir, "documents"), t(s, dir, "embeddings"),
-      Seq("spark", "window", "join"), 7L, 10)),
+    "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopOfPool(
+      TextAnalysis.sharedBm25Pool(s, dir, Seq("spark", "window", "join"), 20), 10)),
+    "hybrid_rrf_topk" -> ((s, dir) => Similarity.hybridRrfFromPool(
+      TextAnalysis.sharedBm25Pool(s, dir, Seq("spark", "window", "join"), 20),
+      t(s, dir, "embeddings"), 7L, 10)),
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"))),
     "sample_dsir_weights" -> ((s, dir) =>
@@ -323,13 +324,12 @@ object SparkEntry {
     "tokenizer_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(t(s, dir, "documents"), 20)),
     "curriculum_stages" -> ((s, dir) =>
-      TextAnalysis.curriculumStages(t(s, dir, "documents"), 4)),
+      TextAnalysis.curriculumStagesFrom(TextAnalysis.sharedModelScores(s, dir), 4)),
     "data_kfold_grouped" -> ((s, dir) => Dedup.kfoldGroupedOf(
       t(s, dir, "documents"), Dedup.sharedClusters(s, dir), 5, "kf1")),
     "embedding_dim_stats" -> ((s, dir) =>
       Similarity.dimStats(t(s, dir, "embeddings"))),
-    "embedding_pca_power" -> ((s, dir) =>
-      Similarity.pcaPower(t(s, dir, "embeddings"), 1)),
+    "embedding_pca_power" -> ((s, dir) => Similarity.pcaPowerShared(s, dir, 1)),
     "embedding_outliers" -> ((s, dir) =>
       Similarity.embeddingOutliers(t(s, dir, "embeddings"), 20)),
     "packing_efficiency" -> ((s, dir) =>
@@ -347,7 +347,7 @@ object SparkEntry {
     "domain_mix_temperature" -> ((s, dir) =>
       TextAnalysis.mixTemperature(t(s, dir, "documents"), 0.5)),
     "embedding_pca_histogram" -> ((s, dir) =>
-      Similarity.pcaProjectionHistogram(t(s, dir, "embeddings"), 1, 0.5)),
+      Similarity.pcaHistogramShared(s, dir, 1, 0.5)),
     "ann_tuning_curve" -> ((s, dir) =>
       Similarity.ivfTuningCurve(t(s, dir, "embeddings"), 10, 5, Seq(1, 2, 3))),
     "corpus_decontaminated" -> ((s, dir) => Dedup.decontaminatedFrom(

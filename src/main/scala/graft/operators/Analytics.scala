@@ -687,17 +687,37 @@ object Analytics {
     */
   def marketBasket(s: SparkSession, dir: String,
       minSup: Long = 2L, topK: Int = 50): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val totals = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // ONE grouped pass builds the per-order basket (sorted distinct part
+    // set); totals, marginals and in-basket pairs all derive from it, so
+    // the order-keyed self-join of the naive plan disappears entirely.
+    // The three consumers share the same groupBy subtree — Spark's
+    // ReusedExchange dedupes the lineitem shuffle, so the fact table is
+    // shuffled once. The pair explode is array combinatorics INSIDE a
+    // row (sorted set ⇒ part_a < part_b by construction), bounded by
+    // basket size (TPC-H baskets are ≤ 7 lines → ≤ 21 pairs per order;
+    // asserted in AnalyticsViewSpec), so it never goes quadratic in the
+    // fact table.
+    val baskets = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      // one row per order with a ≤7-element array — orders of magnitude
+      // smaller than the fact table; freezing it runs the grouped scan
+      // once instead of three final-aggregate passes over the reused
+      // exchange (totals + pairs + marginals)
+      .localCheckpoint()
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (a, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            b -> struct(a AS part_a, b AS part_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minSup)
-    val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val marg = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
     pairs
       .join(marg.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
       .join(marg.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")
@@ -730,6 +750,11 @@ object Analytics {
         .select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("o_custkey").as("custkey"), col("cents"))
+      // the two-phase rank scans its input twice (range histogram, then
+      // the ranked pass); freezing the per-customer projection (one row
+      // per customer-with-orders — orders of magnitude smaller than the
+      // fact table) runs the join subtree once instead of twice
+      .localCheckpoint()
     Ranking.withRunningSum(j, Some("nation"),
       Seq(col("cents").desc, col("custkey")), lit(1L), "rnk")
       .filter(col("rnk") <= k)

@@ -1079,8 +1079,20 @@ object Similarity {
     * the corpus-side work is exactly one BM25 pass and one cosine scan.
     */
   def hybridRrfTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int, poolSize: Int = 20, kRrf: Int = 60): DataFrame =
+    hybridRrfFromPool(TextAnalysis.bm25TopK(docs, queryTerms, poolSize),
+      emb, queryVecId, k, poolSize, kRrf)
+
+  /** [[hybridRrfTopK]] over a prebuilt BM25 candidate pool
+    * (e.g. [[graft.operators.TextAnalysis.sharedBm25Pool]]) — the
+    * corpus-side lexical pass runs once for every fusion consumer. The
+    * rank windows re-sort the pool explicitly (a checkpointed pool
+    * carries no row order), so the fused output is identical to the
+    * cold path.
+    */
+  def hybridRrfFromPool(lexPool: DataFrame, emb: DataFrame,
       queryVecId: Long, k: Int, poolSize: Int = 20, kRrf: Int = 60): DataFrame = {
-    val lexRank = TextAnalysis.bm25TopK(docs, queryTerms, poolSize)
+    val lexRank = lexPool
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id").as("id"), col("lex_rank"))
@@ -1322,11 +1334,41 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (v, eig) = pcaIterate(cDf, dim, iters)
     cDf.unpersist()
+    pcaDirectionDf(emb.sparkSession, v.toSeq, eig, dim)
+  }
+
+  private def pcaDirectionDf(session: SparkSession, v: Seq[Double],
+      eig: Double, dim: Int): DataFrame = {
     val eigOut = math.floor(eig * 10000.0 + 0.5) / 10000.0
-    val session = emb.sparkSession
     session.createDataFrame(
       (1 to dim).map(i => (i, v(i - 1), eigOut)))
       .toDF("dim", "loading", "eigenvalue")
+  }
+
+  private val sharedPcaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), (DataFrame, Seq[Double], Double)]
+
+  /** The centered embedding table + trained top-PC direction over
+    * `dir`'s embeddings, computed ONCE per (session, dir, iters, dim)
+    * and frozen — the [[graft.operators.Dedup.sharedShingles]] precedent
+    * for PCA: `embedding_pca_power` IS the direction, and
+    * `embedding_pca_histogram` projects the frozen centered table onto
+    * it, so the centering scan and the power rounds run once for both.
+    */
+  def sharedPca(s: SparkSession, dir: String, iters: Int = 1,
+      dim: Int = 64): (DataFrame, Seq[Double], Double) =
+    sharedPcaCache.getOrElseUpdate((s, dir, iters, dim), {
+      val cDf = pcaCentered(
+        graft.core.Tables.load(s, dir, "embeddings")).localCheckpoint()
+      val (v, eig) = pcaIterate(cDf, dim, iters)
+      (cDf, v.toSeq, eig)
+    })
+
+  /** [[pcaPower]] through the [[sharedPca]] cache. */
+  def pcaPowerShared(s: SparkSession, dir: String, iters: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val (_, v, eig) = sharedPca(s, dir, iters, dim)
+    pcaDirectionDf(s, v, eig, dim)
   }
 
   /** Corpus distribution along the top principal component: every vector
@@ -1343,8 +1385,25 @@ object Similarity {
     val cDf = pcaCentered(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (v, _) = pcaIterate(cDf, dim, iters)
+    // the cache stays live for the returned plan's final projection pass
+    // (it executes after this returns); an eager unpersist here would
+    // force a recompute of the centered table. Bounded like the shared
+    // views: one cached table per call, dropped by the caller's
+    // clearCache between bench queries.
+    pcaHistogramOf(cDf, v.toSeq, binWidth)
+  }
+
+  /** [[pcaProjectionHistogram]] through the [[sharedPca]] cache. */
+  def pcaHistogramShared(s: SparkSession, dir: String, iters: Int = 1,
+      binWidth: Double = 0.5, dim: Int = 64): DataFrame = {
+    val (cDf, v, _) = sharedPca(s, dir, iters, dim)
+    pcaHistogramOf(cDf, v, binWidth)
+  }
+
+  private def pcaHistogramOf(cDf: DataFrame, v: Seq[Double],
+      binWidth: Double): DataFrame = {
     val vCol = array(v.map(lit): _*)
-    val out = cDf
+    cDf
       .withColumn("t", floor(col("c") * element_at(vCol, col("dim")) *
         1000000000.0 + 0.5).cast("long"))
       .groupBy(col("vec_id")).agg(sum(col("t")).as("dq"))
@@ -1353,12 +1412,6 @@ object Similarity {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_vecs"))
       .withColumn("bin_lo", Hashing.rd4(col("bin") * binWidth))
-    // the cache stays live for the returned plan's final projection pass
-    // (it executes after this returns); an eager unpersist here would
-    // force a recompute of the centered table. Bounded like the shared
-    // views: one cached table per call, dropped by the caller's
-    // clearCache between bench queries.
-    out
   }
 
   /** Embedding-space outlier screen: per-vector diagonal-Mahalanobis
