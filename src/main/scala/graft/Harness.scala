@@ -15,6 +15,7 @@ object Harness {
   def session(extra: (String, String)*): SparkSession = {
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
     val s = extra.foldLeft(b)((bb, kv) => bb.config(kv._1, kv._2)).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -53,6 +53,7 @@ object Serve {
       .config("spark.connect.grpc.binding.port", port)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val views = registerStores(spark, root)

@@ -199,7 +199,7 @@ object Ranking {
     require(isLong || r.schema("__v").dataType == DoubleType,
       s"running-sum value must be long or double, got ${r.schema("__v").dataType}")
     // null-safe string key: the stratum column may contain nulls
-    val partKey = coalesce(partCol.map(col).getOrElse(lit("")).cast("string"), lit(" null"))
+    val partKey = coalesce(partCol.map(col).getOrElse(lit("")).cast("string"), lit("\u0000null"))
     val zero = if (isLong) lit(0L) else lit(0.0)
     // one row per (partition, stratum): strata are range-contiguous, so
     // this is ≤ numParts + |strata| rows — metadata-bounded. With a real

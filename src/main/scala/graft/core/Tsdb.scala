@@ -898,7 +898,9 @@ object Tsdb {
         sum(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
           col("first_purchase") > col("first_signup"), 1L).otherwise(0L)).as("n_converted"))
       .withColumn("conversion", graft.functions.Hashing.rd4(
-        col("n_converted") / col("n_signup")))
+        // nullif: a segment with purchases but no signups has n_signup=0;
+        // NULL conversion (matches DuckDB x/0=NULL) under ANSI too
+        col("n_converted") / nullif(col("n_signup"), lit(0L))))
   }
 
   /** Ordered 3-step funnel within a conversion window: first `s1`, then
@@ -1263,7 +1265,10 @@ object Tsdb {
         sqrt(col("smm") / col("n") - (col("sm") / col("n")) * (col("sm") / col("n")))
           .as("sigma"))
     val z = segs.join(stats, "f1")
-      .select(col("f1"), col("seg"), rd4((col("m") - col("mu")) / col("sigma")).as("z"))
+      // nullif: a constant series has sigma=0; NULL z (DuckDB x/0=NULL)
+      // under ANSI too
+      .select(col("f1"), col("seg"),
+        rd4((col("m") - col("mu")) / nullif(col("sigma"), lit(0.0))).as("z"))
       .withColumn("sym",
         when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
           .when(col("z") < 0.6745, "c").otherwise("d"))
@@ -1469,8 +1474,11 @@ object Tsdb {
         sum(col("s") * col("s") / col("cnt")).as("ssb_raw"))
       .select(col("f1"), col("n").cast("long").as("n_buckets"),
         graft.functions.Hashing.rd4(
+          // nullif: a constant series has SS_total=0; NULL strength
+          // (DuckDB x/0=NULL) under ANSI too
           (col("ssb_raw") - col("sx") * col("sx") / col("n")) /
-            (col("sxx") - col("sx") * col("sx") / col("n"))).as("strength"))
+            nullif(col("sxx") - col("sx") * col("sx") / col("n"), lit(0.0)))
+          .as("strength"))
 
   /** SLO incident list (gaps-and-islands): consecutive BAD hours (error
     * fraction above budget) merge into incidents via the classic
@@ -1505,9 +1513,11 @@ object Tsdb {
     * global-rank pass, no self-join. Starts are hour-truncated, so
     * every pairwise diff is an exact multiple of 3600 and the
     * telescoped double matches the oracle's `avg(lead())` bit-for-bit
-    * (each term is integer-valued; sums stay below 2^53). n = 1 divides
-    * by zero, which Spark's non-ANSI Divide maps to NULL — the same
-    * NULL the oracle's empty avg produces.
+    * (each term is integer-valued; sums stay below 2^53). n = 1 is
+    * guarded with `nullif(n - 1, 0)` so the ratio is NULL — the same
+    * NULL the oracle's empty `avg(lead())` produces — under BOTH ANSI
+    * and non-ANSI sessions (Spark 4.x defaults `spark.sql.ansi.enabled=
+    * true`, where a bare divide-by-zero would throw DIVIDE_BY_ZERO).
     */
   def mttr(events: DataFrame, budget: Double): DataFrame =
     mttrFrom(sloStreaks(events, budget))
@@ -1536,7 +1546,8 @@ object Tsdb {
       rd4(sum(col("n_hours")) / count(lit(1))).as("mttr_hours"),
       rd4((unix_timestamp(max(col("incident_start")))
           - unix_timestamp(min(col("incident_start")))).cast("double")
-        / 3600.0 / (count(lit(1)) - 1).cast("double")).as("mtbf_hours"))
+        / 3600.0 / nullif((count(lit(1)) - 1).cast("double"), lit(0.0)))
+        .as("mtbf_hours"))
   }
 
   /** Bounded-error distributed top-k (heavy hitters): each day keeps

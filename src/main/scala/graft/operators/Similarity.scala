@@ -1088,11 +1088,16 @@ object Similarity {
     * corpus-side lexical pass runs once for every fusion consumer. The
     * rank windows re-sort the pool explicitly (a checkpointed pool
     * carries no row order), so the fused output is identical to the
-    * cold path.
+    * cold path. The re-sort ends in `.limit(poolSize)` — a no-op on a
+    * pool that is already ≤ poolSize rows (the prefix property: sorting
+    * then limiting a bounded pool returns the same set) — so the rank
+    * window's input is plan-provably bounded even when the pool arrives
+    * as a checkpointed LogicalRDD with no Limit node of its own.
     */
   def hybridRrfFromPool(lexPool: DataFrame, emb: DataFrame,
       queryVecId: Long, k: Int, poolSize: Int = 20, kRrf: Int = 60): DataFrame = {
     val lexRank = lexPool
+      .orderBy(col("score").desc, col("doc_id")).limit(poolSize)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id").as("id"), col("lex_rank"))

@@ -601,6 +601,28 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Double]("mtbf_hours") == 4.0)
   }
 
+  test("mttr: single-incident store yields NULL mtbf (no ANSI divide-by-zero)") {
+    // exactly one incident → mtbf denominator n-1 = 0; must be NULL like
+    // the oracle's empty avg(lead()), not a DIVIDE_BY_ZERO crash. Run
+    // under a forced-ANSI session config to prove the guard holds even
+    // when a library user keeps Spark 4.x's ansi.enabled=true default.
+    val ev = eventsDf(Seq(
+      ("2024-01-01 00:10:00", "error", 1L, 1.0),
+      ("2024-01-01 02:10:00", "view", 2L, 1.0)))
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val r = Tsdb.mttr(ev, 0.25).head()
+      assert(r.getAs[Long]("n_incidents") == 1L)
+      assert(r.getAs[Double]("mttr_hours") == 1.0)
+      assert(r.isNullAt(r.fieldIndex("mtbf_hours")))
+      // zero incidents: every aggregate except the count is NULL
+      val r0 = Tsdb.mttr(eventsDf(Seq(("2024-01-01 00:10:00", "view", 1L, 1.0))), 0.25).head()
+      assert(r0.getAs[Long]("n_incidents") == 0L)
+      assert(r0.isNullAt(r0.fieldIndex("mttr_hours")))
+      assert(r0.isNullAt(r0.fieldIndex("mtbf_hours")))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("propsFunnel: conversion split by the FIRST event's prop segment") {
     import spark.implicits._
     // u1: first event k=80 (high), signup→purchase converts
