@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * scale factor. An untimed warmup pass first absorbs JVM/JIT/codegen and
   * filesystem-cache effects so the timed pass measures steady-state
   * throughput (the fair comparison against the reference's long-lived
-  * server process).
+  * server process). Shared frozen views are cleared at the START of each
+  * timed pass ([[graft.core.SharedViews.clearAll]]) so their build cost
+  * is always paid inside the pass, billed to the first consumer — the
+  * warmup warms code paths, never data.
   *
   * Output contract: the harness captures only the last ~2000 chars of the
   * run and parses the final JSON line, so the printed line lists the most
@@ -53,6 +56,12 @@ object Bench {
     // see when even the min was taken under load
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to 3).map { _ =>
+      // Honest accounting: drop every shared frozen view (and its
+      // checkpoint blocks) so each pass rebuilds them INSIDE the timing
+      // — a shared build bills to its first consumer and the pass wall
+      // time equals the sum of per-query times. Without this the builds
+      // hide in the untimed warmup (the round-9 verdict's finding).
+      graft.core.SharedViews.clearAll(spark)
       sentinels += sentinel()
       names.map { name =>
         val t0 = System.nanoTime()

@@ -182,8 +182,10 @@ object SparkEntry {
     "ts_gapfill_locf" -> ((s, dir) =>
       Tsdb.gapfillLocf(Tsdb.points1(t(s, dir, "events")),
         lit("2024-01-05"), lit("2024-01-08"), Seq("purchase", "error"))),
-    "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTermsFrom(
-      t(s, dir, "documents"), TextAnalysis.sharedTokens(s, dir), 3)),
+    "text_tfidf_top_terms" -> ((s, dir) =>
+      // in-row tf (run-length over sorted tokens): occurrences never
+      // shuffle, so this beats the sharedTokens route even warm
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), 3)),
     "text_dup_span_coverage" -> ((s, dir) =>
       TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), 8)),
     "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),

@@ -171,6 +171,27 @@ object TsdbScaleCheck {
       s"holt-winters failed to converge on the constant: " +
         s"${hw.getLong(1)} of ${hw.getLong(0)} late-range forecasts near 42.5")
 
+    // --- 6b. the worst-case fold shape: ONE series holding 10M buckets
+    // (19 years of minutely data — far past the store's retention, so
+    // this bounds every real fetch). The whole series lands in a single
+    // task as one sorted array (~1.5 GB of SeriesPt at the measured
+    // ~150 B/bucket); proving it folds clean here pins foldSeries's
+    // documented memory ceiling — past MaxFoldBucketsPerSeries (32M,
+    // ~5 GB/task) the guard fails loudly instead of opaquely OOM-ing.
+    val nMono = 10000000L
+    val monoPts = spark.range(nMono)
+      .select(lit("mono").as("f1"),
+        expr("timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP_NTZ'2026-01-01 00:00:00')")
+          .as("bucket"),
+        lit(42.5).as("total"), lit(1L).as("cnt"))
+    val ewMono = timed(s"ewma over ONE series x $nMono buckets (single-task fold)") {
+      graft.core.Tsdb.ewma(monoPts, 0.3)
+        .agg(count(lit(1)), sum(when(col("ewma") === 42.5, 1L).otherwise(0L)))
+        .collect().head
+    }
+    require(ewMono.getLong(0) == nMono && ewMono.getLong(1) == nMono,
+      s"single-series 10M-bucket EWMA drifted: ${ewMono.getLong(1)} of ${ewMono.getLong(0)}")
+
     // --- 7. the newer per-series window family on the same 1M-bucket
     // series: STL decomposes a constant to pure trend (exact cents
     // arithmetic — zero seasonal/remainder on EVERY interior row), and

@@ -686,6 +686,18 @@ object Tsdb {
   @inline private def rd4d(x: Double): Double =
     math.floor(x * 10000.0 + 0.5) / 10000.0
 
+  /** Hard per-series ceiling for [[foldSeries]]'s in-task array: 32M
+    * buckets ≈ 61 years of minutely (or ~1 year of secondly) data in ONE
+    * series — far past any retention the store supports, and ~5 GB of
+    * SeriesPt objects in the folding task (measured ~150 B/bucket), the
+    * most a healthy executor heap absorbs. A series beyond it fails
+    * LOUDLY here instead of opaquely OOM-ing the executor; the fix at
+    * that scale is downsampling before the fold (the rollup cascade
+    * exists for exactly this), not a bigger heap. The single-10M-bucket
+    * case is proven in TsdbScaleCheck phase 6b.
+    */
+  private[graft] val MaxFoldBucketsPerSeries: Int = 32 << 20
+
   /** Run an O(n) sequential fold per series: one shuffle groups each
     * series, the group iterator is materialized and sorted by bucket in
     * that task (same memory shape as the previous collect_list array, n =
@@ -695,7 +707,8 @@ object Tsdb {
     * effectively hanging the task. The fold arithmetic inside `emit`
     * preserves the exact left-to-right IEEE order of the previous SQL
     * `aggregate` folds, so results — and the DuckDB oracle replays — are
-    * bit-identical.
+    * bit-identical. Per-series memory is bounded by
+    * [[MaxFoldBucketsPerSeries]] with a loud failure past it.
     */
   private def foldSeries[T: org.apache.spark.sql.Encoder](pts1: DataFrame)(
       emit: (String, Array[SeriesPt]) => Iterator[T]): DataFrame = {
@@ -703,10 +716,21 @@ object Tsdb {
     import spark.implicits._
     implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
       Ordering.by(d => (d.toEpochSecond(java.time.ZoneOffset.UTC), d.getNano))
+    val cap = MaxFoldBucketsPerSeries
     pts1.select(col("f1"), col("bucket"), col("total")).as[SeriesPt]
       .groupByKey(_.f1)
-      .flatMapGroups((k: String, it: Iterator[SeriesPt]) =>
-        emit(k, it.toArray.sortBy(_.bucket)))
+      .flatMapGroups { (k: String, it: Iterator[SeriesPt]) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[SeriesPt]
+        while (it.hasNext) {
+          if (buf.length >= cap)
+            throw new IllegalStateException(
+              s"foldSeries: series '$k' exceeds $cap buckets — the " +
+                "sequential fold materializes one series per task; " +
+                "downsample (rollup cascade) before folding at this range")
+          buf += it.next()
+        }
+        emit(k, buf.toArray.sortBy(_.bucket))
+      }
       .toDF()
   }
 
@@ -1522,8 +1546,9 @@ object Tsdb {
   def mttr(events: DataFrame, budget: Double): DataFrame =
     mttrFrom(sloStreaks(events, budget))
 
-  private val sharedIncidentsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Double), DataFrame]
+  private val sharedIncidentsCache = graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame])
 
   /** The [[sloStreaks]] incident table over `dir`'s events, built ONCE
     * per (session, dir, budget) and frozen — `ts_slo_streaks` IS this

@@ -539,8 +539,9 @@ object Analytics {
   def paretoCustomersOf(rev: DataFrame, cut: Double = 0.8): DataFrame =
     paretoFrom(rev, cut)
 
-  private val rankedRevenueCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val rankedRevenueCache = graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame])
 
   /** The customer-revenue aggregate RANKED once: global rank, row total,
     * exact cents running sum and grand total from ONE range shuffle

@@ -451,7 +451,8 @@ object Dedup {
   }
 
   private val sharedShinglesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame])
 
   /** The distinct n-gram shingle table over `dir`'s documents, tokenized
     * ONCE per (session, dir, n) and frozen — the upstream half of every
@@ -467,7 +468,8 @@ object Dedup {
       shingles(graft.core.Tables.load(s, dir, "documents"), n).localCheckpoint())
 
   private val sharedSigsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The MinHash signature table over `dir`'s documents (doc_id +
     * NumPerms min-hash columns), built ONCE per (session, dir) and
@@ -488,7 +490,8 @@ object Dedup {
   val SharedExactFloor = 0.2
 
   private val sharedExactPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The df-capped EXACT Jaccard pair table over `dir`'s documents at
     * [[SharedExactFloor]], built ONCE per (session, dir) and frozen — the
@@ -518,7 +521,8 @@ object Dedup {
   val SharedPairFloor = 0.2
 
   private val sharedPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The verified MinHash-LSH pair table over `dir`'s documents at
     * [[SharedPairFloor]], built ONCE per (session, dir) and frozen with
@@ -701,7 +705,8 @@ object Dedup {
   }
 
   private val contamPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The exact-8-gram contamination pair table for `dir`'s documents
     * against the fixed doc_id < 50 test slice, built ONCE per
@@ -967,7 +972,8 @@ object Dedup {
   }
 
   private val sharedClustersCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The connected-components cluster table at threshold 0.5 over the
     * shared verified-pair view, built ONCE per (session, dir) and frozen —

@@ -38,10 +38,7 @@ object Multimodal {
     * per-doc scene stream.
     */
   def keyframes(docs: DataFrame, maxHamming: Int = 25): DataFrame =
-    sceneDetect(docs, maxHamming)
-      .groupBy(col("doc_id"), col("scene_id"))
-      .agg(min(col("frame_idx")).as("keyframe_idx"),
-        count(lit(1)).as("scene_len"))
+    keyframesFrom(sceneDetect(docs, maxHamming))
 
   /** Aspect-ratio bucketing (the SDXL-style batching step: images train
     * in fixed-shape batches, so each image snaps to the nearest
@@ -99,9 +96,19 @@ object Multimodal {
     * hash; the window/lag/bit_count shape is unchanged. Per-doc windows
     * only — no global ordering.
     */
-  def sceneDetect(docs: DataFrame, maxHamming: Int = 25): DataFrame = {
+  def sceneDetect(docs: DataFrame, maxHamming: Int = 25): DataFrame =
+    scenesFrom(frameSample(docs, 1), maxHamming)
+
+  /** [[sceneDetect]] over an already-decoded frame stream
+    * (doc_id, frame_idx, frame_hash) — the entry a real-codec pipeline
+    * uses: decode once (e.g. [[decodeVideoBatched]] with [[Y4MCodec]] or
+    * [[MjpegCodec]], whose per-frame hash is a real perceptual aHash),
+    * detect scenes on the result. Codec-agnostic: per-doc window + lag +
+    * bit_count, no global ordering.
+    */
+  def scenesFrom(frames: DataFrame, maxHamming: Int = 25): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    frameSample(docs, 1)
+    frames
       .withColumn("prev_hash", lag(col("frame_hash"), 1).over(w))
       .withColumn("dist",
         when(col("prev_hash").isNull, lit(null).cast("long"))
@@ -112,6 +119,15 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("dist"),
         col("is_boundary"), col("scene_id"))
   }
+
+  /** [[keyframes]] over an already-detected scene stream — compose
+    * `keyframesFrom(scenesFrom(decoded frames))` for the real-codec path.
+    */
+  def keyframesFrom(scenes: DataFrame): DataFrame =
+    scenes
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("keyframe_idx"),
+        count(lit(1)).as("scene_len"))
 
   /** Resize: recompute target dimensions preserving aspect ratio against a
     * bounding box — metadata-level op; a real codec would transform pixels.
@@ -331,6 +347,165 @@ object Multimodal {
     media.mapPartitions { it =>
       codec.open()
       it.map(m => codec.decode(m.doc_id, m.payload))
+    }
+  }
+
+  final case class DecodedFrame(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, frame_hash: Long)
+
+  /** A video codec: payload bytes → one row per decoded frame, with a
+    * 60-bit per-frame hash ([[scenesFrom]]'s boundary signal — perceptual
+    * for the real codecs, md5-derived for the stub). Same contract as
+    * [[Codec]]: Serializable, cheap construction, per-partition
+    * [[VideoCodec.open]].
+    */
+  trait VideoCodec extends Serializable {
+    def open(): Unit = ()
+    def decodeFrames(docId: Long, payload: Array[Byte]): Iterator[DecodedFrame]
+  }
+
+  /** Deterministic STUB video codec — the exact frame stream
+    * [[frameSample]](docs, 1) declares (hash-derived frame count and
+    * per-frame md5 hashes), so `scenesFrom(stub decode)` equals
+    * `sceneDetect(docs)` row-for-row.
+    */
+  object StubVideoCodec extends VideoCodec {
+    def decodeFrames(docId: Long, payload: Array[Byte]): Iterator[DecodedFrame] = {
+      val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val h = Hashing.h60jvm(text)
+      val md5Hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map(b => f"$b%02x").mkString
+      val (w0, h0) = ((64 + h % 512).toInt, (64 + (h / 512) % 512).toInt)
+      (0 until (1 + h % 8).toInt).iterator.map(i =>
+        DecodedFrame(docId, i, w0, h0, Hashing.h60jvm(s"${md5Hex}_f$i")))
+    }
+  }
+
+  /** 60-bit average-hash (aHash) over a luma plane: block-average the
+    * frame to an 8×8 grid, threshold each cell at the grid mean, pack the
+    * 64 bits and mask to 60 (the repo-wide hash width). The standard
+    * perceptual hash for shot-boundary detection: near-identical frames
+    * agree on almost every bit, a cut flips about half of them. `luma`
+    * returns 0–255 at (x, y).
+    */
+  private[operators] def aHash60(luma: (Int, Int) => Int, w: Int, h: Int): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val ci = cy * 8 + x * 8 / w
+        sums(ci) += luma(x, y)
+        counts(ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avgs = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val mean = avgs.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (avgs(i) > mean) bits |= (1L << i); i += 1 }
+    bits & ((1L << 60) - 1)
+  }
+
+  /** A REAL video codec for YUV4MPEG2 (.y4m) — the uncompressed interchange
+    * format every ffmpeg/mjpegtools install writes, parseable in pure JVM:
+    * ASCII stream header (`YUV4MPEG2 W<w> H<h> ...`), then per frame an
+    * ASCII `FRAME` line + raw planar YCbCr bytes. Supports the common
+    * chroma taggings (C420*, C422, C444, Cmono); only the luma plane (the
+    * first w·h bytes of each frame) feeds [[aHash60]], chroma is skipped.
+    */
+  object Y4MCodec extends VideoCodec {
+    def decodeFrames(docId: Long, payload: Array[Byte]): Iterator[DecodedFrame] = {
+      var pos = payload.indexOf('\n'.toByte)
+      require(pos > 0, s"doc $docId: no Y4M stream header")
+      val header = new String(payload, 0, pos, java.nio.charset.StandardCharsets.US_ASCII)
+      require(header.startsWith("YUV4MPEG2"), s"doc $docId: not a YUV4MPEG2 stream")
+      val params = header.split(' ').drop(1)
+      def param(tag: Char): Option[String] =
+        params.collectFirst { case p if p.nonEmpty && p.head == tag => p.tail }
+      val w = param('W').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException(s"doc $docId: Y4M header missing W"))
+      val h = param('H').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException(s"doc $docId: Y4M header missing H"))
+      val chroma = param('C').getOrElse("420jpeg")
+      val lumaBytes = w * h
+      val frameBytes = chroma match {
+        case c if c.startsWith("420") => lumaBytes + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        case c if c.startsWith("422") => lumaBytes + 2 * ((w + 1) / 2) * h
+        case c if c.startsWith("444") => lumaBytes * 3
+        case "mono"                   => lumaBytes
+        case c => throw new IllegalArgumentException(s"doc $docId: unsupported chroma C$c")
+      }
+      pos += 1
+      var idx = 0
+      new Iterator[DecodedFrame] {
+        def hasNext: Boolean = pos < payload.length
+        def next(): DecodedFrame = {
+          val nl = payload.indexOf('\n'.toByte, pos)
+          require(nl >= pos + 5 && new String(payload, pos, 5,
+            java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+            s"doc $docId: frame $idx: missing FRAME marker")
+          val dataStart = nl + 1
+          require(dataStart + frameBytes <= payload.length,
+            s"doc $docId: frame $idx truncated")
+          val base = dataStart
+          val hash = aHash60((x, y) => payload(base + y * w + x) & 0xff, w, h)
+          pos = dataStart + frameBytes
+          val f = DecodedFrame(docId, idx, w, h, hash)
+          idx += 1
+          f
+        }
+      }
+    }
+  }
+
+  /** A REAL video codec for MJPEG (motion-JPEG: back-to-back baseline
+    * JPEGs, the format webcams/AVIs without inter-frame compression
+    * carry): scans the byte stream for JPEG SOI markers (FFD8 FF),
+    * decodes each frame with `javax.imageio`, hashes the BT.601 luma via
+    * [[aHash60]]. Pure JVM — no native decoder.
+    */
+  object MjpegCodec extends VideoCodec {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    def decodeFrames(docId: Long, payload: Array[Byte]): Iterator[DecodedFrame] = {
+      // frame starts: FFD8 followed by a marker byte FF (start-of-stream
+      // can't appear inside entropy-coded data in baseline JPEG)
+      val starts = (0 until payload.length - 2).filter(i =>
+        payload(i) == 0xff.toByte && payload(i + 1) == 0xd8.toByte &&
+          payload(i + 2) == 0xff.toByte)
+      require(starts.nonEmpty, s"doc $docId: no JPEG SOI marker found")
+      starts.iterator.zipWithIndex.map { case (start, idx) =>
+        val end = if (idx + 1 < starts.length) starts(idx + 1) else payload.length
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, start, end - start))
+        require(img != null, s"doc $docId: frame $idx not decodable")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hash = aHash60((x, y) => {
+          val rgb = img.getRGB(x, y)
+          (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+        }, w, h)
+        DecodedFrame(docId, idx, w, h, hash)
+      }
+    }
+  }
+
+  /** [[decodeBatched]] for video payloads: one output row per frame.
+    * Defaults to the declared [[StubVideoCodec]]; pass [[Y4MCodec]] /
+    * [[MjpegCodec]] for real decoding. Feed the result to [[scenesFrom]]
+    * → [[keyframesFrom]].
+    */
+  def decodeVideoBatched(spark: SparkSession, media: Dataset[MediaBatch],
+      codec: VideoCodec = StubVideoCodec): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      codec.open()
+      it.flatMap(m => codec.decodeFrames(m.doc_id, m.payload))
     }
   }
 }

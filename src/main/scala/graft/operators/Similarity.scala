@@ -225,7 +225,8 @@ object Similarity {
       java.util.Arrays.asList(c.collect(): _*), c.schema)
 
   private val kmeansViewCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)])
 
   /** Shared k-means coarse quantizer over the `embeddings` table at the
     * default shape (8 centroids, 2 Lloyd iterations): (centroids, narrow
@@ -507,7 +508,8 @@ object Similarity {
   }
 
   private val kmeansPpViewCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)])
 
   /** Shared k-means‖-seeded quantizer over the `embeddings` table at the
     * default shape (8 centroids, ≤3 Lloyd iterations with early stop):
@@ -844,7 +846,8 @@ object Similarity {
   val SharedEmbFloor = 0.4
 
   private val embPairsViewCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The verified embedding near-dup pair table over `dir`'s embeddings
     * at [[SharedEmbFloor]], built ONCE per (session, dir) and frozen —
@@ -1350,8 +1353,9 @@ object Similarity {
       .toDF("dim", "loading", "eigenvalue")
   }
 
-  private val sharedPcaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int), (DataFrame, Seq[Double], Double)]
+  private val sharedPcaCache = graft.core.SharedViews.register(
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Int), (DataFrame, Seq[Double], Double)])
 
   /** The centered embedding table + trained top-PC direction over
     * `dir`'s embeddings, computed ONCE per (session, dir, iters, dim)

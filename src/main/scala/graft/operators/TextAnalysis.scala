@@ -15,7 +15,8 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, "\\s+")
 
   private val sharedTokensCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The exploded (doc_id, tok) token table over `dir`'s documents,
     * tokenized ONCE per (session, dir) and frozen — the upstream half of
@@ -36,7 +37,8 @@ object TextAnalysis {
         .localCheckpoint())
 
   private val sharedNllCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The per-doc LM-score table (doc_id, n_tokens, avg_nll), built ONCE
     * per (session, dir) from [[sharedTokens]] and frozen — `text_lm_score`
@@ -48,7 +50,8 @@ object TextAnalysis {
       lmScoreOf(sharedTokens(s, dir)).localCheckpoint())
 
   private val sharedBm25Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int), DataFrame])
 
   /** The BM25 top-`poolSize` candidate pool for one fixed query-term
     * set, computed ONCE per (session, dir, terms, poolSize) from
@@ -62,7 +65,8 @@ object TextAnalysis {
       bm25TopKOf(sharedTokens(s, dir), terms, poolSize).localCheckpoint())
 
   private val sharedModelScoresCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.core.SharedViews.register(
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The scored-corpus projection (doc_id, model_score, n_tokens) of
     * [[modelScores]], built ONCE per (session, dir) and frozen — the
@@ -157,18 +161,53 @@ object TextAnalysis {
     * ranking never needs a global sort; N is a 1-row broadcast.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame =
-    tfidfTopTermsFrom(docs,
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")), k)
+    tfidfScoredFrom(docs, inRowTf(docs), k)
+
+  /** The per-document (term, tf) table derived IN-ROW: run-length encode
+    * the sorted token array (array_sort + run-boundary filter + transform
+    * — all codegen'd array expressions), then explode ONE row per
+    * DISTINCT (doc, term). Token occurrences never shuffle: the first
+    * shuffle any consumer pays is over this distinct projection, 5–20×
+    * smaller than the occurrence stream on web text — at 100 TB that is
+    * the tf-idf plan's survival condition. tf counts equal the
+    * groupBy-occurrences formulation exactly (same integers, order-free).
+    */
+  private[graft] def inRowTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        array_sort(filter(tokens(col("text")), t => length(t) > 0)).as("s"))
+      // run starts (1-based): position 1 and every i where s[i] != s[i-1]
+      .withColumn("starts", expr(
+        """CASE WHEN size(s) < 1 THEN CAST(array() AS ARRAY<INT>)
+               ELSE filter(sequence(1, size(s)),
+                           i -> i = 1 OR element_at(s, i) <> element_at(s, i - 1))
+           END"""))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(starts) = 0 THEN
+               CAST(array() AS ARRAY<STRUCT<term: STRING, tf: BIGINT>>)
+             ELSE transform(sequence(1, size(starts)), j -> struct(
+               element_at(s, element_at(starts, j)) AS term,
+               CAST((IF(j = size(starts), size(s) + 1, element_at(starts, j + 1))
+                     - element_at(starts, j)) AS BIGINT) AS tf))
+           END""")).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
 
   /** [[tfidfTopTerms]] over a prebuilt exploded token table
     * (e.g. [[sharedTokens]]) — `docs` supplies only the 1-row corpus
     * count. Identical output to the cold path (the shared view IS the
     * same explode of the same corpus).
     */
-  def tfidfTopTermsFrom(docs: DataFrame, tk: DataFrame, k: Int): DataFrame = {
-    val toks = tk.select(col("doc_id"), col("tok").as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+  def tfidfTopTermsFrom(docs: DataFrame, tk: DataFrame, k: Int): DataFrame =
+    tfidfScoredFrom(docs,
+      tk.select(col("doc_id"), col("tok").as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+      k)
+
+  /** Score + per-doc rank over a prebuilt (doc_id, term, tf) table —
+    * shared by the in-row ([[inRowTf]]) and exploded-token derivations.
+    */
+  private def tfidfScoredFrom(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfT, "term").crossJoin(broadcast(n))

@@ -131,4 +131,99 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(real.width == 100 && real.height == 40)
     assert(stub.productArity == real.productArity) // one DecodedMedia schema
   }
+
+  /** A tiny YUV4MPEG2 clip: `shots` runs of constant-luma frames (each
+    * shot a distinct gray level), C420, 16×16. A cut between shots flips
+    * ~half the aHash bits; frames within a shot hash identically.
+    */
+  private def y4m(w: Int, h: Int, shots: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val chroma = new Array[Byte](2 * ((w + 1) / 2) * ((h + 1) / 2))
+    java.util.Arrays.fill(chroma, 128.toByte)
+    shots.foreach { case (lumaLevel, nFrames) =>
+      (0 until nFrames).foreach { _ =>
+        out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val luma = new Array[Byte](w * h)
+        // gradient offset by the shot's base level: distinct shots get
+        // distinct bit patterns, constant-within-shot
+        for (i <- luma.indices)
+          luma(i) = (((i % w) * 256 / w + lumaLevel) % 256).toByte
+        out.write(luma)
+        out.write(chroma)
+      }
+    }
+    out.toByteArray
+  }
+
+  test("Y4MCodec decodes a real clip end-to-end: frames -> scenes -> keyframes") {
+    // 3 shots of 3/4/2 frames at well-separated luma offsets
+    val clip = y4m(16, 16, Seq((0, 3), (128, 4), (64, 2)))
+    val media = Seq(Multimodal.MediaBatch(1L, clip)).toDS()
+    val frames = Multimodal.decodeVideoBatched(spark, media, Multimodal.Y4MCodec)
+    val fr = frames.collect().sortBy(_.frame_idx)
+    assert(fr.length == 9, s"decoded ${fr.length} frames, want 9")
+    assert(fr.forall(f => f.width == 16 && f.height == 16))
+    // within-shot frames hash identically; shots differ
+    assert(fr(0).frame_hash == fr(2).frame_hash)
+    assert(fr(3).frame_hash == fr(6).frame_hash)
+    assert(fr(0).frame_hash != fr(3).frame_hash)
+    val scenes = Multimodal.scenesFrom(frames.toDF(), maxHamming = 10)
+    val kf = Multimodal.keyframesFrom(scenes)
+      .orderBy(col("scene_id"))
+      .select("scene_id", "keyframe_idx", "scene_len").as[(Long, Int, Long)]
+      .collect().toSeq
+    assert(kf == Seq((1L, 0, 3L), (2L, 3, 4L), (3L, 7, 2L)),
+      s"scene cut wrong: $kf")
+  }
+
+  /** A tiny MJPEG clip: back-to-back JPEG frames, each a constant-plus-
+    * gradient image per shot (JPEG is lossy, so shots are separated by
+    * large luma offsets the hash is robust to).
+    */
+  private def mjpeg(w: Int, h: Int, shots: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    shots.foreach { case (base, nFrames) =>
+      (0 until nFrames).foreach { _ =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) {
+          val l = ((x * 256 / w) + base) % 256
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        }
+        javax.imageio.ImageIO.write(img, "jpg", out)
+      }
+    }
+    out.toByteArray
+  }
+
+  test("MjpegCodec decodes a real clip end-to-end: frames -> scenes -> keyframes") {
+    val clip = mjpeg(32, 32, Seq((0, 2), (128, 3)))
+    val media = Seq(Multimodal.MediaBatch(2L, clip)).toDS()
+    val frames = Multimodal.decodeVideoBatched(spark, media, Multimodal.MjpegCodec)
+    val fr = frames.collect().sortBy(_.frame_idx)
+    assert(fr.length == 5, s"decoded ${fr.length} frames, want 5")
+    assert(fr.forall(f => f.width == 32 && f.height == 32))
+    val kf = Multimodal.keyframesFrom(
+      Multimodal.scenesFrom(frames.toDF(), maxHamming = 10))
+      .orderBy(col("scene_id"))
+      .select("scene_id", "keyframe_idx", "scene_len").as[(Long, Int, Long)]
+      .collect().toSeq
+    assert(kf == Seq((1L, 0, 2L), (2L, 2, 3L)), s"scene cut wrong: $kf")
+  }
+
+  test("stub video codec replays the sceneDetect oracle derivation exactly") {
+    val docs = Seq((1L, "video payload one"), (2L, "another clip")).toDF("doc_id", "text")
+    val viaStubCodec = Multimodal.scenesFrom(
+      Multimodal.decodeVideoBatched(spark,
+        docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[Multimodal.MediaBatch]).toDF())
+      .orderBy("doc_id", "frame_idx")
+      .select("doc_id", "frame_idx", "scene_id").as[(Long, Int, Long)].collect().toSeq
+    val viaQuery = Multimodal.sceneDetect(docs)
+      .orderBy("doc_id", "frame_idx")
+      .select("doc_id", "frame_idx", "scene_id").as[(Long, Int, Long)].collect().toSeq
+    assert(viaStubCodec == viaQuery,
+      "stub video codec diverged from the declared frameSample stream")
+  }
 }

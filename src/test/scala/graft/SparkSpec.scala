@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     // plan-guard specs assert on full PushedFilters/ReadSchema lists
     .config("spark.sql.maxMetadataStringLength", "2000")
+    // match Serve's serving config: graft_* SQL functions registered via
+    // the extension, in every session of this context (incl. the
+    // sessions Spark Connect creates per remote client)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   /** Tiny events frame with the production schema (ts/event_type/user_id/value). */

@@ -9,6 +9,27 @@ class TextAnalysisSpec extends SparkSpec {
     (2L, "on the mat the cat sat"), // same tokens, different order
     (3L, "xyzzy 42 plugh!")))
 
+  test("inRowTf equals the explode-groupBy term frequencies on edge shapes") {
+    import org.apache.spark.sql.functions._
+    val tricky = docsDf(Seq(
+      (1L, "a a a b b c"),          // runs of every length
+      (2L, "  leading   spaces x"), // empty split tokens must drop
+      (3L, "solo"),                 // single token
+      (4L, ""),                     // empty doc -> zero rows
+      (5L, "z y x w z z y")))       // unsorted input, interleaved repeats
+    val inRow = TextAnalysis.inRowTf(tricky)
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaGroupBy = tricky
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(inRow == viaGroupBy, s"in-row tf diverged:\n$inRow\nvs\n$viaGroupBy")
+    assert(!inRow.exists(_._1 == 4L)) // the empty doc yields nothing
+  }
+
   test("gopherRules: flags fire on the right screens and pass is their conjunction") {
     val good = (Seq.fill(10)("the quick brown fox jumps") ++ Seq("of a to in is"))
       .mkString(" ") // 55 tokens, all alphabetic, plenty of stopwords
