@@ -78,8 +78,12 @@ SEGMENTS = []
 if "dedup_survivors" in oracle:
     s = oracle["dedup_survivors"]
     seg = s[s.index("WITH") + 5: s.index(">= 0.5)") + len(">= 0.5)")]
+    # keep the leading `tok` CTE (one cheap doc scan): two consumers'
+    # tails reference it directly; everything else in the chain is only
+    # reachable through `pairs`
+    tok = seg[: seg.index(", sh AS")]
     SEGMENTS.append(("pairs05_mat", seg,
-                     "pairs AS (SELECT * FROM pairs05_mat)",
+                     tok + ", pairs AS (SELECT * FROM pairs05_mat)",
                      "WITH " + seg + " SELECT * FROM pairs"))
 if "ann_knn_join" in oracle:
     s = oracle["ann_knn_join"]
