@@ -675,7 +675,8 @@ object Analytics {
   /** Market-basket affinity: support and lift for part pairs that
     * co-occur in ≥ minSup orders — the association-rules read behind
     * "frequently bought together". The within-order pair explode is
-    * bounded by basket size (TPC-H baskets are ≤ 7 lines → ≤ 21 pairs
+    * bounded by basket size (observed ≤ 11 distinct parts per order in
+    * this generator → ≤ 55 pairs
     * per order), so the self-join co-partitions on l_orderkey and
     * never goes quadratic in the fact table; the marginals join is
     * part-keyed. All counts are exact integers; lift =
@@ -695,7 +696,7 @@ object Analytics {
     // ReusedExchange dedupes the lineitem shuffle, so the fact table is
     // shuffled once. The pair explode is array combinatorics INSIDE a
     // row (sorted set ⇒ part_a < part_b by construction), bounded by
-    // basket size (TPC-H baskets are ≤ 7 lines → ≤ 21 pairs per order;
+    // basket size (observed ≤ 11 distinct parts per order → ≤ 55 pairs;
     // asserted in AnalyticsViewSpec), so it never goes quadratic in the
     // fact table.
     val baskets = t(s, dir, "lineitem")

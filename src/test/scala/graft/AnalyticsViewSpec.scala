@@ -62,6 +62,14 @@ class AnalyticsViewSpec extends SparkSpec {
     val lift = math.floor(
       (h.getAs[Long]("pair_count") * nOrders).toDouble / (ca * cb) * 10000.0 + 0.5) / 10000.0
     assert(h.getAs[Double]("lift") == lift, s"lift ${h.getAs[Double]("lift")} != $lift")
+    // the bound the in-row pair explode's scale claim rests on: baskets
+    // stay small (observed max 11 distinct parts in this generator →
+    // ≤ 55 pairs per order; the explode is quadratic in THIS, constant
+    // per fact row, so the bound is what keeps the plan linear)
+    val maxBasket = li.groupBy(col("l_orderkey")).count()
+      .agg(org.apache.spark.sql.functions.max(col("count"))).head().getLong(0)
+    assert(maxBasket <= 16L,
+      s"basket-size bound violated: an order carries $maxBasket distinct parts")
   }
 
   test("topCustomersPerNation: ranks consecutive, revenue descending, head reconciles") {
