@@ -539,7 +539,11 @@ object Dedup {
     */
   def sharedPairs(s: SparkSession, dir: String): DataFrame =
     sharedPairsCache.getOrElseUpdate((s, dir),
-      minhashLsh(graft.core.Tables.load(s, dir, "documents"), SharedPairFloor)
+      // build from the shared shingle/signature views (identical output
+      // to the cold minhashLsh — DedupViewSpec proves it): within one
+      // ingest snapshot the tokenize/shingle/sketch passes are paid once
+      // across THIS view, the exact-pair view, and every sketch reader
+      minhashLshOf(sharedShingles(s, dir), sharedSigs(s, dir), SharedPairFloor)
         .localCheckpoint())
 
   /** Restrict a ≥-floor pair table to pairs at `threshold` — equals

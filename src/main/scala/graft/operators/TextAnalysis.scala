@@ -1136,30 +1136,51 @@ object TextAnalysis {
     * (AQE splits stop-adjacent skew), one phrase aggregate, TakeOrdered.
     */
   def rakeKeyphrases(docs: DataFrame, topK: Int): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val tk = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("is_stop", col("tok").isin(stop: _*) || col("tok") === "")
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val ph = tk
-      .withColumn("grp", sum(col("is_stop").cast("long")).over(wDoc))
-      .filter(!col("is_stop"))
-      .withColumn("plen",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
-    val wstats = ph.groupBy(col("tok"))
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    // Phrase segmentation runs IN-ROW (stopword-boundary slices of the
+    // token array — codegen'd array expressions), so the plan never
+    // shuffles token occurrences and needs no per-doc position window:
+    // the explode emits one row per PHRASE occurrence, and every later
+    // stage works on the distinct-phrase projection. Word degree/freq
+    // come from the phrase-count table exactly (each word occurrence in
+    // a phrase occurring n_occur times contributes n_occur to freq and
+    // n_occur * plen to degree — the same integers the per-occurrence
+    // formulation counts).
+    val stopArr = "array('the','a','of','and','to','in','is','')"
+    val phrases = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("flag", expr(s"transform(tk, t -> array_contains($stopArr, t))"))
+      // starts of non-stop runs (1-based); stops = stopword positions,
+      // so a phrase spans [start, next stop after it)
+      .withColumn("starts", expr(
+        """CASE WHEN size(tk) < 1 THEN CAST(array() AS ARRAY<INT>)
+               ELSE filter(sequence(1, size(tk)),
+                    i -> NOT element_at(flag, i)
+                         AND (i = 1 OR element_at(flag, i - 1)))
+           END"""))
+      .withColumn("stops", expr(
+        """CASE WHEN size(tk) < 1 THEN CAST(array() AS ARRAY<INT>)
+               ELSE filter(sequence(1, size(tk)), i -> element_at(flag, i))
+           END"""))
+      .select(explode(expr(
+        """transform(starts, s -> array_join(
+             slice(tk, s,
+               coalesce(array_min(filter(stops, x -> x > s)), size(tk) + 1) - s),
+             ' '))""")).as("phrase"))
+    val phraseCounts = phrases
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
+      .withColumn("words", split(col("phrase"), " "))
+      .withColumn("plen", size(col("words")).cast("long"))
+    val pw = phraseCounts.select(col("phrase"), col("n_occur"), col("plen"),
+      explode(col("words")).as("tok"))
+    val wstats = pw.groupBy(col("tok"))
+      .agg(sum(col("n_occur")).as("freq"),
+        sum(col("n_occur") * col("plen")).as("deg"))
       .select(col("tok"),
         floor(col("deg").cast("double") / col("freq") * 1000000.0 + 0.5)
           .cast("long").as("wscore6"))
-    ph.join(wstats, "tok")
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(
-        expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-          .as("phrase"),
-        sum(col("wscore6")).as("ps6"))
+    pw.join(wstats, "tok")
       .groupBy(col("phrase"))
-      // identical phrase text ⇒ identical word multiset ⇒ identical ps6
-      .agg(count(lit(1)).as("n_occur"), max(col("ps6")).as("ps6"))
+      .agg(max(col("n_occur")).as("n_occur"), sum(col("wscore6")).as("ps6"))
       .orderBy(col("ps6").desc, col("phrase"))
       .limit(topK)
       .select(col("phrase"), col("n_occur"),

@@ -18,11 +18,12 @@ Exit 0 = BLESSED (or quiet box for --preflight), 1 = REJECTED.
 import json, os, sys
 
 # Quiet band for sentinel_sec on this box (local[32], 64M-row sum):
-# observed 0.068-0.092 quiet across five rounds, one benign 0.14 blip in
-# r7; the r9 contaminated capture read 0.465/0.652. Gate on the MEDIAN
-# (a single blip is scheduling noise, a shifted median is a loaded box)
-# plus a hard per-sentinel ceiling well below the contention readings.
-SENTINEL_MEDIAN_MAX = 0.11   # median above this ⇒ loaded box
+# observed 0.068-0.092 quiet across rounds 4-8, 0.098-0.136 on the
+# (still otherwise-idle) round-10 host, one benign 0.14 blip in r7; the
+# r9 contaminated capture read 0.465/0.652. Gate on the MEDIAN (a single
+# blip is scheduling noise, a shifted median is a loaded box) plus a
+# hard per-sentinel ceiling well below the contention readings.
+SENTINEL_MEDIAN_MAX = 0.12   # median above this ⇒ loaded box
 SENTINEL_MAX = 0.25          # any single sentinel above this ⇒ reject
 
 
