@@ -350,6 +350,60 @@ object DedupScaleCheck {
       f"(expected $expectTriples%.0f, 1 per cluster)")
     dw.unpersist()
 
+    // --- 8. simhash candidate audit: per band, the candidate-pair mass
+    // the pigeonhole banding generates (Σ c·(c−1)/2 over its buckets,
+    // cap semantics applied) vs the pairs the hamming verify keeps. The
+    // ratio is the price of the banding's recall guarantee — if it blows
+    // up, the 15-bit bands have stopped discriminating and need
+    // sub-banding like the MinHash path. The planted 2-token mutations
+    // perturb only a few of 60 fingerprint bits, so variants land in
+    // shared buckets; random docs collide on a band key with p ≈ n/2¹⁵
+    // per band, giving a candidate tail that must stay O(n).
+    val fps = timed(s"simhash fingerprints over $nDocs docs") {
+      val f = Dedup.simhashFingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
+      f.count(); f
+    }
+    val width = Dedup.SimhashBits / Dedup.SimhashBands
+    val bandCols = (0 until Dedup.SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(fp div ${1L << (b * width)}) % ${1L << width}").as("key"))
+    }
+    val perBand = fps
+      .select(explode(array(bandCols: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(sum(expr("CASE WHEN c <= 100000 THEN c * (c - 1) div 2 ELSE 0 END"))
+        .as("cand"), max(col("c")).as("max_bucket"))
+      .orderBy(col("band"))
+      .collect()
+    val candTotal = perBand.map(_.getAs[Long]("cand")).sum
+    val verified = timed(s"simhashPairs over $nDocs docs") {
+      Dedup.simhashPairs(docs, 3).count()
+    }
+    perBand.foreach(r => println(
+      s"  simhash band ${r.getAs[Int]("band")}: candidates ${r.getAs[Long]("cand")}, " +
+        s"max bucket ${r.getAs[Long]("max_bucket")}"))
+    println(f"  simhash candidates $candTotal vs verified $verified " +
+      f"(ratio ${candTotal.toDouble / math.max(verified, 1L)}%.1f:1)")
+    require(candTotal <= 8L * nDocs,
+      s"simhash candidate mass ($candTotal) super-linear in corpus size " +
+        s"($nDocs) — bands no longer discriminate, add sub-banding")
+    // the in-row bucket pairing must agree exactly with brute-force
+    // hamming on a slice (the sf-scale oracle runs the uncapped twin;
+    // this pins the same equivalence inside the scale harness)
+    val slice = fps.filter(col("doc_id") < 2000)
+    val brute = slice.as("x").join(slice.as("y"),
+        col("x.doc_id") < col("y.doc_id") &&
+          expr("bit_count(x.fp ^ y.fp)") <= 3)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.fp ^ y.fp)").as("hamming"))
+    val banded8 = Dedup.simhashPairs(docs.filter(col("doc_id") < 2000), 3)
+    require(banded8.except(brute).isEmpty && brute.except(banded8).isEmpty,
+      "banded simhash pairs differ from brute-force hamming on the slice")
+    println("  simhash banded == brute-force on the 2000-doc slice")
+    fps.unpersist()
+
     println(s"DedupScaleCheck OK at $nDocs docs")
     spark.stop()
   }

@@ -37,6 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_rd2", 1)(args => GraftExtensions.rdExpr(args.head, 100.0))
     register(ext, "graft_cosine", 2)(args =>
       GraftExtensions.cosineExpr(args.head, args(1)))
+    // kadiyadb's Fetch RPC as a SQL table function: a remote (Connect)
+    // client expresses a wildcard pattern fetch without hand-writing the
+    // depth/field/epoch filters —
+    //   SELECT * FROM graft_fetch('metrics_a', 'cpu.*',
+    //                             '2024-01-01', '2024-01-02')
+    // Pattern fields are '.'-separated, '*' = wildcard (kadiyadb's empty
+    // field — /root/reference/database.go:175). The stores root comes
+    // from the session conf `spark.graft.fetch.root` (graft.Serve sets
+    // it; a client may SET it per session).
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_fetch"),
+      new ExpressionInfo(getClass.getName, "graft_fetch"),
+      (args: Seq[Expression]) => GraftExtensions.fetchPlan(args)))
   }
 }
 
@@ -59,4 +72,37 @@ object GraftExtensions {
   private[graft] def cosineExpr(a: Expression, b: Expression): Expression =
     Divide(FloatDotProduct(a, b),
       Multiply(Sqrt(FloatDotProduct(a, a)), Sqrt(FloatDotProduct(b, b))))
+
+  /** The graft_fetch table function body: resolve the named store under
+    * `spark.graft.fetch.root`, parse the '.'-separated pattern ('*' =
+    * wildcard), and return [[graft.core.MetricStore.fetch]]'s plan —
+    * depth filter, field equalities, epoch pruning and bucket range all
+    * derived, nothing hand-written by the remote client.
+    */
+  private[graft] def fetchPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      "graft_fetch takes (store, pattern, from, to) string literals")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+        v.toString
+      case _ => throw new IllegalArgumentException(
+        s"graft_fetch: $what must be a string literal")
+    }
+    val storeName = str(args(0), "store")
+    require(storeName.matches("[A-Za-z0-9_.-]+"),
+      s"graft_fetch: store name '$storeName' must be a plain directory name")
+    val pattern = str(args(1), "pattern")
+    val from = str(args(2), "from")
+    val to = str(args(3), "to")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = spark.conf.getOption("spark.graft.fetch.root").getOrElse(
+      throw new IllegalStateException(
+        "graft_fetch: set spark.graft.fetch.root to the stores directory"))
+    val fields = pattern.split('.').toSeq
+      .map(f => if (f == "*") None else Some(f))
+    new graft.core.MetricStore(spark, s"$root/$storeName")
+      .fetch(from, to, fields)
+      .queryExecution.logical
+  }
 }

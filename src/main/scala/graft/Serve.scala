@@ -33,15 +33,23 @@ import graft.core.MetricStore
 object Serve {
 
   /** Register every store under `rootDir` (kadiyadb's directory-of-
-    * databases layout) as a cross-session `global_temp.<name>_points`
-    * view. Returns the registered view names.
+    * databases layout) as cross-session views: `global_temp.<name>_points`
+    * (the raw rollup tree) and `global_temp.<name>_cascade` (the
+    * materialized 6h/24h continuous aggregates). Also pins
+    * `spark.graft.fetch.root` so remote clients can call the
+    * `graft_fetch(store, pattern, from, to)` table function instead of
+    * hand-writing depth/field/epoch filters. Returns the view names.
     */
-  def registerStores(spark: SparkSession, rootDir: String): Seq[String] =
-    MetricStore.loadAll(spark, rootDir).toSeq.sortBy(_._1).map { case (name, store) =>
-      val view = s"${name}_points"
-      store.points().createOrReplaceGlobalTempView(view)
-      view
+  def registerStores(spark: SparkSession, rootDir: String): Seq[String] = {
+    spark.conf.set("spark.graft.fetch.root", rootDir)
+    MetricStore.loadAll(spark, rootDir).toSeq.sortBy(_._1).flatMap { case (name, store) =>
+      val points = s"${name}_points"
+      store.points().createOrReplaceGlobalTempView(points)
+      val cascade = s"${name}_cascade"
+      store.cascade().createOrReplaceGlobalTempView(cascade)
+      Seq(points, cascade)
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft_stores")

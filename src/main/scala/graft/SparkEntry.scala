@@ -96,8 +96,7 @@ object SparkEntry {
       Tsdb.distinctOverlapKMV(t(s, dir, "events"), "purchase", "error")),
     "ts_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      Tsdb.intervalJoin(ev,
-        Tsdb.activityWindows(Tsdb.points1(ev), "purchase", 1.5), "error")
+      Tsdb.activityIntervalJoin(ev, Tsdb.points1(ev), "purchase", 1.5, "error")
     }),
     "ts_anomaly_mad" -> ((s, dir) => Tsdb.anomalyMad(Tsdb.points1(t(s, dir, "events")))),
     "ts_seasonal_baseline" -> ((s, dir) =>

@@ -121,6 +121,67 @@ object StreamingScaleCheck {
         s"m7 fetch (${m7.getLong(0)} rows, cnt ${m7.getLong(1)}) != " +
           s"closed form (${m7Cells.size}, $m7Count)")
 
+      // --- 2. sustained-throughput headline for the bounded-state
+      // operators at 1M-series key cardinality (the ingestion rate is
+      // the reference's raison d'être — database.go:153). Both feeds
+      // push `nStream` points through the running query in tranches and
+      // time processAllAvailable end to end (planning + shuffle + state
+      // store), so the printed rate is sustained, not per-batch burst.
+      val nStream = args.lift(1).map(_.toInt).getOrElse(4000000)
+      val users = 1000000
+      def runStream[T](name: String, ds: org.apache.spark.sql.Dataset[T],
+          feed: (Int, Int) => Seq[Point], input2: MemoryStream[Point],
+          stateBound: Long, boundDesc: String): Unit = {
+        val q = ds.writeStream.format("noop")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"graft_${name}_chk").toString)
+          .outputMode("append").start()
+        try {
+          val tranches = 4
+          val t0s = System.nanoTime()
+          (0 until tranches).foreach { c =>
+            input2.addData(feed(c, tranches))
+            q.processAllAvailable()
+          }
+          val secs = (System.nanoTime() - t0s) / 1e9
+          val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          println(f"  $name: $nStream points at 1M-series cardinality in " +
+            f"$secs%.1f s (${nStream / secs}%.0f points/s), state $stateRows " +
+            f"rows ($boundDesc)")
+          require(stateRows <= stateBound,
+            s"$name state $stateRows exceeds its bound $stateBound")
+        } finally q.stop()
+      }
+
+      // streaming_topk: 1M distinct f2 keys over 100 f1 groups; state is
+      // 100 SpaceSaving sketches of m=8 counters — independent of key
+      // cardinality AND stream length
+      val topkIn = MemoryStream[Point]
+      runStream("streaming_topk",
+        StreamingTracker.topkStream(spark, topkIn.toDS(), m = 8, k = 3),
+        (c, tranches) => (c until nStream by tranches).map { i =>
+          Point(s"g${i % 100}", s"u${i % users}",
+            new Timestamp((baseSec + i / 1000) * 1000L), 1.0)
+        }, topkIn, stateBound = 100L, "bound: 100 groups x 8 counters")
+
+      // streaming_attribution: 1M distinct users; state is one
+      // (first, last) pair per user — O(users), independent of stream
+      // length (4x more events than users here)
+      val attrIn = MemoryStream[Point]
+      runStream("streaming_attribution",
+        StreamingTracker.attributionStream(spark, attrIn.toDS()),
+        (c, tranches) => (c until nStream by tranches).map { i =>
+          val kind = (i / users) % 4 match {
+            case 0 => "view"
+            case 1 => "click"
+            case 2 => "view"
+            case _ => "purchase"
+          }
+          Point(kind, s"u${i % users}",
+            new Timestamp((baseSec + i / 1000) * 1000L), (i % 100) / 10.0)
+        }, attrIn, stateBound = users.toLong,
+        s"bound: $users users x (first, last)")
+
       println(s"StreamingScaleCheck OK at $nPoints points")
     } finally {
       qs.foreach(_.stop())

@@ -16,7 +16,7 @@ object TimeQuery {
       val ts = (1 to 3).map { _ =>
         // Bench's honest-accounting protocol: shared frozen views rebuild
         // inside the timed region, billed to this query if it consumes one
-        graft.core.SharedViews.clearAll(spark)
+        graft.core.SharedViews.reclaimEverything(spark)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         spark.catalog.clearCache()

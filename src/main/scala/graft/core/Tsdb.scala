@@ -500,6 +500,41 @@ object Tsdb {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_total"))
   }
 
+  /** [[activityWindows]] ∘ [[intervalJoin]], fused: because an activity
+    * window is by construction a maximal run of CONSECUTIVE qualifying
+    * hourly buckets, "event inside [win_start, win_end)" is EXACTLY
+    * "event's hour bucket is a qualifying bucket" — so the probe side
+    * equi-joins on the hour bucket against the (tiny, broadcast)
+    * qualifying-bucket table carrying its window bounds, and one
+    * window-keyed aggregate finishes. The generic day-explode +
+    * residual-range plan of [[intervalJoin]] (for arbitrary,
+    * non-hour-aligned intervals) costs one more exchange and a
+    * post-join filter; here the probe table never shuffles before its
+    * final map-side-combined aggregate, which is the shape that
+    * survives a 100 TB probe side. Results are identical (TsdbSpec
+    * pins fused == generic).
+    */
+  def activityIntervalJoin(events: DataFrame, pts1: DataFrame, f1: String,
+      mult: Double, probeType: String): DataFrame = {
+    val ser = pts1.filter(col("f1") === f1)
+    val thr = ser.agg((lit(mult) * avg(col("total"))).as("thr"))
+    val qualifying = ser.crossJoin(broadcast(thr))
+      .filter(col("total") > col("thr"))
+      .select(col("bucket"))
+    val ranked = graft.core.Ranking.withGlobalRank(qualifying, Seq(col("bucket")), "rn")
+      .withColumn("island", (epochSec(col("bucket")) / 3600L).cast("long") - col("rn"))
+    val winBounds = ranked.groupBy(col("island"))
+      .agg(min(col("bucket")).as("win_start"), max(col("bucket")).as("win_max"))
+    val qualWin = ranked.join(winBounds, "island")
+      .select(col("bucket"), col("win_start"),
+        (col("win_max") + expr("INTERVAL 1 HOUR")).cast("timestamp_ntz").as("win_end"))
+    events.filter(col("event_type") === probeType)
+      .select(bucket(col("ts"), "hour").as("bucket"), col("value"))
+      .join(broadcast(qualWin), Seq("bucket"))
+      .groupBy(col("win_start"), col("win_end"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_total"))
+  }
+
   /** Robust anomaly detection via Median Absolute Deviation: flag points
     * whose |total − median| exceeds k·MAD of their series. Unlike the
     * mean/stddev z-score (ts_zscore), a few huge outliers cannot inflate
@@ -1559,8 +1594,10 @@ object Tsdb {
     */
   def sharedIncidents(s: SparkSession, dir: String, budget: Double): DataFrame =
     sharedIncidentsCache.getOrElseUpdate((s, dir, budget),
-      sloStreaks(graft.core.Tables.load(s, dir, "events"), budget)
-        .localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        sloStreaks(graft.core.Tables.load(s, dir, "events"), budget)
+          .localCheckpoint()
+      })
 
   /** [[mttr]] over a prebuilt incident table (e.g. [[sharedIncidents]]). */
   def mttrFrom(incidents: DataFrame): DataFrame = {

@@ -555,11 +555,13 @@ object Analytics {
     */
   def sharedCustomerRanked(s: SparkSession, dir: String): DataFrame =
     rankedRevenueCache.getOrElseUpdate((s, dir),
-      Ranking.withRankAndSums(customerRevenue(s, dir),
-        Seq(col("revenue").desc, col("o_custkey")), "__rnk",
-        Seq((col("__cents"), "cum")),
-        totalCol = Some("__tot"), valueTotals = Map("cum" -> "tot"))
-        .localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        Ranking.withRankAndSums(customerRevenue(s, dir),
+          Seq(col("revenue").desc, col("o_custkey")), "__rnk",
+          Seq((col("__cents"), "cum")),
+          totalCol = Some("__tot"), valueTotals = Map("cum" -> "tot"))
+          .localCheckpoint()
+      })
 
   /** [[revenueDeciles]] over the [[sharedCustomerRanked]] view — decile
     * assignment is a map-side ntile of the precomputed (rank, total).
@@ -690,36 +692,45 @@ object Analytics {
   def marketBasket(s: SparkSession, dir: String,
       minSup: Long = 2L, topK: Int = 50): DataFrame = {
     // ONE grouped pass builds the per-order basket (sorted distinct part
-    // set); totals, marginals and in-basket pairs all derive from it, so
-    // the order-keyed self-join of the naive plan disappears entirely.
-    // The three consumers share the same groupBy subtree — Spark's
-    // ReusedExchange dedupes the lineitem shuffle, so the fact table is
-    // shuffled once. The pair explode is array combinatorics INSIDE a
-    // row (sorted set ⇒ part_a < part_b by construction), bounded by
-    // basket size (observed ≤ 11 distinct parts per order → ≤ 55 pairs;
-    // asserted in AnalyticsViewSpec), so it never goes quadratic in the
-    // fact table.
+    // set), and ONE tagged explode + ONE keyed count derives everything
+    // downstream from it: each basket emits its in-row pairs (part_a <
+    // part_b by construction — sorted set combinatorics, bounded by
+    // basket size: observed ≤ 11 distinct parts per order → ≤ 55 pairs;
+    // asserted in AnalyticsViewSpec), one (part, NULL) row per member
+    // for the marginals, and one (NULL, NULL) row for the order total.
+    // A single groupBy(part_a, part_b) then yields pair counts,
+    // marginals, AND n_orders in the same shuffle — the round-9/10
+    // plan's three separate consumer jobs over a checkpointed basket
+    // table collapse into one job with two exchanges, each written once
+    // (pairs/marginals/total are three cheap reads of the SECOND, post-
+    // aggregate exchange). The (NULL, NULL) key is not a skew bomb:
+    // partial aggregation collapses it to one row per map task before
+    // the shuffle.
     val baskets = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      // one row per order with a ≤7-element array — orders of magnitude
-      // smaller than the fact table; freezing it runs the grouped scan
-      // once instead of three final-aggregate passes over the reused
-      // exchange (totals + pairs + marginals)
-      .localCheckpoint()
-    val totals = baskets.agg(count(lit(1)).as("n_orders"))
-    val pairs = baskets
+    val counts = baskets
       .select(explode(expr(
-        """flatten(transform(parts, (a, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            b -> struct(a AS part_a, b AS part_b))))""".stripMargin))
+        """concat(
+          |  flatten(transform(parts, (a, i) ->
+          |    transform(slice(parts, i + 2, size(parts)),
+          |              b -> struct(a AS part_a, b AS part_b)))),
+          |  transform(parts, p -> struct(p AS part_a, CAST(NULL AS BIGINT) AS part_b)),
+          |  array(struct(CAST(NULL AS BIGINT) AS part_a, CAST(NULL AS BIGINT) AS part_b)))""".stripMargin))
         .as("p"))
       .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minSup)
-    val marg = baskets.select(explode(col("parts")).as("l_partkey"))
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = counts
+      .filter(col("part_a").isNotNull && col("part_b").isNotNull &&
+        col("cnt") >= minSup)
+      .select(col("part_a"), col("part_b"), col("cnt").as("pair_count"))
+    val marg = counts
+      .filter(col("part_a").isNotNull && col("part_b").isNull)
+      .select(col("part_a").as("l_partkey"), col("cnt"))
+    val totals = counts
+      .filter(col("part_a").isNull)
+      .select(col("cnt").as("n_orders"))
     pairs
       .join(marg.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
       .join(marg.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")

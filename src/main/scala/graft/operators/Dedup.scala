@@ -465,7 +465,9 @@ object Dedup {
     */
   def sharedShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     sharedShinglesCache.getOrElseUpdate((s, dir, n),
-      shingles(graft.core.Tables.load(s, dir, "documents"), n).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        shingles(graft.core.Tables.load(s, dir, "documents"), n).localCheckpoint()
+      })
 
   private val sharedSigsCache =
     graft.core.SharedViews.register(
@@ -481,7 +483,9 @@ object Dedup {
     */
   def sharedSigs(s: SparkSession, dir: String): DataFrame =
     sharedSigsCache.getOrElseUpdate((s, dir),
-      minhashSignaturesFrom(sharedShingles(s, dir)).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        minhashSignaturesFrom(sharedShingles(s, dir)).localCheckpoint()
+      })
 
   /** Floor threshold of the shared EXACT pair view — the blocking-recall
     * evaluation floor (the lowest Jaccard any registered exact-pair
@@ -504,7 +508,9 @@ object Dedup {
     */
   def sharedExactPairs(s: SparkSession, dir: String): DataFrame =
     sharedExactPairsCache.getOrElseUpdate((s, dir),
-      ngramJaccardOf(sharedShingles(s, dir), SharedExactFloor).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        ngramJaccardOf(sharedShingles(s, dir), SharedExactFloor).localCheckpoint()
+      })
 
   /** Restrict a ≥-floor exact pair table to `threshold` — equals
     * [[ngramJaccardOf]] at that threshold when the floor is ≤ it.
@@ -543,8 +549,10 @@ object Dedup {
       // to the cold minhashLsh — DedupViewSpec proves it): within one
       // ingest snapshot the tokenize/shingle/sketch passes are paid once
       // across THIS view, the exact-pair view, and every sketch reader
-      minhashLshOf(sharedShingles(s, dir), sharedSigs(s, dir), SharedPairFloor)
-        .localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        minhashLshOf(sharedShingles(s, dir), sharedSigs(s, dir), SharedPairFloor)
+          .localCheckpoint()
+      })
 
   /** Restrict a ≥-floor pair table to pairs at `threshold` — equals
     * [[minhashLsh]] at that threshold when `pairs` came from a floor ≤ it.
@@ -722,8 +730,10 @@ object Dedup {
     */
   def sharedContamPairs(s: SparkSession, dir: String): DataFrame =
     contamPairsCache.getOrElseUpdate((s, dir),
-      contaminationOf(graft.core.Tables.load(s, dir, "documents"),
-        sharedShingles(s, dir, 8), col("doc_id") < 50).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        contaminationOf(graft.core.Tables.load(s, dir, "documents"),
+          sharedShingles(s, dir, 8), col("doc_id") < 50).localCheckpoint()
+      })
 
   /** Bloom-sketch contamination prefilter: an m-bit, k=2 Bloom filter of
     * the test set's n-gram hashes, built as a distributed bit_or over
@@ -987,8 +997,10 @@ object Dedup {
     */
   def sharedClusters(s: SparkSession, dir: String): DataFrame =
     sharedClustersCache.getOrElseUpdate((s, dir),
-      clustersFromPairs(pairsAt(sharedPairs(s, dir), 0.5)
-        .select(col("doc_a"), col("doc_b"))).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        clustersFromPairs(pairsAt(sharedPairs(s, dir), 0.5)
+          .select(col("doc_a"), col("doc_b"))).localCheckpoint()
+      })
 
   /** Cluster-aware downsampling (the "soft dedup" alternative to hard
     * survivor selection): every doc in a near-dup cluster of size c gets
@@ -1114,30 +1126,37 @@ object Dedup {
       bucketCap: Long = 100000L): DataFrame = {
     require(maxHamming <= SimhashBands - 1,
       s"banding is only pigeonhole-complete for hamming <= ${SimhashBands - 1}")
-    val fps = simhashFingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val width = SimhashBits / SimhashBands
     val bandStructs = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
         expr(s"(fp div ${1L << (b * width)}) % ${1L << width}").as("key"))
     }
-    val banded = fps
+    val banded = simhashFingerprints(docs)
       .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val smallBuckets = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= bucketCap)
-      .select(col("band"), col("key"))
-    val capped = banded.join(smallBuckets, Seq("band", "key"))
-    capped.as("x")
-      .join(capped.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.fp ^ y.fp)").as("hamming"))
-      // filter BEFORE the dedup shuffle: bit_count is a map-side byte op,
-      // and cutting non-near candidates first shrinks the distinct's input
-      // (each surviving pair still appears once per matching band)
-      .filter(col("hamming") <= maxHamming)
+    // ONE keyed shuffle gathers each band bucket as a sorted in-row
+    // member list (doc_id is unique, so sort_array on the struct is
+    // deterministic and yields doc_a < doc_b by construction); candidate
+    // generation + the hamming verify are then pure in-row array math —
+    // the former plan's bucket-size pre-pass, small-bucket join, and
+    // band-keyed SELF-JOIN (three more exchanges, with every candidate
+    // pair materialized as a join row before its bit_count) disappear.
+    // The cap semantics are unchanged: a bucket larger than bucketCap
+    // (degenerate near-identical flood on one key) is excluded rather
+    // than exploded quadratically, and singleton buckets exit before the
+    // explode. Verified pairs still deduplicate across bands (distinct).
+    banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      .select(explode(expr(
+        s"""filter(
+           |  flatten(transform(ms, (a, i) ->
+           |    transform(slice(ms, i + 2, size(ms)), b ->
+           |      struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |             bit_count(a.fp ^ b.fp) AS hamming)))),
+           |  p -> p.hamming <= $maxHamming)""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
   }
 }

@@ -434,11 +434,16 @@ object Multimodal {
         throw new IllegalArgumentException(s"doc $docId: Y4M header missing H"))
       val chroma = param('C').getOrElse("420jpeg")
       val lumaBytes = w * h
+      // EXACT known 8-bit taggings only: a prefix match would silently
+      // size 10/12/16-bit streams (C420p10, C422p12, …) and the
+      // 4-plane C444alpha as 8-bit 3-plane, misaligning every frame
+      // stride — those must hit the loud unsupported-chroma error.
       val frameBytes = chroma match {
-        case c if c.startsWith("420") => lumaBytes + 2 * ((w + 1) / 2) * ((h + 1) / 2)
-        case c if c.startsWith("422") => lumaBytes + 2 * ((w + 1) / 2) * h
-        case c if c.startsWith("444") => lumaBytes * 3
-        case "mono"                   => lumaBytes
+        case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+          lumaBytes + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        case "422" => lumaBytes + 2 * ((w + 1) / 2) * h
+        case "444" => lumaBytes * 3
+        case "mono" => lumaBytes
         case c => throw new IllegalArgumentException(s"doc $docId: unsupported chroma C$c")
       }
       pos += 1
@@ -472,25 +477,78 @@ object Multimodal {
     */
   object MjpegCodec extends VideoCodec {
     override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    /** End offset (exclusive) of the JPEG frame whose SOI sits at
+      * `start`: walks the marker-segment structure — APPn/DQT/DHT/…
+      * payloads are skipped by their 2-byte big-endian lengths, and
+      * entropy-coded scan data is scanned byte-wise past stuffed FF00
+      * and RST markers — to the frame's own EOI. A naive FFD8FF scan
+      * would split a frame at an embedded thumbnail JPEG inside an APPn
+      * (EXIF) segment; the segment walk never looks inside a segment
+      * payload, so embedded JPEGs can't produce phantom frames.
+      */
+    private[operators] def frameEnd(b: Array[Byte], start: Int,
+        docId: Long, idx: Int): Int = {
+      var p = start + 2 // past SOI
+      var inScan = false
+      while (p + 1 < b.length) {
+        if (inScan) {
+          if (b(p) != 0xff.toByte) p += 1
+          else {
+            val m = b(p + 1) & 0xff
+            if (m == 0xd9) return p + 2 // EOI
+            else if (m == 0xff) p += 1 // fill byte, the next FF may lead a marker
+            else if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2
+            else inScan = false // a real marker: resume segment walking at p
+          }
+        } else {
+          require(b(p) == 0xff.toByte,
+            s"doc $docId: frame $idx: lost JPEG marker sync at byte $p")
+          val m = b(p + 1) & 0xff
+          if (m == 0xd9) return p + 2 // EOI
+          else if (m == 0xff) p += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2
+          else {
+            require(p + 3 < b.length, s"doc $docId: frame $idx truncated")
+            val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+            require(len >= 2, s"doc $docId: frame $idx: bad segment length")
+            if (m == 0xda) inScan = true // SOS: entropy data follows its header
+            p += 2 + len
+          }
+        }
+      }
+      b.length // truncated tail: the last frame ends at the payload end
+    }
+
     def decodeFrames(docId: Long, payload: Array[Byte]): Iterator[DecodedFrame] = {
-      // frame starts: FFD8 followed by a marker byte FF (start-of-stream
-      // can't appear inside entropy-coded data in baseline JPEG)
-      val starts = (0 until payload.length - 2).filter(i =>
+      def soiAt(i: Int): Boolean = i + 2 < payload.length &&
         payload(i) == 0xff.toByte && payload(i + 1) == 0xd8.toByte &&
-          payload(i + 2) == 0xff.toByte)
-      require(starts.nonEmpty, s"doc $docId: no JPEG SOI marker found")
-      starts.iterator.zipWithIndex.map { case (start, idx) =>
-        val end = if (idx + 1 < starts.length) starts(idx + 1) else payload.length
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload, start, end - start))
-        require(img != null, s"doc $docId: frame $idx not decodable")
-        val (w, h) = (img.getWidth, img.getHeight)
-        val hash = aHash60((x, y) => {
-          val rgb = img.getRGB(x, y)
-          (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-            114 * (rgb & 0xff)) / 1000
-        }, w, h)
-        DecodedFrame(docId, idx, w, h, hash)
+        payload(i + 2) == 0xff.toByte
+      val first = (0 until math.max(payload.length - 2, 0)).find(soiAt)
+      require(first.isDefined, s"doc $docId: no JPEG SOI marker found")
+      var pos = first.get
+      var idx = 0
+      new Iterator[DecodedFrame] {
+        def hasNext: Boolean = pos >= 0
+        def next(): DecodedFrame = {
+          val start = pos
+          val end = frameEnd(payload, start, docId, idx)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, start, end - start))
+          require(img != null, s"doc $docId: frame $idx not decodable")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hash = aHash60((x, y) => {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }, w, h)
+          val f = DecodedFrame(docId, idx, w, h, hash)
+          // inter-frame padding (FF fill / zeros) is skipped by seeking
+          // the next SOI from the walked end — never from inside a frame
+          pos = (end until payload.length - 2).find(soiAt).getOrElse(-1)
+          idx += 1
+          f
+        }
       }
     }
   }

@@ -32,9 +32,11 @@ object TextAnalysis {
     */
   def sharedTokens(s: SparkSession, dir: String): DataFrame =
     sharedTokensCache.getOrElseUpdate((s, dir),
-      graft.core.Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        graft.core.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint()
+      })
 
   private val sharedNllCache =
     graft.core.SharedViews.register(
@@ -47,7 +49,9 @@ object TextAnalysis {
     */
   def sharedNll(s: SparkSession, dir: String): DataFrame =
     sharedNllCache.getOrElseUpdate((s, dir),
-      lmScoreOf(sharedTokens(s, dir)).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        lmScoreOf(sharedTokens(s, dir)).localCheckpoint()
+      })
 
   private val sharedBm25Cache =
     graft.core.SharedViews.register(
@@ -62,7 +66,9 @@ object TextAnalysis {
   def sharedBm25Pool(s: SparkSession, dir: String, terms: Seq[String],
       poolSize: Int): DataFrame =
     sharedBm25Cache.getOrElseUpdate((s, dir, terms.mkString("\u0000"), poolSize),
-      bm25TopKOf(sharedTokens(s, dir), terms, poolSize).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        bm25TopKOf(sharedTokens(s, dir), terms, poolSize).localCheckpoint()
+      })
 
   private val sharedModelScoresCache =
     graft.core.SharedViews.register(
@@ -77,7 +83,9 @@ object TextAnalysis {
     */
   def sharedModelScores(s: SparkSession, dir: String): DataFrame =
     sharedModelScoresCache.getOrElseUpdate((s, dir),
-      modelScores(graft.core.Tables.load(s, dir, "documents")).localCheckpoint())
+      graft.core.SharedViews.building(s) {
+        modelScores(graft.core.Tables.load(s, dir, "documents")).localCheckpoint()
+      })
 
   /** Token counting: whitespace tokens + a BPE-ish regex sub-token count. */
   def tokenCounts(docs: DataFrame): DataFrame =

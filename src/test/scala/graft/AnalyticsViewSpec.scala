@@ -66,8 +66,13 @@ class AnalyticsViewSpec extends SparkSpec {
     // stay small (observed max 11 distinct parts in this generator →
     // ≤ 55 pairs per order; the explode is quadratic in THIS, constant
     // per fact row, so the bound is what keeps the plan linear)
-    val maxBasket = li.groupBy(col("l_orderkey")).count()
-      .agg(org.apache.spark.sql.functions.max(col("count"))).head().getLong(0)
+    // countDistinct on the raw fact table, so the asserted quantity IS
+    // the claimed one (distinct parts per order) by construction rather
+    // than via li's upstream .distinct()
+    val maxBasket = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("nparts"))
+      .agg(org.apache.spark.sql.functions.max(col("nparts"))).head().getLong(0)
     assert(maxBasket <= 16L,
       s"basket-size bound violated: an order carries $maxBasket distinct parts")
   }

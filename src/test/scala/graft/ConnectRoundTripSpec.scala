@@ -109,6 +109,31 @@ class ConnectRoundTripSpec extends SparkSpec {
         assert(dot.length == 1)
         assert(call(dot.head, "get", Integer.valueOf(0)) == java.lang.Float.valueOf(32.0f),
           s"graft_dot over the wire returned ${call(dot.head, "get", Integer.valueOf(0))}")
+
+        // 3. the reference's Fetch as a table function: a WILDCARD
+        // pattern fetch over the wire, no hand-written depth filter.
+        // The client pins the stores root in ITS OWN connect session.
+        call(call(session, "sql",
+          s"SET spark.graft.fetch.root=$root"), "collect")
+        val wildcard = call(call(session, "sql",
+          """SELECT f2, CAST(total AS DOUBLE) AS total, CAST(cnt AS BIGINT) AS cnt
+             FROM graft_fetch('metrics_a', 'cpu.*', '2024-01-01', '2024-01-02')
+             ORDER BY f2"""),
+          "collect").asInstanceOf[Array[AnyRef]]
+        assert(wildcard.length == 2, s"wildcard fetch returned ${wildcard.length} rows")
+        assert(call(wildcard(0), "get", Integer.valueOf(0)) == "h1" &&
+          call(wildcard(0), "get", Integer.valueOf(1)) == java.lang.Double.valueOf(14.0) &&
+          call(wildcard(0), "get", Integer.valueOf(2)) == java.lang.Long.valueOf(2L),
+          "wildcard fetch h1 row wrong over the wire")
+        assert(call(wildcard(1), "get", Integer.valueOf(0)) == "h2" &&
+          call(wildcard(1), "get", Integer.valueOf(1)) == java.lang.Double.valueOf(7.0),
+          "wildcard fetch h2 row wrong over the wire")
+
+        // 4. the rollup-cascade view is served alongside points
+        val casc = call(call(session, "sql",
+          "SELECT count(*) FROM global_temp.metrics_a_cascade"),
+          "collect").asInstanceOf[Array[AnyRef]]
+        assert(casc.length == 1, "cascade view not queryable over the wire")
       } finally call(session, "close")
     } finally {
       thread.setContextClassLoader(oldTccl)

@@ -212,6 +212,34 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(kf == Seq((1L, 0, 2L), (2L, 2, 3L)), s"scene cut wrong: $kf")
   }
 
+  test("MjpegCodec: an embedded EXIF-style thumbnail JPEG is NOT a phantom frame") {
+    val clip = mjpeg(32, 32, Seq((0, 2), (128, 1)))
+    // splice a complete thumbnail JPEG into an APP1 segment right after
+    // the FIRST frame's SOI — a raw FFD8FF scan would split here
+    val thumb = mjpeg(8, 8, Seq((64, 1)))
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((thumb.length + 2) >> 8) & 0xff).toByte, ((thumb.length + 2) & 0xff).toByte) ++ thumb
+    val withThumb = clip.take(2) ++ app1 ++ clip.drop(2)
+    val media = Seq(Multimodal.MediaBatch(7L, withThumb)).toDS()
+    val fr = Multimodal.decodeVideoBatched(spark, media, Multimodal.MjpegCodec)
+      .collect().sortBy(_.frame_idx)
+    assert(fr.length == 3, s"decoded ${fr.length} frames, want 3 (thumbnail split a frame)")
+    assert(fr.forall(f => f.width == 32 && f.height == 32),
+      "a phantom 8x8 thumbnail frame leaked into the stream")
+  }
+
+  test("Y4MCodec rejects high-bit-depth and extra-plane chroma taggings loudly") {
+    for (bad <- Seq("C420p10", "C422p12", "C444alpha")) {
+      val payload = (s"YUV4MPEG2 W16 H16 F25:1 Ip A1:1 $bad\nFRAME\n" + "x" * 4096)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val e = intercept[Exception] {
+        Multimodal.Y4MCodec.decodeFrames(1L, payload).toList
+      }
+      assert(e.getMessage.contains("unsupported chroma"),
+        s"$bad must hit the loud unsupported-chroma error, got: ${e.getMessage}")
+    }
+  }
+
   test("stub video codec replays the sceneDetect oracle derivation exactly") {
     val docs = Seq((1L, "video payload one"), (2L, "another clip")).toDF("doc_id", "text")
     val viaStubCodec = Multimodal.scenesFrom(

@@ -182,6 +182,12 @@ class TsdbSpec extends SparkSpec {
     assert(j.length == 2)
     assert(j(0).getAs[Long]("n_events") == 2L && j(0).getAs[Double]("value_total") == 12.0)
     assert(j(1).getAs[Long]("n_events") == 1L && j(1).getAs[Double]("value_total") == 1.0)
+    // the fused hour-bucket plan is value-identical to the generic
+    // day-explode interval join over the same windows
+    val fused = Tsdb.activityIntervalJoin(evs, Tsdb.points1(evs), "purchase", 1.0, "error")
+    val generic = Tsdb.intervalJoin(evs, win, "error")
+    assert(fused.except(generic).isEmpty && generic.except(fused).isEmpty,
+      "fused activityIntervalJoin differs from activityWindows ∘ intervalJoin")
   }
 
   test("anomalyMad flags the outlier a variance-based score would dilute") {
