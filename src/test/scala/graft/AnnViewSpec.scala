@@ -53,11 +53,24 @@ class AnnViewSpec extends SparkSpec {
 
   test("the quantizer is trained ONCE per (session, dir)") {
     val (c1, a1) = Similarity.sharedKmeans(spark, dir)
+    val before = graft.operators.QuantizerStore.trainCount.get()
     val (c2, a2) = Similarity.sharedKmeans(spark, dir)
     assert((c1 eq c2) && (a1 eq a2), "sharedKmeans retrained instead of memoizing")
-    // the assignment is frozen state, not a lazy plan over embeddings
-    assert(a1.queryExecution.optimizedPlan.isInstanceOf[
-      org.apache.spark.sql.execution.LogicalRDD])
+    assert(graft.operators.QuantizerStore.trainCount.get() == before,
+      "sharedKmeans retrained on the second call")
+    // the assignment is frozen DISK state (the persisted QuantizerStore),
+    // not a lazy plan over embeddings: its optimized plan is a parquet
+    // scan of the store, with no dependence on the embeddings source
+    val storePaths = a1.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(storePaths.nonEmpty && storePaths.forall(_.contains("graft_quantizers")),
+      s"assignment is not a quantizer-store scan: $storePaths")
   }
 
   test("knnJoinBlocked: edges are semantic pairs, ranks consecutive per vector") {

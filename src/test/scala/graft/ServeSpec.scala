@@ -17,7 +17,7 @@ class ServeSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp_ntz")))
 
     val views = Serve.registerStores(spark, root)
-    assert(views == Seq("metrics_a_points"))
+    assert(views == Seq("metrics_a_points", "metrics_a_cascade"))
 
     // Spark Connect hands each remote client its own session in this app;
     // global_temp is the shared namespace — verify from a fresh session

@@ -18,6 +18,10 @@ class SharedViewsScopeSpec extends SparkSpec {
   test("user caches survive clearAll; shared-view blocks do not") {
     import spark.implicits._
     val sc = spark.sparkContext
+    // flush whatever earlier suites froze, so ownership diffs below are
+    // exactly this test's
+    SharedViews.clearAll(spark)
+    val before = sc.getPersistentRDDs.keySet
 
     // a user's cached table, materialized
     val userCached = spark.range(0L, 1000L).toDF("id")
@@ -25,7 +29,7 @@ class SharedViewsScopeSpec extends SparkSpec {
     userCached.count()
     // a user's localCheckpointed DataFrame (CacheManager-invisible blocks)
     val userCp = spark.range(0L, 500L).toDF("id").localCheckpoint()
-    val userIds = sc.getPersistentRDDs.keySet
+    val userIds = sc.getPersistentRDDs.keySet -- before
 
     // a real shared frozen view over a scratch documents table
     val dir = Files.createTempDirectory("svscope")
@@ -34,7 +38,7 @@ class SharedViewsScopeSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     TextAnalysis.sharedTokens(spark, dir.toString).count()
-    val sharedIds = sc.getPersistentRDDs.keySet -- userIds
+    val sharedIds = sc.getPersistentRDDs.keySet -- before -- userIds
     assert(sharedIds.nonEmpty, "shared view left no persisted blocks to scope")
 
     SharedViews.clearAll(spark)
