@@ -368,7 +368,18 @@ object DedupScaleCheck {
       struct(lit(b).as("band"),
         expr(s"(fp div ${1L << (b * width)}) % ${1L << width}").as("key"))
     }
+    // the implementation collapses docs by fingerprint before banding,
+    // so the candidate mass it generates has two parts: within-group
+    // pairs (identical fp — verified by construction, hamming 0) and
+    // the DISTINCT-fp band candidates (what the hamming verify filters)
+    val groupStats = fps.groupBy(col("fp")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(expr("k * (k - 1) div 2")).as("within_pairs"))
+      .collect().head
+    val nFps = groupStats.getLong(0)
+    val withinPairs = groupStats.getLong(1)
     val perBand = fps
+      .select(col("fp")).distinct()
       .select(explode(array(bandCols: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(count(lit(1)).as("c"))
@@ -382,13 +393,16 @@ object DedupScaleCheck {
       Dedup.simhashPairs(docs, 3).count()
     }
     perBand.foreach(r => println(
-      s"  simhash band ${r.getAs[Int]("band")}: candidates ${r.getAs[Long]("cand")}, " +
-        s"max bucket ${r.getAs[Long]("max_bucket")}"))
-    println(f"  simhash candidates $candTotal vs verified $verified " +
-      f"(ratio ${candTotal.toDouble / math.max(verified, 1L)}%.1f:1)")
+      s"  simhash band ${r.getAs[Int]("band")}: fp-level candidates " +
+        s"${r.getAs[Long]("cand")}, max bucket ${r.getAs[Long]("max_bucket")}"))
+    println(f"  simhash: $nDocs docs collapse to $nFps distinct fps; " +
+      f"$withinPairs identical-fp pairs verified by construction; " +
+      f"fp-level candidates $candTotal vs cross-fp verified " +
+      f"${verified - withinPairs} (ratio " +
+      f"${candTotal.toDouble / math.max(verified - withinPairs, 1L)}%.1f:1)")
     require(candTotal <= 8L * nDocs,
-      s"simhash candidate mass ($candTotal) super-linear in corpus size " +
-        s"($nDocs) — bands no longer discriminate, add sub-banding")
+      s"simhash fp-level candidate mass ($candTotal) super-linear in corpus " +
+        s"size ($nDocs) — bands no longer discriminate, add sub-banding")
     // the in-row bucket pairing must agree exactly with brute-force
     // hamming on a slice (the sf-scale oracle runs the uncapped twin;
     // this pins the same equivalence inside the scale harness)

@@ -1131,32 +1131,55 @@ object Dedup {
       struct(lit(b).as("band"),
         expr(s"(fp div ${1L << (b * width)}) % ${1L << width}").as("key"))
     }
-    val banded = simhashFingerprints(docs)
-      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // ONE keyed shuffle gathers each band bucket as a sorted in-row
-    // member list (doc_id is unique, so sort_array on the struct is
-    // deterministic and yields doc_a < doc_b by construction); candidate
-    // generation + the hamming verify are then pure in-row array math —
-    // the former plan's bucket-size pre-pass, small-bucket join, and
-    // band-keyed SELF-JOIN (three more exchanges, with every candidate
-    // pair materialized as a join row before its bit_count) disappear.
-    // The cap semantics are unchanged: a bucket larger than bucketCap
-    // (degenerate near-identical flood on one key) is excluded rather
-    // than exploded quadratically, and singleton buckets exit before the
-    // explode. Verified pairs still deduplicate across bands (distinct).
-    banded.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ms"))
+    // COLLAPSE BY FINGERPRINT FIRST: a dup-flooded corpus puts hundreds
+    // of identical-fp docs into the same bucket of EVERY band, so any
+    // doc-level banding re-verifies the same quadratic flood once per
+    // band and then pays a corpus-pair-sized distinct. Grouping docs by
+    // fp up front (one narrow shuffle) makes hamming-0 pairs pure
+    // output-side combinatorics (within each sorted id group), and the
+    // banding/verify runs over DISTINCT fingerprints only — the flood
+    // is one row there. A doc pair lands in exactly one (fp_a, fp_b)
+    // cell and fp pairs are deduped across bands while still
+    // group-sized, so the final doc-pair stream needs NO distinct
+    // shuffle at all: everything after the two tiny aggregations is
+    // map-only and output-bounded. `bucketCap` therefore now bounds
+    // DISTINCT-fp band buckets (the quadratic risk that survives the
+    // collapse); pigeonhole completeness for hamming ≤ SimhashBands-1
+    // is unchanged.
+    val groups = simhashFingerprints(docs)
+      .groupBy(col("fp")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint() // consumed by three subtrees below; tiny (distinct fps)
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        lit(0).as("hamming"))
+    val fpPairs = groups
+      .select(col("fp"), explode(array(bandStructs: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(col("fp"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
       .select(explode(expr(
         s"""filter(
            |  flatten(transform(ms, (a, i) ->
            |    transform(slice(ms, i + 2, size(ms)), b ->
-           |      struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |             bit_count(a.fp ^ b.fp) AS hamming)))),
+           |      struct(a AS fp_a, b AS fp_b,
+           |             bit_count(a ^ b) AS hamming)))),
            |  p -> p.hamming <= $maxHamming)""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+      .select(col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"),
         col("p.hamming").as("hamming"))
-      .distinct()
+      .distinct() // fp-level: group-sized, not doc-pair-sized
+    val cross = fpPairs
+      .join(groups.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
+      .join(groups.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
+      .select(explode(expr(
+        """flatten(transform(ids_a, x ->
+          |  transform(ids_b, y -> struct(least(x, y) AS doc_a,
+          |                               greatest(x, y) AS doc_b))))""".stripMargin)).as("p"),
+        col("hamming"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("hamming"))
+    within.unionByName(cross)
   }
 }
