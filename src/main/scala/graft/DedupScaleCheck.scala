@@ -350,23 +350,23 @@ object DedupScaleCheck {
       f"(expected $expectTriples%.0f, 1 per cluster)")
     dw.unpersist()
 
-    // --- 8. simhash candidate audit: per band, the candidate-pair mass
-    // the pigeonhole banding generates (Σ c·(c−1)/2 over its buckets,
-    // cap semantics applied) vs the pairs the hamming verify keeps. The
-    // ratio is the price of the banding's recall guarantee — if it blows
-    // up, the 15-bit bands have stopped discriminating and need
-    // sub-banding like the MinHash path. The planted 2-token mutations
-    // perturb only a few of 60 fingerprint bits, so variants land in
-    // shared buckets; random docs collide on a band key with p ≈ n/2¹⁵
-    // per band, giving a candidate tail that must stay O(n).
+    // --- 8. simhash candidate audit: per candidate table, the pair mass
+    // the keying generates (Σ c·(c−1)/2 over its buckets, cap semantics
+    // applied) vs the pairs the hamming verify keeps. The ratio is the
+    // price of the scheme's recall guarantee — if it blows up, the keys
+    // have stopped discriminating. THIS AUDIT EARNED ITS KEEP: the
+    // original 4 x 15-bit split generated 308M candidates for 15k true
+    // pairs at 2M docs (n²/2¹⁵ per band — super-linear), which is why
+    // simhashPairs now keys on Manku-style 3-of-6 block combinations
+    // (20 tables, 30-bit keys, random-collision mass n²·20/2³⁰ ≈ 75k at
+    // 2M docs). The planted 2-token mutations perturb only a few of 60
+    // fingerprint bits, so variants still share intact-block keys.
     val fps = timed(s"simhash fingerprints over $nDocs docs") {
       val f = Dedup.simhashFingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
       f.count(); f
     }
-    val width = Dedup.SimhashBits / Dedup.SimhashBands
-    val bandCols = (0 until Dedup.SimhashBands).map { b =>
-      struct(lit(b).as("band"),
-        expr(s"(fp div ${1L << (b * width)}) % ${1L << width}").as("key"))
+    val bandCols = Dedup.simhashComboKeys(3).map { case (ci, keyExpr) =>
+      struct(lit(ci).as("band"), expr(keyExpr).as("key"))
     }
     // the implementation collapses docs by fingerprint before banding,
     // so the candidate mass it generates has two parts: within-group

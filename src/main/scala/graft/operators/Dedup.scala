@@ -1074,8 +1074,31 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("csize"),
         Hashing.rd4(lit(1.0) / col("csize")).as("weight"))
 
-  val SimhashBits = 60  // full width of the engine-portable md5 hash (h60)
-  val SimhashBands = 4  // 4 x 15-bit bands: pigeonhole-complete for hamming ≤ 3
+  val SimhashBits = 60   // full width of the engine-portable md5 hash (h60)
+  val SimhashBands = 4   // legacy 4 x 15-bit split: pigeonhole-complete for hamming ≤ 3
+  val SimhashBlocks = 6  // 6 x 10-bit blocks for the Manku-style multi-block keys
+
+  /** The block-combination keys of Manku/Jain/Das Sarma's simhash
+    * near-duplicate scheme (WWW 2007): split the fingerprint into
+    * [[SimhashBlocks]] blocks; a pair at hamming ≤ maxHamming touches at
+    * most maxHamming blocks, so at least (blocks − maxHamming) blocks
+    * are INTACT — key each candidate table on one choice of that many
+    * blocks, one table per C(blocks, blocks−maxHamming) combination.
+    * At maxHamming = 3 this gives 20 tables keyed on 30 BITS instead of
+    * 4 tables keyed on 15: random-collision candidate mass drops from
+    * n²/2¹⁵ to n²·20/2³⁰ per corpus — the difference between the
+    * DedupScaleCheck audit failing at 2M docs (308M candidates for 15k
+    * true pairs) and passing with room to 10⁸ docs.
+    */
+  private[graft] def simhashComboKeys(maxHamming: Int): Seq[(Int, String)] = {
+    val blockBits = SimhashBits / SimhashBlocks
+    (0 until SimhashBlocks).combinations(SimhashBlocks - maxHamming)
+      .zipWithIndex.map { case (combo, ci) =>
+        ci -> combo.zipWithIndex.map { case (b, i) =>
+          s"((fp div ${1L << (blockBits * b)}) % ${1L << blockBits}) * ${1L << (blockBits * i)}"
+        }.mkString(" + ")
+      }.toSeq
+  }
 
   /** 60-bit SimHash fingerprint per doc over distinct tokens. 60 bits is
     * the full width of Hashing.h60, so band keys below have 2^15 values —
@@ -1115,21 +1138,22 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ SimhashBands-1).
-    * Banded join on SimhashBands 15-bit fingerprint bands: any pair at
-    * hamming ≤ SimhashBands-1 shares at least one intact band (pigeonhole),
-    * so this equals the brute-force O(n²) scan the oracle runs — without
-    * the cross join. `bucketCap` is the scale guard: a band bucket larger
-    * than the cap (degenerate near-identical content flooding one key) is
-    * excluded from candidate generation instead of joined quadratically.
+    * Candidate tables are the Manku-style block-combination keys of
+    * [[simhashComboKeys]] (30-bit keys at the default hamming 3 — the
+    * 15-bit 4-band split stopped discriminating at 2M docs, see the
+    * DedupScaleCheck audit): any pair at hamming ≤ maxHamming has all
+    * its key blocks intact in at least one combination, so this equals
+    * the brute-force O(n²) scan the oracle runs — without the cross
+    * join. `bucketCap` is the scale guard: a band bucket larger than
+    * the cap (degenerate content flooding one key) is excluded from
+    * candidate generation instead of joined quadratically.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       bucketCap: Long = 100000L): DataFrame = {
     require(maxHamming <= SimhashBands - 1,
       s"banding is only pigeonhole-complete for hamming <= ${SimhashBands - 1}")
-    val width = SimhashBits / SimhashBands
-    val bandStructs = (0 until SimhashBands).map { b =>
-      struct(lit(b).as("band"),
-        expr(s"(fp div ${1L << (b * width)}) % ${1L << width}").as("key"))
+    val bandStructs = simhashComboKeys(maxHamming).map { case (ci, keyExpr) =>
+      struct(lit(ci).as("band"), expr(keyExpr).as("key"))
     }
     // COLLAPSE BY FINGERPRINT FIRST: a dup-flooded corpus puts hundreds
     // of identical-fp docs into the same bucket of EVERY band, so any
