@@ -122,7 +122,7 @@ pays, and the oracle twin retrains only to prove value equality.
 
 | query | duckdb_sec |
 |---|---|
-""" + "\n".join(f"| {k} | {v} |" for k, v in top) + """
+""" + "\n".join(f"| {k} | {v} |" for k, v in top) + f"""
 
 Full per-query map: `{prefix}_duckdb.json`.
 """
