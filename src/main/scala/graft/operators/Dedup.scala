@@ -1077,6 +1077,7 @@ object Dedup {
   val SimhashBits = 60   // full width of the engine-portable md5 hash (h60)
   val SimhashBands = 4   // legacy 4 x 15-bit split: pigeonhole-complete for hamming ≤ 3
   val SimhashBlocks = 6  // 6 x 10-bit blocks for the Manku-style multi-block keys
+  val SimhashIdBlock = 512 // id-slice width for chunked pair expansion (O(block²) per row)
 
   /** The block-combination keys of Manku/Jain/Das Sarma's simhash
     * near-duplicate scheme (WWW 2007): split the fingerprint into
@@ -1144,9 +1145,12 @@ object Dedup {
     * DedupScaleCheck audit): any pair at hamming ≤ maxHamming has all
     * its key blocks intact in at least one combination, so this equals
     * the brute-force O(n²) scan the oracle runs — without the cross
-    * join. `bucketCap` is the scale guard: a band bucket larger than
-    * the cap (degenerate content flooding one key) is excluded from
-    * candidate generation instead of joined quadratically.
+    * join. `bucketCap` is the scale guard: a band bucket holding more
+    * than cap DISTINCT fingerprints (degenerate content flooding one
+    * key) is excluded from candidate generation instead of joined
+    * quadratically. Identical-fingerprint pairs (hamming 0) are exact
+    * results, not candidates — they are emitted regardless of the cap,
+    * in memory-bounded [[SimhashIdBlock]] chunks.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       bucketCap: Long = 100000L): DataFrame = {
@@ -1173,11 +1177,33 @@ object Dedup {
     val groups = simhashFingerprints(docs)
       .groupBy(col("fp")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .localCheckpoint() // consumed by three subtrees below; tiny (distinct fps)
+    // Within-group (hamming 0) pairs are quadratic in group size, and a
+    // dup flood makes groups of 10⁴⁺ docs: materializing C(k,2) structs
+    // as ONE in-row array before the explode is O(k²) memory in a single
+    // row. Chunk the triangle into block pairs of ≤ SimhashIdBlock ids —
+    // each intermediate row holds two ≤512-id slices and emits at most
+    // 512² pairs, so per-row memory is O(block²) whatever the flood
+    // size, and block rows distribute across tasks after the explode.
+    // ids are sorted, so diagonal blocks pair (i, j>i) and off-diagonal
+    // blocks pair everything (all of block a < all of block b).
+    val B = SimhashIdBlock
     val within = groups.filter(size(col("ids")) >= 2)
+      .select(col("ids"), explode(expr(
+        s"""flatten(transform(sequence(0, (size(ids) - 1) div $B), i ->
+           |  transform(sequence(i, (size(ids) - 1) div $B),
+           |            j -> struct(i AS bi, j AS bj))))""".stripMargin)).as("b"))
+      .select(expr(s"slice(ids, b.bi * $B + 1, $B)").as("xs"),
+        expr(s"slice(ids, b.bj * $B + 1, $B)").as("ys"),
+        (col("b.bi") === col("b.bj")).as("diag"))
       .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+        """CASE WHEN diag THEN
+          |  flatten(transform(xs, (a, i) ->
+          |    transform(slice(xs, i + 2, size(xs)),
+          |              b -> struct(a AS doc_a, b AS doc_b))))
+          |ELSE
+          |  flatten(transform(xs, a ->
+          |    transform(ys, b -> struct(a AS doc_a, b AS doc_b))))
+          |END""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         lit(0).as("hamming"))
     val fpPairs = groups
@@ -1195,13 +1221,22 @@ object Dedup {
       .select(col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"),
         col("p.hamming").as("hamming"))
       .distinct() // fp-level: group-sized, not doc-pair-sized
+    // cross-group expansion gets the same block decomposition: two
+    // near-identical floods with distinct fps would otherwise build an
+    // O(|a|·|b|) in-row array
     val cross = fpPairs
       .join(groups.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
       .join(groups.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
+      .select(col("ids_a"), col("ids_b"), col("hamming"), explode(expr(
+        s"""flatten(transform(sequence(0, (size(ids_a) - 1) div $B, 1), i ->
+           |  transform(sequence(0, (size(ids_b) - 1) div $B, 1),
+           |            j -> struct(i AS bi, j AS bj))))""".stripMargin)).as("b"))
+      .select(expr(s"slice(ids_a, b.bi * $B + 1, $B)").as("xs"),
+        expr(s"slice(ids_b, b.bj * $B + 1, $B)").as("ys"), col("hamming"))
       .select(explode(expr(
-        """flatten(transform(ids_a, x ->
-          |  transform(ids_b, y -> struct(least(x, y) AS doc_a,
-          |                               greatest(x, y) AS doc_b))))""".stripMargin)).as("p"),
+        """flatten(transform(xs, x ->
+          |  transform(ys, y -> struct(least(x, y) AS doc_a,
+          |                            greatest(x, y) AS doc_b))))""".stripMargin)).as("p"),
         col("hamming"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("hamming"))
     within.unionByName(cross)

@@ -165,9 +165,21 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash band-bucket cap excludes hot buckets from candidate generation") {
-    // docs 1,2 share all band keys; cap=1 makes every shared bucket "hot",
-    // so no candidates survive — the O(n²)-bucket guard is effective
-    assert(Dedup.simhashPairs(docs, 2, bucketCap = 1L).collect().isEmpty)
+    // cap=1 makes every DISTINCT-fp bucket with ≥2 members "hot", so no
+    // cross-fp candidate survives — the O(n²)-bucket guard is effective.
+    // Identical-fp pairs are exact results (hamming 0, verified by
+    // construction), NOT candidates, so the cap does not touch them:
+    // the capped output is exactly the within-fp pair set.
+    val capped = Dedup.simhashPairs(docs, 2, bucketCap = 1L).collect()
+    assert(capped.nonEmpty && capped.forall(_.getAs[Int]("hamming") == 0),
+      "cap=1 must suppress every cross-fp candidate and keep hamming-0 truths")
+    assert(capped.exists(x =>
+      x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L))
+    // the capped set is a subset of the default-cap set
+    val full = Dedup.simhashPairs(docs, 2).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    assert(capped.forall(x =>
+      full((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")))))
     // banding is only pigeonhole-complete through SimhashBands-1
     intercept[IllegalArgumentException](Dedup.simhashPairs(docs, Dedup.SimhashBands))
   }
