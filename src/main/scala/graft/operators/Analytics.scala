@@ -721,6 +721,12 @@ object Analytics {
       .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("cnt"))
+      // three consumers (pairs, marginals, total) read this aggregate;
+      // without freezing it, each re-runs the final HashAggregate over
+      // the exploded pair stream on top of the reused exchange. The
+      // frozen table is distinct-pair-sized — far smaller than the
+      // per-order basket table the former plan checkpointed.
+      .localCheckpoint()
     val pairs = counts
       .filter(col("part_a").isNotNull && col("part_b").isNotNull &&
         col("cnt") >= minSup)
