@@ -516,18 +516,42 @@ object Tsdb {
     */
   def activityIntervalJoin(events: DataFrame, pts1: DataFrame, f1: String,
       mult: Double, probeType: String): DataFrame = {
+    val spark = events.sparkSession
     val ser = pts1.filter(col("f1") === f1)
     val thr = ser.agg((lit(mult) * avg(col("total"))).as("thr"))
+    // The qualifying-hour list of ONE series is metadata-bounded — at
+    // most (retention window / 1 hour) rows, ~88k hours even for a
+    // 10-year window — so it rides to the driver like the epoch lists
+    // and centroid tables do, and the islands merge is a plain sorted
+    // fold there (MLlib keeps k-means centers on the driver for the
+    // same reason). This replaces the two-phase global-rank machinery +
+    // island aggregate + bounds join (three exchanges and two extra
+    // jobs on a tiny table) with one collect; the probe side — the only
+    // corpus-sized input — still never shuffles before its final
+    // map-side-combined aggregate.
     val qualifying = ser.crossJoin(broadcast(thr))
       .filter(col("total") > col("thr"))
       .select(col("bucket"))
-    val ranked = graft.core.Ranking.withGlobalRank(qualifying, Seq(col("bucket")), "rn")
-      .withColumn("island", (epochSec(col("bucket")) / 3600L).cast("long") - col("rn"))
-    val winBounds = ranked.groupBy(col("island"))
-      .agg(min(col("bucket")).as("win_start"), max(col("bucket")).as("win_max"))
-    val qualWin = ranked.join(winBounds, "island")
-      .select(col("bucket"), col("win_start"),
-        (col("win_max") + expr("INTERVAL 1 HOUR")).cast("timestamp_ntz").as("win_end"))
+      .collect().map(_.getAs[java.time.LocalDateTime](0))
+      .sorted(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+    val islands = scala.collection.mutable.ArrayBuffer.empty[
+      scala.collection.mutable.ArrayBuffer[java.time.LocalDateTime]]
+    qualifying.foreach { b =>
+      if (islands.nonEmpty && islands.last.last.plusHours(1) == b) islands.last += b
+      else islands += scala.collection.mutable.ArrayBuffer(b)
+    }
+    val qualWinRows = islands.flatMap { isl =>
+      val winStart = isl.head
+      val winEnd = isl.last.plusHours(1)
+      isl.map(b => org.apache.spark.sql.Row(b, winStart, winEnd))
+    }.toSeq
+    val tsType = org.apache.spark.sql.types.TimestampNTZType
+    val qualWin = spark.createDataFrame(
+      java.util.Arrays.asList(qualWinRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket", tsType),
+        org.apache.spark.sql.types.StructField("win_start", tsType),
+        org.apache.spark.sql.types.StructField("win_end", tsType))))
     events.filter(col("event_type") === probeType)
       .select(bucket(col("ts"), "hour").as("bucket"), col("value"))
       .join(broadcast(qualWin), Seq("bucket"))
