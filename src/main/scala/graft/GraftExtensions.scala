@@ -90,7 +90,10 @@ object GraftExtensions {
         s"graft_fetch: $what must be a string literal")
     }
     val storeName = str(args(0), "store")
-    require(storeName.matches("[A-Za-z0-9_.-]+"),
+    // first char must be a word char: '.'/'..' (and any all-dot name)
+    // would resolve OUTSIDE the pinned stores root — a remote Connect
+    // client must never traverse above spark.graft.fetch.root
+    require(storeName.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
       s"graft_fetch: store name '$storeName' must be a plain directory name")
     val pattern = str(args(1), "pattern")
     val from = str(args(2), "from")

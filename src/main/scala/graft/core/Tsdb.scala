@@ -515,7 +515,8 @@ object Tsdb {
     * pins fused == generic).
     */
   def activityIntervalJoin(events: DataFrame, pts1: DataFrame, f1: String,
-      mult: Double, probeType: String): DataFrame = {
+      mult: Double, probeType: String,
+      maxWindowHours: Long = 200000L): DataFrame = {
     val spark = events.sparkSession
     val ser = pts1.filter(col("f1") === f1)
     val thr = ser.agg((lit(mult) * avg(col("total"))).as("thr"))
@@ -534,6 +535,15 @@ object Tsdb {
       .select(col("bucket"))
       .collect().map(_.getAs[java.time.LocalDateTime](0))
       .sorted(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+    // the collect's bound is the TIME RANGE, not data volume — make a
+    // pathological window/resolution combination (e.g. a century-wide
+    // window at 1-minute resolution, ~50M rows) fail loudly instead of
+    // silently OOMing the driver. 200k hours ≈ 22 years of hourly
+    // buckets; callers with coarser needs pass their own cap.
+    require(qualifying.length <= maxWindowHours,
+      s"activityIntervalJoin: ${qualifying.length} qualifying buckets exceed " +
+        s"maxWindowHours=$maxWindowHours — the driver-side islands fold is " +
+        "sized for bounded time ranges; raise the cap only with driver memory to match")
     val islands = scala.collection.mutable.ArrayBuffer.empty[
       scala.collection.mutable.ArrayBuffer[java.time.LocalDateTime]]
     qualifying.foreach { b =>
@@ -1693,37 +1703,48 @@ object Tsdb {
     * touch type ('none' = converted with no prior touch). Index-join
     * shape, not IGNORE-NULLS window gymnastics: one per-user window
     * numbers the touches (inclusive running count, so a purchase row's
-    * count IS its last preceding touch index), and each model is an
-    * equi-join on (user, index) — co-partitioned, no second window.
-    * Revenue snaps to cents before the long sum; one division at the
-    * end. Ties in ts break on event_id (total order).
+    * count IS its last preceding touch index), and BOTH models ride ONE
+    * (user, index) equi-join — each purchase explodes into its two
+    * (model, wanted-index) rows before the join, so the touches side is
+    * scanned once instead of once per model. Event types that are
+    * neither a touch nor a purchase are dropped BEFORE the window: they
+    * cannot change any running touch-count at the rows that survive, and
+    * the window sort shrinks by their share of the stream. Revenue snaps
+    * to cents before the long sum; one division at the end. Ties in ts
+    * break on event_id (total order).
     */
   def attribution(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // touches and purchases both filter this windowed projection, so it
+    // would otherwise execute twice (scan + window sort); the persisted
+    // form is narrow (4 columns, touch+purchase rows only)
     val base = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .withColumn("is_touch", col("event_type").isin("view", "click"))
       .withColumn("tcnt", sum(col("is_touch").cast("long")).over(w))
-    // both models join purch⋈touches, so the events-wide window subtree
-    // would otherwise execute four times (the marketBasket precedent)
+      .select(col("user_id"), col("event_type"), col("is_touch"), col("tcnt"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touches = base.filter(col("is_touch"))
       .select(col("user_id").as("tu"), col("tcnt").as("ti"),
         col("event_type").as("touch_type"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val purch = base.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("pu"), col("tcnt").as("last_ti"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def model(name: String, idx: Column) =
-      purch.withColumn("want", idx)
-        .join(touches, col("pu") === col("tu") && col("want") === col("ti"), "left")
-        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
-        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cs"))
-        .select(lit(name).as("model"), col("touch_type"), col("n_purchases"),
-          (col("cs").cast("double") / 100.0).as("revenue"))
-    model("last_touch", col("last_ti"))
-      .unionByName(model("first_touch",
-        when(col("last_ti") >= 1L, lit(1L)).otherwise(lit(0L))))
+    val wanted = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("cents"),
+        explode(array(
+          struct(lit("last_touch").as("model"), col("tcnt").as("want")),
+          struct(lit("first_touch").as("model"),
+            when(col("tcnt") >= 1L, lit(1L)).otherwise(lit(0L)).as("want"))))
+          .as("mw"))
+      .select(col("pu"), col("cents"),
+        col("mw.model").as("model"), col("mw.want").as("want"))
+    wanted
+      .join(touches, col("pu") === col("tu") && col("want") === col("ti"), "left")
+      .groupBy(col("model"),
+        coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cs"))
+      .select(col("model"), col("touch_type"), col("n_purchases"),
+        (col("cs").cast("double") / 100.0).as("revenue"))
   }
 
   /** Gorilla-style compressibility audit per series (the storage-cost

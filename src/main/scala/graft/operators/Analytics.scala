@@ -692,51 +692,43 @@ object Analytics {
   def marketBasket(s: SparkSession, dir: String,
       minSup: Long = 2L, topK: Int = 50): DataFrame = {
     // ONE grouped pass builds the per-order basket (sorted distinct part
-    // set), and ONE tagged explode + ONE keyed count derives everything
-    // downstream from it: each basket emits its in-row pairs (part_a <
-    // part_b by construction — sorted set combinatorics, bounded by
-    // basket size: observed ≤ 11 distinct parts per order → ≤ 55 pairs;
-    // asserted in AnalyticsViewSpec), one (part, NULL) row per member
-    // for the marginals, and one (NULL, NULL) row for the order total.
-    // A single groupBy(part_a, part_b) then yields pair counts,
-    // marginals, AND n_orders in the same shuffle — the round-9/10
-    // plan's three separate consumer jobs over a checkpointed basket
-    // table collapse into one job with two exchanges, each written once
-    // (pairs/marginals/total are three cheap reads of the SECOND, post-
-    // aggregate exchange). The (NULL, NULL) key is not a skew bomb:
-    // partial aggregation collapses it to one row per map task before
-    // the shuffle.
+    // set), memory-persisted: it is the small relation here (one row per
+    // order, array bounded by basket size — observed ≤ 11 distinct parts
+    // per order; asserted in AnalyticsViewSpec) and all three downstream
+    // reads (pairs, marginals, order total) are cache scans. The pair
+    // explode then carries PAIRS ONLY (part_a < part_b by sorted-set
+    // construction, ≤ 55 per order) into one keyed count — the r11 plan
+    // tagged marginal and total rows through the same explode+aggregate
+    // and then had to freeze the multi-million-row distinct-pair
+    // aggregate for its three readers; deriving marginals from a second
+    // cheap explode of the CACHED baskets (590k rows → one row per
+    // part) and n_orders from a cache count drops both the tag rows
+    // (~45% of the exploded stream) and the distinct-pair
+    // materialization entirely, because the pair aggregate now has
+    // exactly one consumer. Marginals are part-count-bounded (≤ #parts)
+    // — AQE broadcasts them at bench scale and falls back to a keyed
+    // shuffle join if a 100TB parts dimension ever outgrows the
+    // broadcast threshold (no hint on purpose); the order total is a
+    // 1-row broadcast.
     val baskets = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-    val counts = baskets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val pairs = baskets
       .select(explode(expr(
-        """concat(
-          |  flatten(transform(parts, (a, i) ->
-          |    transform(slice(parts, i + 2, size(parts)),
-          |              b -> struct(a AS part_a, b AS part_b)))),
-          |  transform(parts, p -> struct(p AS part_a, CAST(NULL AS BIGINT) AS part_b)),
-          |  array(struct(CAST(NULL AS BIGINT) AS part_a, CAST(NULL AS BIGINT) AS part_b)))""".stripMargin))
+        """flatten(transform(parts, (a, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            b -> struct(a AS part_a, b AS part_b))))""".stripMargin))
         .as("p"))
       .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSup)
+    val marg = baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("cnt"))
-      // three consumers (pairs, marginals, total) read this aggregate;
-      // without freezing it, each re-runs the final HashAggregate over
-      // the exploded pair stream on top of the reused exchange. The
-      // frozen table is distinct-pair-sized — far smaller than the
-      // per-order basket table the former plan checkpointed.
-      .localCheckpoint()
-    val pairs = counts
-      .filter(col("part_a").isNotNull && col("part_b").isNotNull &&
-        col("cnt") >= minSup)
-      .select(col("part_a"), col("part_b"), col("cnt").as("pair_count"))
-    val marg = counts
-      .filter(col("part_a").isNotNull && col("part_b").isNull)
-      .select(col("part_a").as("l_partkey"), col("cnt"))
-    val totals = counts
-      .filter(col("part_a").isNull)
-      .select(col("cnt").as("n_orders"))
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(marg.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
       .join(marg.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")

@@ -1211,12 +1211,31 @@ object Dedup {
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(sort_array(collect_list(col("fp"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
+      // the fp-bucket triangle gets the SAME block decomposition as the
+      // id expansions below: a large-but-under-cap distinct-fp bucket
+      // would otherwise materialize C(c,2) structs (up to ~5e9 at the
+      // default cap) as ONE in-row array before the hamming filter —
+      // per-row memory is O(block²) after chunking, whatever the bucket
+      // size. ms is sorted, so diagonal blocks pair (i, j>i) and
+      // off-diagonal blocks pair everything; fp_a < fp_b either way.
+      .select(col("ms"), explode(expr(
+        s"""flatten(transform(sequence(0, (size(ms) - 1) div $B), i ->
+           |  transform(sequence(i, (size(ms) - 1) div $B),
+           |            j -> struct(i AS bi, j AS bj))))""".stripMargin)).as("b"))
+      .select(expr(s"slice(ms, b.bi * $B + 1, $B)").as("xs"),
+        expr(s"slice(ms, b.bj * $B + 1, $B)").as("ys"),
+        (col("b.bi") === col("b.bj")).as("diag"))
       .select(explode(expr(
         s"""filter(
-           |  flatten(transform(ms, (a, i) ->
-           |    transform(slice(ms, i + 2, size(ms)), b ->
-           |      struct(a AS fp_a, b AS fp_b,
-           |             bit_count(a ^ b) AS hamming)))),
+           |  CASE WHEN diag THEN
+           |    flatten(transform(xs, (a, i) ->
+           |      transform(slice(xs, i + 2, size(xs)), b ->
+           |        struct(a AS fp_a, b AS fp_b, bit_count(a ^ b) AS hamming))))
+           |  ELSE
+           |    flatten(transform(xs, a ->
+           |      transform(ys, b -> struct(a AS fp_a, b AS fp_b,
+           |                                bit_count(a ^ b) AS hamming))))
+           |  END,
            |  p -> p.hamming <= $maxHamming)""".stripMargin)).as("p"))
       .select(col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"),
         col("p.hamming").as("hamming"))

@@ -92,33 +92,53 @@ object QuantizerStore {
     s"${r.getLong(0)}_${r.getLong(1)}"
   }
 
+  /** Bump when ANY training algorithm this store persists changes
+    * behavior — it is part of the params.json validity check, so a code
+    * change retrains instead of silently serving the pre-change model
+    * from a warm /tmp.
+    */
+  private[graft] val AlgoVersion = 2
+
+  /** One lock object per store path: TrieMap.getOrElseUpdate may
+    * evaluate its builder concurrently on first access, and two threads
+    * training-and-overwriting cent/ + asn/ at the same path can leave a
+    * reader seeing a half-overwritten store. The per-path monitor
+    * serializes the train-and-write critical section; the memo above it
+    * stays lock-free for the hot (already-open) path.
+    */
+  private val pathLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
   private def ensure(s: SparkSession, dir: String, kind: String,
       train: DataFrame => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
     opened.getOrElseUpdate((s, dir, kind), {
       val base = root(dir, kind)
-      val paramPath = Paths.get(base, "params.json")
-      val emb = graft.core.Tables.load(s, dir, "embeddings")
-      val fp = fingerprint(emb)
-      val fresh = Files.exists(paramPath) &&
-        new String(Files.readAllBytes(paramPath), StandardCharsets.UTF_8)
-          .contains(s""""fp": "$fp"""")
-      if (!fresh) {
-        trainCount.incrementAndGet()
-        val e = Similarity.withNorm(emb)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (cent, asn) = train(e)
-        // materialize centroids BEFORE overwriting cent/ — on a retrain
-        // the lazy plan may reference the store's own previous files
-        val localCent = Similarity.localized(cent)
-        localCent.write.mode("overwrite").parquet(s"$base/cent")
-        asn.write.mode("overwrite").parquet(s"$base/asn")
-        e.unpersist()
-        Files.createDirectories(Paths.get(base))
-        Files.write(paramPath,
-          s"""{"fp": "$fp", "kind": "$kind", "nCent": 8}"""
-            .getBytes(StandardCharsets.UTF_8))
+      pathLocks.getOrElseUpdate(base, new Object).synchronized {
+        val paramPath = Paths.get(base, "params.json")
+        val emb = graft.core.Tables.load(s, dir, "embeddings")
+        val fp = fingerprint(emb)
+        val fresh = Files.exists(paramPath) && {
+          val txt = new String(Files.readAllBytes(paramPath), StandardCharsets.UTF_8)
+          txt.contains(s""""fp": "$fp"""") &&
+            txt.contains(s""""algo_version": $AlgoVersion,""")
+        }
+        if (!fresh) {
+          trainCount.incrementAndGet()
+          val e = Similarity.withNorm(emb)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val (cent, asn) = train(e)
+          // materialize centroids BEFORE overwriting cent/ — on a retrain
+          // the lazy plan may reference the store's own previous files
+          val localCent = Similarity.localized(cent)
+          localCent.write.mode("overwrite").parquet(s"$base/cent")
+          asn.write.mode("overwrite").parquet(s"$base/asn")
+          e.unpersist()
+          Files.createDirectories(Paths.get(base))
+          Files.write(paramPath,
+            s"""{"fp": "$fp", "algo_version": $AlgoVersion, "kind": "$kind", "nCent": 8}"""
+              .getBytes(StandardCharsets.UTF_8))
+        }
+        (Similarity.localized(s.read.parquet(s"$base/cent")),
+          s.read.parquet(s"$base/asn"))
       }
-      (Similarity.localized(s.read.parquet(s"$base/cent")),
-        s.read.parquet(s"$base/asn"))
     })
 }

@@ -101,21 +101,31 @@ object TextAnalysis {
     * across engines.
     */
   def withQuality(docs: DataFrame): DataFrame = {
-    val tk = tokens(col("text"))
-    val nTok = size(tk).cast("double")
+    // materialize the token array and the shared counts ONCE per row in
+    // their own projection level: the split/filter/regexp trees are
+    // higher-order or regex expressions (no codegen subexpression
+    // elimination), and CollapseProject keeps a non-cheap expression
+    // referenced more than once un-inlined — without this, every metric
+    // re-tokenized the text (profiled at 4-7 split() evaluations per row
+    // through the quality+gopher screen stack)
+    val nTok = col("__q_ntok").cast("double")
     val nChars = length(col("text")).cast("double")
-    val punct = regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("double")
-    val stops = expr(
-      "size(filter(split(text, '\\\\s+'), x -> x IN ('the','a','of','and','to','in','is')))")
-      .cast("double")
+    val punct = col("__q_punct").cast("double")
+    val stops = col("__q_stops").cast("double")
     docs
-      .withColumn("n_tokens", size(tk))
+      .withColumn("__q_tk", tokens(col("text")))
+      .withColumn("__q_ntok", size(col("__q_tk")))
+      .withColumn("__q_punct", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
+      .withColumn("__q_stops", expr(
+        "size(filter(__q_tk, x -> x IN ('the','a','of','and','to','in','is')))"))
+      .withColumn("n_tokens", col("__q_ntok"))
       .withColumn("punct_ratio", graft.functions.Hashing.rd4(punct / nChars))
       .withColumn("stop_ratio", graft.functions.Hashing.rd4(stops / nTok))
       .withColumn("quality", graft.functions.Hashing.rd4(
         least(lit(1.0), nTok / 100.0) * 0.4 +
           (lit(1.0) - punct / nChars) * 0.3 +
           least(lit(1.0), stops * 5.0 / nTok) * 0.3))
+      .drop("__q_tk", "__q_ntok", "__q_punct", "__q_stops")
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio composite. */
@@ -214,16 +224,31 @@ object TextAnalysis {
 
   /** Score + per-doc rank over a prebuilt (doc_id, term, tf) table —
     * shared by the in-row ([[inRowTf]]) and exploded-token derivations.
+    *
+    * Shuffle discipline (dupSpanCoverage's, applied here after the r11
+    * plan audit): the df aggregate, the df join, and the per-doc rank
+    * window all move the 60-bit term HASH, never the term string —
+    * term strings re-attach only to the k·n_docs ranked survivors, via
+    * a (doc_id, hash)-keyed join whose ranked side is small enough for
+    * AQE to broadcast (falling back to one string shuffle at corpus
+    * scale, still half the old plan's two). The rank tie-break is the
+    * hash (engine-portable md5 — the DuckDB twin tie-breaks on the same
+    * value), so ranking is deterministic without strings in the window.
     */
   private def tfidfScoredFrom(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfh = tf.withColumn("th", graft.functions.Hashing.h60(col("term")))
+    val slim = tfh.select(col("doc_id"), col("th"), col("tf"))
+    val dfT = slim.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+    val scored = slim.join(dfT, "th").crossJoin(broadcast(n))
       .withColumn("score", graft.functions.Hashing.rd4(
         (col("tf") * col("n_docs")).cast("double") / col("df")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("th"))
+    val ranked = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("th"), col("tf"), col("df"), col("score"), col("rnk"))
+    ranked
+      .join(tfh.select(col("doc_id"), col("th"), col("term")), Seq("doc_id", "th"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
@@ -888,20 +913,22 @@ object TextAnalysis {
     */
   def withGopherRules(docs: DataFrame): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
-    val tk = tokens(col("text"))
     docs
-      .withColumn("n_tokens", size(tk).cast("long"))
+      // single tokenize per row — the withQuality materialization note
+      .withColumn("__g_tk", tokens(col("text")))
+      .withColumn("n_tokens", size(col("__g_tk")).cast("long"))
       .withColumn("mean_tok_chars", rd4(
-        expr("aggregate(split(text, '\\\\s+'), 0L, (a, x) -> a + length(x))")
+        expr("aggregate(__g_tk, 0L, (a, x) -> a + length(x))")
           / col("n_tokens")))
       .withColumn("frac_alpha", rd4(
-        expr("size(filter(split(text, '\\\\s+'), x -> x rlike '[a-z]'))").cast("long")
+        expr("size(filter(__g_tk, x -> x rlike '[a-z]'))").cast("long")
           / col("n_tokens")))
       .withColumn("stop_hits",
-        expr("size(filter(split(text, '\\\\s+'), x -> x IN ('the','a','of','and','to','in','is')))")
+        expr("size(filter(__g_tk, x -> x IN ('the','a','of','and','to','in','is')))")
           .cast("long"))
       .withColumn("symbol_ratio", rd4(
         regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long") / col("n_tokens")))
+      .drop("__g_tk")
       .withColumn("flag_word_count", col("n_tokens").between(50L, 100000L))
       .withColumn("flag_mean_len", col("mean_tok_chars").between(3.0, 10.0))
       .withColumn("flag_alpha", col("frac_alpha") >= 0.8)

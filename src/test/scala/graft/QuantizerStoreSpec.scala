@@ -74,6 +74,30 @@ class QuantizerStoreSpec extends SparkSpec {
     assert(a2.count() == 100L)
   }
 
+  test("a pre-AlgoVersion params.json triggers a retrain (stale-model guard)") {
+    val dir = freshCorpusDir((0L until 80L).map(i => (i, i + 3)))
+    val (c1, _) = QuantizerStore.kmeansPp(spark, dir.toString)
+    val cent1 = sortedRows(c1)
+    // forge an old-format params.json: correct fingerprint, no algo tag —
+    // exactly what a warm /tmp holds after a training-code change
+    val storeRoot = {
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(dir.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft_quantizers/$digest/pp8x3")
+    }
+    val pj = storeRoot.resolve("params.json")
+    val txt = new String(Files.readAllBytes(pj), "UTF-8")
+    Files.write(pj, txt.replace(s""""algo_version": ${QuantizerStore.AlgoVersion},""", "")
+      .getBytes("UTF-8"))
+    QuantizerStore.dropHandles()
+    val before = QuantizerStore.trainCount.get()
+    val (c2, _) = QuantizerStore.kmeansPp(spark, dir.toString)
+    assert(QuantizerStore.trainCount.get() == before + 1,
+      "missing/old algo_version must retrain, not serve the pre-change model")
+    assert(sortedRows(c2) == cent1, "same corpus + same algorithm must retrain to the same model")
+  }
+
   test("a regenerated corpus under the same path triggers a retrain") {
     val dir = freshCorpusDir((0L until 90L).map(i => (i, i)))
     val (c1, _) = QuantizerStore.kmeansPp(spark, dir.toString)

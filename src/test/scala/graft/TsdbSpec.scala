@@ -188,6 +188,14 @@ class TsdbSpec extends SparkSpec {
     val generic = Tsdb.intervalJoin(evs, win, "error")
     assert(fused.except(generic).isEmpty && generic.except(fused).isEmpty,
       "fused activityIntervalJoin differs from activityWindows ∘ intervalJoin")
+    // the driver-side islands fold is bounded by the TIME RANGE, not the
+    // data volume — a pathological window/resolution combination must
+    // fail loudly (require) instead of OOMing the driver
+    val boom = intercept[IllegalArgumentException] {
+      Tsdb.activityIntervalJoin(evs, Tsdb.points1(evs), "purchase", 1.0, "error",
+        maxWindowHours = 1L)
+    }
+    assert(boom.getMessage.contains("maxWindowHours"))
   }
 
   test("anomalyMad flags the outlier a variance-based score would dilute") {

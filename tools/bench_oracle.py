@@ -10,16 +10,24 @@ Usage: python3 tools/bench_oracle.py [sfDir] [oracle_sql.json] [passes] [prefix]
 Writes {prefix}_duckdb.json (machine-readable; read by graft.Bench to
 print spark-vs-duckdb totals) and {prefix}.md (the judge-facing summary).
 prefix defaults to BASELINE; use e.g. BASELINE_sf1 for the 10x capture.
+
+Env knobs (for targeted re-times of the floored queries):
+  GRAFT_ORACLE_TIMEOUT  per-query cap in seconds (default 300)
+  GRAFT_ORACLE_ONLY     comma-separated query names (default: all)
+  GRAFT_ORACLE_THREADS  duckdb thread cap (default: all cores)
 """
-import duckdb, json, sys, threading, time
+import duckdb, json, os, sys, threading, time
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gv1/oracle_sql.json"
 passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 prefix = sys.argv[4] if len(sys.argv) > 4 else "BASELINE"
-TIMEOUT_S = 300.0
+TIMEOUT_S = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "300"))
+only = set(n for n in os.environ.get("GRAFT_ORACLE_ONLY", "").split(",") if n)
 
 con = duckdb.connect()
+if os.environ.get("GRAFT_ORACLE_THREADS"):
+    con.sql(f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
 # Keep a runaway plan from taking the box down: bound RAM and spill. The
 # graph/all-pairs oracles at sf1 are known to spill tens of GB (the
 # knn-clusters recursion hit 60 GB at 10x) — cap spill below free disk.
@@ -36,7 +44,14 @@ for t in ["region", "nation", "customer", "supplier", "part",
 oracle = json.load(open(oracle_path))
 times, timeouts, dnf = {}, [], {}
 for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    # a successful pass always wins over a later timeout/DNF pass: the
+    # floor is a LAST resort for queries where NO pass completed — a
+    # real measurement must never be overwritten by an inflated floor
+    # (that would raise duckdb_total and flatter the spark ratio)
     best = None
+    floor = None
     for _ in range(passes):
         timer = threading.Timer(TIMEOUT_S, con.interrupt)
         timer.start()
@@ -49,18 +64,24 @@ for name in sorted(oracle):
             dt = time.time() - t0
             if dt >= TIMEOUT_S - 1:
                 timeouts.append(name)
-                best = TIMEOUT_S  # floor: the true cost is higher
+                floor = TIMEOUT_S  # floor: the true cost is higher
             else:
                 # resource death (OOM / out-of-spill) — single-node DNF.
                 # Floor the cost at the elapsed time: the true cost is
                 # higher (infinite on this box), so this is conservative
                 # AGAINST the Spark side of the ratio.
                 dnf[name] = f"{type(e).__name__} after {dt:.1f}s"
-                best = dt if best is None else max(best, dt)
+                floor = dt if floor is None else max(floor, dt)
             break  # a timed-out/died query is not re-run on later passes
         finally:
             timer.cancel()
-    times[name] = round(best, 3)
+    if best is not None:
+        # at least one pass completed: report the real min, and demote
+        # any timeout/DNF of another pass to an annotation-only event
+        if name in timeouts:
+            timeouts.remove(name)
+        dnf.pop(name, None)
+    times[name] = round(best if best is not None else floor, 3)
     print(f"{times[name]:9.3f}s  {name}"
           + ("  [TIMEOUT floor]" if name in timeouts else "")
           + (f"  [DNF {dnf[name]}]" if name in dnf else ""), flush=True)
