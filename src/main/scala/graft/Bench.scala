@@ -28,7 +28,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_PASSES (timed passes, default 3 — 2 is enough at sf1
   * where per-pass wall time makes 3 impractical), SPARK_GRAFT_BASELINE
   * (which *_duckdb.json carries the oracle total for the printed ratio;
-  * default BASELINE_duckdb.json, use BASELINE_sf1_duckdb.json at sf1).
+  * default BASELINE_duckdb.json, use BASELINE_sf1_duckdb.json at sf1),
+  * SPARK_GRAFT_ONLY (comma-separated query names — family-subset
+  * captures at stress scale factors, e.g. the dedup/ANN sf3 scaling
+  * probe; the printed total then covers only those queries).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,7 +47,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }

@@ -957,27 +957,46 @@ object TextAnalysis {
     */
   def dsirWeights(docs: DataFrame, dim: Int = 64,
       qualityCut: Double = 0.7): DataFrame = {
-    val docCnt = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        pmod(graft.functions.Hashing.h60(col("tok")), lit(dim.toLong)).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    val targetIds = withQuality(docs)
-      .filter(col("quality") >= qualityCut).select(col("doc_id"))
-    val rawTot = docCnt.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val tgtTot = docCnt.join(targetIds, "doc_id")
-      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+    // Per-doc bucket histogram IN-ROW (the inRowTf run-length trick over
+    // sorted bucket ids): (doc, bucket) occurrences never shuffle. The
+    // r11 plan shuffled the distinct-keyed (doc_id, b) wordcount TWICE
+    // (bucket aggregate + per-doc weight aggregate) and joined the
+    // target ids; here one persisted narrow projection (doc_id, quality,
+    // ≤dim-entry bc array) feeds (a) two bucket aggregates whose
+    // map-side combine reduces each task to ≤dim rows — the quality
+    // column rides along, so the target side needs NO join — and (b) a
+    // map-only in-row Σ c·g against the broadcast 1-row bucket→g map.
+    val h = s"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % ${dim}L"
+    val rle = withQuality(docs)
+      .withColumn("__s", expr(s"array_sort(transform(split(text, '\\\\s+'), t -> $h))"))
+      .withColumn("__starts", expr(
+        """filter(sequence(1, size(__s)),
+          |        i -> i = 1 OR element_at(__s, i) <> element_at(__s, i - 1))""".stripMargin))
+      .select(col("doc_id"), col("quality"), expr(
+        """transform(sequence(1, size(__starts)), j -> struct(
+          |  element_at(__s, element_at(__starts, j)) AS b,
+          |  CAST((IF(j = size(__starts), size(__s) + 1, element_at(__starts, j + 1))
+          |        - element_at(__starts, j)) AS BIGINT) AS c))""".stripMargin).as("bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val rawTot = rle.select(explode(col("bc")).as("p"))
+      .groupBy(col("p.b").as("b")).agg(sum(col("p.c")).as("cr"))
+    val tgtTot = rle.filter(col("quality") >= qualityCut)
+      .select(explode(col("bc")).as("p"))
+      .groupBy(col("p.b").as("b")).agg(sum(col("p.c")).as("ct"))
     // target ⊆ raw, so left-joining raw covers every occupied bucket
     val cnts = rawTot.join(tgtTot, Seq("b"), "left")
       .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
     val tots = cnts.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
     val g = (floor(log((col("ct") + 1) / (col("t") + dim)) * 1000000.0 + 0.5) -
       floor(log((col("cr") + 1) / (col("r") + dim)) * 1000000.0 + 0.5)).cast("long")
-    val lr = cnts.crossJoin(broadcast(tots)).select(col("b"), g.as("g"))
-    docCnt.join(broadcast(lr), "b")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * col("g")).as("s"))
+    // dim-bounded bucket→g map, collapsed to ONE row and broadcast
+    val gmap = cnts.crossJoin(broadcast(tots)).select(col("b"), g.as("g"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("g")))))
+        .as("gm"))
+    rle.crossJoin(broadcast(gmap))
+      .select(col("doc_id"),
+        expr("aggregate(bc, 0L, (a, p) -> a + p.c)").as("n_tokens"),
+        expr("aggregate(bc, 0L, (a, p) -> a + p.c * element_at(gm, p.b))").as("s"))
       .select(col("doc_id"), col("n_tokens"),
         graft.functions.Hashing.rd4(col("s") / 1000000.0).as("log_weight"),
         graft.functions.Hashing.rd4(

@@ -137,7 +137,9 @@ fingerprint-validated on open) and timed searches READ them, while each
 DuckDB oracle replays the full training loop in SQL — that asymmetry is
 the one place the comparison deliberately charges DuckDB more, because
 retraining a quantizer per query is not a cost any production system
-pays, and the oracle twin retrains only to prove value equality.
+pays, and the oracle twin retrains only to prove value equality. The
+bench therefore also prints `spark_vs_duckdb_excl_quantizer` — the
+ratio with the store-backed queries removed from BOTH sides.
 
 ## 15 most expensive oracle queries (seconds)
 
