@@ -1319,8 +1319,7 @@ object PipelineOracles {
          s AS (SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
                  floor(((tf.tf * n.n_docs) * 1.0 / dfs.df) * 10000.0 + 0.5) / 10000.0 AS score
                FROM tf JOIN dfs USING (term) CROSS JOIN n),
-         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                 ORDER BY score DESC, ('0x' || substr(md5(term), 1, 15))::UBIGINT) AS rnk FROM s)
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
          SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3""",
 
     "text_dup_span_coverage" -> s"""WITH $tok,

@@ -692,11 +692,12 @@ object Analytics {
   def marketBasket(s: SparkSession, dir: String,
       minSup: Long = 2L, topK: Int = 50): DataFrame = {
     // ONE grouped pass builds the per-order basket (sorted distinct part
-    // set), memory-persisted: it is the small relation here (one row per
-    // order, array bounded by basket size — observed ≤ 11 distinct parts
-    // per order; asserted in AnalyticsViewSpec) and all three downstream
-    // reads (pairs, marginals, order total) are cache scans. The pair
-    // explode then carries PAIRS ONLY (part_a < part_b by sorted-set
+    // set — one row per order, array bounded by basket size: observed
+    // ≤ 11 distinct parts per order, asserted in AnalyticsViewSpec); its
+    // exchange is REUSED by all three downstream reads (pairs,
+    // marginals, order total) — an explicit persist A/B'd strictly
+    // slower at sf0.1 AND sf1, the r9/r11 finding again. The pair
+    // explode carries PAIRS ONLY (part_a < part_b by sorted-set
     // construction, ≤ 55 per order) into one keyed count — the r11 plan
     // tagged marginal and total rows through the same explode+aggregate
     // and then had to freeze the multi-million-row distinct-pair
@@ -713,7 +714,6 @@ object Analytics {
     val baskets = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val pairs = baskets
       .select(explode(expr(
         """flatten(transform(parts, (a, i) ->

@@ -179,7 +179,22 @@ object TextAnalysis {
     * ranking never needs a global sort; N is a 1-row broadcast.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame =
-    tfidfScoredFrom(docs, inRowTf(docs), k)
+    tfidfScoredFrom(docs, explodedTf(docs), k)
+
+  /** The per-document (term, tf) table via explode + partial-agged
+    * groupBy — the whole pipeline is codegen'd (r12 A/B: the in-row
+    * run-length variant's higher-order lambdas are INTERPRETED per
+    * token, ~1µs each, and lost 2x at sf1 despite shuffling nothing;
+    * here map-side partial aggregation collapses each task's token
+    * stream to its distinct (doc, term) rows before the exchange, so
+    * the shuffle is distinct-sized anyway — the 100 TB survival
+    * condition inRowTf was built for, kept, at codegen speed).
+    */
+  private[graft] def explodedTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
   /** The per-document (term, tf) table derived IN-ROW: run-length encode
     * the sorted token array (array_sort + run-boundary filter + transform
@@ -225,30 +240,28 @@ object TextAnalysis {
   /** Score + per-doc rank over a prebuilt (doc_id, term, tf) table —
     * shared by the in-row ([[inRowTf]]) and exploded-token derivations.
     *
-    * Shuffle discipline (dupSpanCoverage's, applied here after the r11
-    * plan audit): the df aggregate, the df join, and the per-doc rank
-    * window all move the 60-bit term HASH, never the term string —
-    * term strings re-attach only to the k·n_docs ranked survivors, via
-    * a (doc_id, hash)-keyed join whose ranked side is small enough for
-    * AQE to broadcast (falling back to one string shuffle at corpus
-    * scale, still half the old plan's two). The rank tie-break is the
-    * hash (engine-portable md5 — the DuckDB twin tie-breaks on the same
-    * value), so ranking is deterministic without strings in the window.
+    * Shuffle discipline (r12 plan audit, after A/B-ing a 60-bit-hash
+    * variant that traded the string shuffles for ~20M md5 calls and
+    * LOST at sf1): the tf table is computed ONCE and memory-persisted
+    * (the df subtree and the scored subtree both read it — unpersisted,
+    * the tokenize+sort derivation ran twice); the df aggregate shuffles
+    * partial-agged vocabulary rows and broadcasts back (AQE falls back
+    * to a keyed shuffle if a 100TB vocabulary outgrows it), so the tf
+    * stream itself never shuffles for the join; and the per-doc rank
+    * filter compiles to WindowGroupLimit, which prunes to ≤k rows per
+    * doc per partition BEFORE the window exchange — the only full-width
+    * string shuffle left is output-sized.
     */
   private def tfidfScoredFrom(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
-    val tfh = tf.withColumn("th", graft.functions.Hashing.h60(col("term")))
-    val slim = tfh.select(col("doc_id"), col("th"), col("tf"))
-    val dfT = slim.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    val tfp = tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val dfT = tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = slim.join(dfT, "th").crossJoin(broadcast(n))
+    val scored = tfp.join(dfT, "term").crossJoin(broadcast(n))
       .withColumn("score", graft.functions.Hashing.rd4(
         (col("tf") * col("n_docs")).cast("double") / col("df")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("th"))
-    val ranked = scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("th"), col("tf"), col("df"), col("score"), col("rnk"))
-    ranked
-      .join(tfh.select(col("doc_id"), col("th"), col("term")), Seq("doc_id", "th"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
@@ -957,46 +970,39 @@ object TextAnalysis {
     */
   def dsirWeights(docs: DataFrame, dim: Int = 64,
       qualityCut: Double = 0.7): DataFrame = {
-    // Per-doc bucket histogram IN-ROW (the inRowTf run-length trick over
-    // sorted bucket ids): (doc, bucket) occurrences never shuffle. The
-    // r11 plan shuffled the distinct-keyed (doc_id, b) wordcount TWICE
-    // (bucket aggregate + per-doc weight aggregate) and joined the
-    // target ids; here one persisted narrow projection (doc_id, quality,
-    // ≤dim-entry bc array) feeds (a) two bucket aggregates whose
-    // map-side combine reduces each task to ≤dim rows — the quality
-    // column rides along, so the target side needs NO join — and (b) a
-    // map-only in-row Σ c·g against the broadcast 1-row bucket→g map.
-    val h = s"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % ${dim}L"
-    val rle = withQuality(docs)
-      .withColumn("__s", expr(s"array_sort(transform(split(text, '\\\\s+'), t -> $h))"))
-      .withColumn("__starts", expr(
-        """filter(sequence(1, size(__s)),
-          |        i -> i = 1 OR element_at(__s, i) <> element_at(__s, i - 1))""".stripMargin))
-      .select(col("doc_id"), col("quality"), expr(
-        """transform(sequence(1, size(__starts)), j -> struct(
-          |  element_at(__s, element_at(__starts, j)) AS b,
-          |  CAST((IF(j = size(__starts), size(__s) + 1, element_at(__starts, j + 1))
-          |        - element_at(__starts, j)) AS BIGINT) AS c))""".stripMargin).as("bc"))
+    // Codegen-first shape (r12 A/B: an in-row run-length variant's
+    // interpreted lambdas lost to this at sf1): explode + partial-agged
+    // groupBy collapses each task's token stream to its distinct
+    // (doc, term) rows before the one exchange; md5 then runs on the
+    // POST-aggregate rows only (once per distinct term per doc, not per
+    // occurrence — the hash, not the shuffle, dominated the r11 cost).
+    // The bucket totals are ≤dim rows per task after map-side combine,
+    // and the target side filters the quality column attached once by a
+    // doc-count-sized (AQE-broadcast) join to the persisted table —
+    // both aggregates and the final per-doc reduction are cache reads.
+    val q = withQuality(docs).select(col("doc_id"), col("quality"))
+    val d = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        pmod(graft.functions.Hashing.h60(col("t")), lit(dim.toLong)).as("b"),
+        col("c"))
+      .join(q, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val rawTot = rle.select(explode(col("bc")).as("p"))
-      .groupBy(col("p.b").as("b")).agg(sum(col("p.c")).as("cr"))
-    val tgtTot = rle.filter(col("quality") >= qualityCut)
-      .select(explode(col("bc")).as("p"))
-      .groupBy(col("p.b").as("b")).agg(sum(col("p.c")).as("ct"))
+    val rawTot = d.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgtTot = d.filter(col("quality") >= qualityCut)
+      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
     // target ⊆ raw, so left-joining raw covers every occupied bucket
     val cnts = rawTot.join(tgtTot, Seq("b"), "left")
       .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
     val tots = cnts.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
     val g = (floor(log((col("ct") + 1) / (col("t") + dim)) * 1000000.0 + 0.5) -
       floor(log((col("cr") + 1) / (col("r") + dim)) * 1000000.0 + 0.5)).cast("long")
-    // dim-bounded bucket→g map, collapsed to ONE row and broadcast
-    val gmap = cnts.crossJoin(broadcast(tots)).select(col("b"), g.as("g"))
-      .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("g")))))
-        .as("gm"))
-    rle.crossJoin(broadcast(gmap))
-      .select(col("doc_id"),
-        expr("aggregate(bc, 0L, (a, p) -> a + p.c)").as("n_tokens"),
-        expr("aggregate(bc, 0L, (a, p) -> a + p.c * element_at(gm, p.b))").as("s"))
+    val lr = cnts.crossJoin(broadcast(tots)).select(col("b"), g.as("g"))
+    d.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("g")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
         graft.functions.Hashing.rd4(col("s") / 1000000.0).as("log_weight"),
         graft.functions.Hashing.rd4(
@@ -1082,15 +1088,41 @@ object TextAnalysis {
     */
   def filterAgreement(docs: DataFrame, qualityCut: Double = 0.55): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
-    val q = withGopherRules(withQuality(docs))
-    val lenScore = rd4(least(lit(1.0), col("n_tokens").cast("double") / 100.0))
-    val z = lenScore * lit(0.9) - col("punct_ratio") * lit(1.2) +
-      col("stop_ratio") * lit(0.6) - lit(0.1)
+    // fully fused single-tokenize projection: the quality screen, the
+    // Gopher rules AND the model score all derive from ONE materialized
+    // token array + ONE symbol-regex count (the withQuality/-GopherRules
+    // chain tokenizes once per FAMILY — two splits and two regexp scans
+    // per row; every formula below is bit-identical to the chained
+    // derivation, which TextAnalysisSpec and the oracle pin)
+    val base = docs
+      .withColumn("__tk", tokens(col("text")))
+      .withColumn("__np", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
+      .withColumn("__ntok", size(col("__tk")))
+      .withColumn("__stops", expr(
+        "size(filter(__tk, x -> x IN ('the','a','of','and','to','in','is')))"))
+      .withColumn("__sumlen", expr("aggregate(__tk, 0L, (a, x) -> a + length(x))"))
+      .withColumn("__alpha", expr("size(filter(__tk, x -> x rlike '[a-z]'))"))
+    val nTokD = col("__ntok").cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punctD = col("__np").cast("double")
+    val stopsD = col("__stops").cast("double")
+    val quality = rd4(least(lit(1.0), nTokD / 100.0) * 0.4 +
+      (lit(1.0) - punctD / nChars) * 0.3 +
+      least(lit(1.0), stopsD * 5.0 / nTokD) * 0.3)
+    val nTokL = col("__ntok").cast("long")
+    val meanTok = rd4(col("__sumlen") / nTokL)
+    val fracAlpha = rd4(col("__alpha").cast("long") / nTokL)
+    val symbol = rd4(col("__np").cast("long") / nTokL)
+    val rulesPass = nTokL.between(50L, 100000L) && meanTok.between(3.0, 10.0) &&
+      (fracAlpha >= 0.8) && (col("__stops").cast("long") >= 2L) && (symbol < 0.1)
+    val lenScore = rd4(least(lit(1.0), nTokL.cast("double") / 100.0))
+    val z = lenScore * lit(0.9) - rd4(punctD / nChars) * lit(1.2) +
+      rd4(stopsD / nTokD) * lit(0.6) - lit(0.1)
     val modelScore = rd4(greatest(lit(0.0), least(lit(1.0), z * lit(0.5) + lit(0.5))))
-    q.select(col("doc_id"), col("n_tokens"),
-        col("pass").as("rules_pass"),
+    base.select(nTokL.as("n_tokens"),
+        rulesPass.as("rules_pass"),
         (modelScore >= 0.55).as("model_keep"),
-        (col("quality") >= qualityCut).as("quality_keep"))
+        (quality >= qualityCut).as("quality_keep"))
       .groupBy(col("rules_pass"), col("model_keep"), col("quality_keep"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
