@@ -691,44 +691,30 @@ object Analytics {
     */
   def marketBasket(s: SparkSession, dir: String,
       minSup: Long = 2L, topK: Int = 50): DataFrame = {
-    // ONE grouped pass builds the per-order basket (sorted distinct part
-    // set — one row per order, array bounded by basket size: observed
-    // ≤ 11 distinct parts per order, asserted in AnalyticsViewSpec); its
-    // exchange is REUSED by all three downstream reads (pairs,
-    // marginals, order total) — an explicit persist A/B'd strictly
-    // slower at sf0.1 AND sf1, the r9/r11 finding again. The pair
-    // explode carries PAIRS ONLY (part_a < part_b by sorted-set
-    // construction, ≤ 55 per order) into one keyed count — the r11 plan
-    // tagged marginal and total rows through the same explode+aggregate
-    // and then had to freeze the multi-million-row distinct-pair
-    // aggregate for its three readers; deriving marginals from a second
-    // cheap explode of the CACHED baskets (590k rows → one row per
-    // part) and n_orders from a cache count drops both the tag rows
-    // (~45% of the exploded stream) and the distinct-pair
-    // materialization entirely, because the pair aggregate now has
-    // exactly one consumer. Marginals are part-count-bounded (≤ #parts)
-    // — AQE broadcasts them at bench scale and falls back to a keyed
-    // shuffle join if a 100TB parts dimension ever outgrows the
-    // broadcast threshold (no hint on purpose); the order total is a
-    // 1-row broadcast.
-    val baskets = t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-    val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(parts, (a, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            b -> struct(a AS part_a, b AS part_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
+    // FULLY CODEGEN shape (r12 A/B): one distinct (order, part)
+    // projection feeds an orderkey-equi self-join (a.part < b.part —
+    // output bounded by C(basket,2) ≤ 55/order, the AnalyticsViewSpec
+    // bound, never quadratic in the fact table), the part-keyed
+    // marginals, and the order count. Earlier rounds built per-order
+    // arrays with collect_set + an in-row pair transform; that
+    // ObjectHashAggregate allocates 1.5M JVM arrays at sf1 and its cost
+    // swung 2x with the surrounding JVM's heap pressure, while this
+    // join pipeline is whole-stage-codegen'd end to end and measured
+    // both faster AND stable (2.5 s vs 3.0–6.4 s at sf1). Marginals are
+    // part-count-bounded (≤ #parts) — AQE broadcasts them at bench
+    // scale and falls back to a keyed shuffle join if a 100TB parts
+    // dimension ever outgrows the broadcast threshold (no hint on
+    // purpose); the order total is a 1-row broadcast.
+    val dp = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = dp.as("a")
+      .join(dp.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minSup)
-    val marg = baskets
-      .select(explode(col("parts")).as("l_partkey"))
-      .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("cnt"))
-    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val marg = dp.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val totals = dp.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
     pairs
       .join(marg.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
       .join(marg.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")
