@@ -1150,7 +1150,9 @@ object Dedup {
     * key) is excluded from candidate generation instead of joined
     * quadratically. Identical-fingerprint pairs (hamming 0) are exact
     * results, not candidates — they are emitted regardless of the cap,
-    * in memory-bounded [[SimhashIdBlock]] chunks.
+    * streamed out of an fp-equi self-join (r12; the former in-row
+    * [[SimhashIdBlock]]-chunked group expansion survives only in the
+    * fp-bucket triangle, where the rows really are arrays).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       bucketCap: Long = 100000L): DataFrame = {
@@ -1162,51 +1164,39 @@ object Dedup {
     // COLLAPSE BY FINGERPRINT FIRST: a dup-flooded corpus puts hundreds
     // of identical-fp docs into the same bucket of EVERY band, so any
     // doc-level banding re-verifies the same quadratic flood once per
-    // band and then pays a corpus-pair-sized distinct. Grouping docs by
-    // fp up front (one narrow shuffle) makes hamming-0 pairs pure
-    // output-side combinatorics (within each sorted id group), and the
-    // banding/verify runs over DISTINCT fingerprints only — the flood
-    // is one row there. A doc pair lands in exactly one (fp_a, fp_b)
-    // cell and fp pairs are deduped across bands while still
-    // group-sized, so the final doc-pair stream needs NO distinct
-    // shuffle at all: everything after the two tiny aggregations is
-    // map-only and output-bounded. `bucketCap` therefore now bounds
-    // DISTINCT-fp band buckets (the quadratic risk that survives the
-    // collapse); pigeonhole completeness for hamming ≤ SimhashBands-1
-    // is unchanged.
-    val groups = simhashFingerprints(docs)
-      .groupBy(col("fp")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .localCheckpoint() // consumed by three subtrees below; tiny (distinct fps)
-    // Within-group (hamming 0) pairs are quadratic in group size, and a
-    // dup flood makes groups of 10⁴⁺ docs: materializing C(k,2) structs
-    // as ONE in-row array before the explode is O(k²) memory in a single
-    // row. Chunk the triangle into block pairs of ≤ SimhashIdBlock ids —
-    // each intermediate row holds two ≤512-id slices and emits at most
-    // 512² pairs, so per-row memory is O(block²) whatever the flood
-    // size, and block rows distribute across tasks after the explode.
-    // ids are sorted, so diagonal blocks pair (i, j>i) and off-diagonal
-    // blocks pair everything (all of block a < all of block b).
-    val B = SimhashIdBlock
-    val within = groups.filter(size(col("ids")) >= 2)
-      .select(col("ids"), explode(expr(
-        s"""flatten(transform(sequence(0, (size(ids) - 1) div $B), i ->
-           |  transform(sequence(i, (size(ids) - 1) div $B),
-           |            j -> struct(i AS bi, j AS bj))))""".stripMargin)).as("b"))
-      .select(expr(s"slice(ids, b.bi * $B + 1, $B)").as("xs"),
-        expr(s"slice(ids, b.bj * $B + 1, $B)").as("ys"),
-        (col("b.bi") === col("b.bj")).as("diag"))
-      .select(explode(expr(
-        """CASE WHEN diag THEN
-          |  flatten(transform(xs, (a, i) ->
-          |    transform(slice(xs, i + 2, size(xs)),
-          |              b -> struct(a AS doc_a, b AS doc_b))))
-          |ELSE
-          |  flatten(transform(xs, a ->
-          |    transform(ys, b -> struct(a AS doc_a, b AS doc_b))))
-          |END""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+    // band and then pays a corpus-pair-sized distinct. Hamming-0 pairs
+    // come straight from an fp-equi self-join, and the banding/verify
+    // runs over DISTINCT fingerprints only — the flood is one row
+    // there. A doc pair lands in exactly one (fp_a, fp_b) cell and fp
+    // pairs are deduped across bands while still fp-level, so the
+    // final doc-pair stream needs NO distinct shuffle at all:
+    // everything after the tiny fp-level aggregation is join-streamed
+    // and output-bounded. `bucketCap` bounds DISTINCT-fp band buckets
+    // (the quadratic risk that survives the collapse); pigeonhole
+    // completeness for hamming ≤ SimhashBands-1 is unchanged.
+    // Narrow (doc_id, fp) relation, persisted once (columnar long
+    // pairs): read by the hamming-0 self-join (both sides), the
+    // distinct-fp banding, and the cross-fp expansion joins — the
+    // per-doc fingerprint fold is the expensive map work and is paid
+    // once. r12 rewrite: the former collect_list id-group table (an
+    // ObjectHashAggregate building per-fp JVM arrays, then chunked
+    // in-row pair transforms) was the plan's GC-coupled cost — its
+    // in-bench time swung 2x with surrounding heap pressure; the join
+    // shape below stays in whole-stage codegen end to end.
+    val d = simhashFingerprints(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // Hamming-0 pairs: identical fps pair among themselves — a codegen
+    // fp-equi self-join (doc_a < doc_b gives each pair once). A dup
+    // flood is ONE hot fp key: sort-merge join buffers the matched
+    // group in a spillable row array (O(k) memory, spills past it) and
+    // STREAMS the C(k,2) output — flood-safe without any chunking.
+    val within = d.as("a")
+      .join(d.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(0).as("hamming"))
-    val fpPairs = groups
+    val B = SimhashIdBlock
+    val fpPairs = d.select(col("fp")).distinct()
       .select(col("fp"), explode(array(bandStructs: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(sort_array(collect_list(col("fp"))).as("ms"))
@@ -1240,24 +1230,16 @@ object Dedup {
       .select(col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"),
         col("p.hamming").as("hamming"))
       .distinct() // fp-level: group-sized, not doc-pair-sized
-    // cross-group expansion gets the same block decomposition: two
-    // near-identical floods with distinct fps would otherwise build an
-    // O(|a|·|b|) in-row array
+    // cross-group expansion: two keyed joins of the (small, fp-level)
+    // verified pair table back to the persisted (doc_id, fp) relation —
+    // the id-by-id product of two near-identical floods with distinct
+    // fps streams out of the second join instead of materializing in
+    // any row (same spillable-match-buffer argument as `within`)
     val cross = fpPairs
-      .join(groups.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
-      .join(groups.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
-      .select(col("ids_a"), col("ids_b"), col("hamming"), explode(expr(
-        s"""flatten(transform(sequence(0, (size(ids_a) - 1) div $B, 1), i ->
-           |  transform(sequence(0, (size(ids_b) - 1) div $B, 1),
-           |            j -> struct(i AS bi, j AS bj))))""".stripMargin)).as("b"))
-      .select(expr(s"slice(ids_a, b.bi * $B + 1, $B)").as("xs"),
-        expr(s"slice(ids_b, b.bj * $B + 1, $B)").as("ys"), col("hamming"))
-      .select(explode(expr(
-        """flatten(transform(xs, x ->
-          |  transform(ys, y -> struct(least(x, y) AS doc_a,
-          |                            greatest(x, y) AS doc_b))))""".stripMargin)).as("p"),
-        col("hamming"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("hamming"))
+      .join(d.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(d.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
     within.unionByName(cross)
   }
 }
