@@ -14,6 +14,13 @@ object TextAnalysis {
   /** Whitespace token array. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** Codegen'd whitespace-token count (long) — same value as
+    * `size(tokens(text))` via one [[graft.functions.TextStatsExpr]] byte
+    * scan, with no regex split and no token-array allocation.
+    */
+  def nTokensL(text: Column): Column =
+    graft.functions.TextStatsExpr.stats(text).getField("n_tokens")
+
   private val sharedTokensCache =
     graft.core.SharedViews.register(
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
@@ -91,7 +98,7 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).as("n_ws_tokens"),
+      nTokensL(col("text")).cast("int").as("n_ws_tokens"),
       regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).as("n_bpe_tokens"))
 
   /** Add quality columns (n_tokens, punct_ratio, stop_ratio, quality) to
@@ -101,31 +108,26 @@ object TextAnalysis {
     * across engines.
     */
   def withQuality(docs: DataFrame): DataFrame = {
-    // materialize the token array and the shared counts ONCE per row in
-    // their own projection level: the split/filter/regexp trees are
-    // higher-order or regex expressions (no codegen subexpression
-    // elimination), and CollapseProject keeps a non-cheap expression
-    // referenced more than once un-inlined — without this, every metric
-    // re-tokenized the text (profiled at 4-7 split() evaluations per row
-    // through the quality+gopher screen stack)
-    val nTok = col("__q_ntok").cast("double")
+    // all counters come from ONE fused byte scan (TextStatsExpr) — the
+    // previous split + interpreted filter lambdas paid a regex tokenize
+    // plus ~1µs/token closure dispatch per metric; the struct column is
+    // materialized in its own projection level so every metric reads the
+    // same attribute (CollapseProject keeps non-cheap expressions
+    // referenced more than once un-inlined)
+    val nTok = col("__q.n_tokens").cast("double")
     val nChars = length(col("text")).cast("double")
-    val punct = col("__q_punct").cast("double")
-    val stops = col("__q_stops").cast("double")
+    val punct = col("__q.n_symbol").cast("double")
+    val stops = col("__q.n_stops").cast("double")
     docs
-      .withColumn("__q_tk", tokens(col("text")))
-      .withColumn("__q_ntok", size(col("__q_tk")))
-      .withColumn("__q_punct", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
-      .withColumn("__q_stops", expr(
-        "size(filter(__q_tk, x -> x IN ('the','a','of','and','to','in','is')))"))
-      .withColumn("n_tokens", col("__q_ntok"))
+      .withColumn("__q", graft.functions.TextStatsExpr.stats(col("text")))
+      .withColumn("n_tokens", col("__q.n_tokens").cast("int"))
       .withColumn("punct_ratio", graft.functions.Hashing.rd4(punct / nChars))
       .withColumn("stop_ratio", graft.functions.Hashing.rd4(stops / nTok))
       .withColumn("quality", graft.functions.Hashing.rd4(
         least(lit(1.0), nTok / 100.0) * 0.4 +
           (lit(1.0) - punct / nChars) * 0.3 +
           least(lit(1.0), stops * 5.0 / nTok) * 0.3))
-      .drop("__q_tk", "__q_ntok", "__q_punct", "__q_stops")
+      .drop("__q")
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio composite. */
@@ -137,16 +139,22 @@ object TextAnalysis {
     * [[langId]], fusable into a single scan.
     */
   def withLangId(docs: DataFrame): DataFrame = {
-    def cnt(w: String) = expr(s"size(filter(split(text, '\\\\s+'), x -> x = '$w'))")
+    // marker votes ride the same fused TextStats scan as the quality
+    // screens — the old per-marker split+filter tokenized the text four
+    // times, each through an interpreted lambda
     docs
-      .withColumn("c_en", cnt("the")).withColumn("c_de", cnt("der"))
-      .withColumn("c_es", cnt("el")).withColumn("c_fr", cnt("le"))
+      .withColumn("__l", graft.functions.TextStatsExpr.stats(col("text")))
+      .withColumn("c_en", col("__l.c_the").cast("int"))
+      .withColumn("c_de", col("__l.c_der").cast("int"))
+      .withColumn("c_es", col("__l.c_el").cast("int"))
+      .withColumn("c_fr", col("__l.c_le").cast("int"))
       .withColumn("pred_lang",
         when(col("c_en") > 0 && col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
           .when(col("c_de") > 0 && col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
           .when(col("c_es") > 0 && col("c_es") >= col("c_fr"), "es")
           .when(col("c_fr") > 0, "fr")
           .otherwise("und"))
+      .drop("__l")
   }
 
   /** Language ID: marker-word voting with a deterministic priority order. */
@@ -303,7 +311,7 @@ object TextAnalysis {
     * powers of two, ≥1/(n·ln2) from the boundary elsewhere).
     */
   def lengthHistogram(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), size(tokens(col("text"))).as("n_tokens"))
+    docs.select(col("lang"), nTokensL(col("text")).cast("int").as("n_tokens"))
       .filter(col("n_tokens") >= 1)
       .withColumn("len_bucket", expr("CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS INT)"))
       .groupBy(col("lang"), col("len_bucket"))
@@ -539,7 +547,7 @@ object TextAnalysis {
   def seqPack(docs: DataFrame, budget: Int): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        nTokensL(col("text")).as("n_tokens"))
     graft.core.Ranking
       .withRunningSum(base, Some("lang"), Seq(col("doc_id")), col("n_tokens"), "end_off")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -559,7 +567,7 @@ object TextAnalysis {
   def mixWeights(docs: DataFrame): DataFrame = {
     val all = Window.partitionBy(lit(1))
     docs
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("source"), nTokensL(col("text")).as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .withColumn("tot", sum(col("n_tokens")).over(all))
@@ -582,7 +590,7 @@ object TextAnalysis {
     val rd4 = graft.functions.Hashing.rd4 _
     val all = Window.partitionBy(lit(1))
     docs
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("source"), nTokensL(col("text")).as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .withColumn("tot", sum(col("n_tokens")).over(all))
@@ -633,7 +641,7 @@ object TextAnalysis {
     */
   def mixtureTokenShare(docs: DataFrame, salt: String): DataFrame = {
     val dt = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      nTokensL(col("text")).as("n_tokens"))
     val per = applyMixture(docs, salt)
       .join(dt, "doc_id")
       .groupBy(col("source"))
@@ -857,7 +865,7 @@ object TextAnalysis {
     */
   def sampleTokenBudget(docs: DataFrame, budget: Long, salt: String): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      nTokensL(col("text")).as("n_tokens"),
       graft.functions.Hashing.h60(
         concat(col("doc_id").cast("string"), lit(salt))).as("pick"))
     graft.core.Ranking
@@ -927,21 +935,14 @@ object TextAnalysis {
   def withGopherRules(docs: DataFrame): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
     docs
-      // single tokenize per row — the withQuality materialization note
-      .withColumn("__g_tk", tokens(col("text")))
-      .withColumn("n_tokens", size(col("__g_tk")).cast("long"))
-      .withColumn("mean_tok_chars", rd4(
-        expr("aggregate(__g_tk, 0L, (a, x) -> a + length(x))")
-          / col("n_tokens")))
-      .withColumn("frac_alpha", rd4(
-        expr("size(filter(__g_tk, x -> x rlike '[a-z]'))").cast("long")
-          / col("n_tokens")))
-      .withColumn("stop_hits",
-        expr("size(filter(__g_tk, x -> x IN ('the','a','of','and','to','in','is')))")
-          .cast("long"))
-      .withColumn("symbol_ratio", rd4(
-        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long") / col("n_tokens")))
-      .drop("__g_tk")
+      // single fused byte scan per row — the withQuality TextStats note
+      .withColumn("__g", graft.functions.TextStatsExpr.stats(col("text")))
+      .withColumn("n_tokens", col("__g.n_tokens"))
+      .withColumn("mean_tok_chars", rd4(col("__g.sum_tok_chars") / col("n_tokens")))
+      .withColumn("frac_alpha", rd4(col("__g.n_alpha") / col("n_tokens")))
+      .withColumn("stop_hits", col("__g.n_stops"))
+      .withColumn("symbol_ratio", rd4(col("__g.n_symbol") / col("n_tokens")))
+      .drop("__g")
       .withColumn("flag_word_count", col("n_tokens").between(50L, 100000L))
       .withColumn("flag_mean_len", col("mean_tok_chars").between(3.0, 10.0))
       .withColumn("flag_alpha", col("frac_alpha") >= 0.8)
@@ -1088,33 +1089,26 @@ object TextAnalysis {
     */
   def filterAgreement(docs: DataFrame, qualityCut: Double = 0.55): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
-    // fully fused single-tokenize projection: the quality screen, the
-    // Gopher rules AND the model score all derive from ONE materialized
-    // token array + ONE symbol-regex count (the withQuality/-GopherRules
-    // chain tokenizes once per FAMILY — two splits and two regexp scans
-    // per row; every formula below is bit-identical to the chained
-    // derivation, which TextAnalysisSpec and the oracle pin)
+    // fully fused single-scan projection: the quality screen, the Gopher
+    // rules AND the model score all derive from ONE TextStats byte pass
+    // (no token array, no regex, no interpreted lambdas; every formula
+    // below is bit-identical to the chained derivation, which
+    // TextAnalysisSpec, TextStatsSpec and the oracle pin)
     val base = docs
-      .withColumn("__tk", tokens(col("text")))
-      .withColumn("__np", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
-      .withColumn("__ntok", size(col("__tk")))
-      .withColumn("__stops", expr(
-        "size(filter(__tk, x -> x IN ('the','a','of','and','to','in','is')))"))
-      .withColumn("__sumlen", expr("aggregate(__tk, 0L, (a, x) -> a + length(x))"))
-      .withColumn("__alpha", expr("size(filter(__tk, x -> x rlike '[a-z]'))"))
-    val nTokD = col("__ntok").cast("double")
+      .withColumn("__s", graft.functions.TextStatsExpr.stats(col("text")))
+    val nTokD = col("__s.n_tokens").cast("double")
     val nChars = length(col("text")).cast("double")
-    val punctD = col("__np").cast("double")
-    val stopsD = col("__stops").cast("double")
+    val punctD = col("__s.n_symbol").cast("double")
+    val stopsD = col("__s.n_stops").cast("double")
     val quality = rd4(least(lit(1.0), nTokD / 100.0) * 0.4 +
       (lit(1.0) - punctD / nChars) * 0.3 +
       least(lit(1.0), stopsD * 5.0 / nTokD) * 0.3)
-    val nTokL = col("__ntok").cast("long")
-    val meanTok = rd4(col("__sumlen") / nTokL)
-    val fracAlpha = rd4(col("__alpha").cast("long") / nTokL)
-    val symbol = rd4(col("__np").cast("long") / nTokL)
+    val nTokL = col("__s.n_tokens")
+    val meanTok = rd4(col("__s.sum_tok_chars") / nTokL)
+    val fracAlpha = rd4(col("__s.n_alpha") / nTokL)
+    val symbol = rd4(col("__s.n_symbol") / nTokL)
     val rulesPass = nTokL.between(50L, 100000L) && meanTok.between(3.0, 10.0) &&
-      (fracAlpha >= 0.8) && (col("__stops").cast("long") >= 2L) && (symbol < 0.1)
+      (fracAlpha >= 0.8) && (col("__s.n_stops") >= 2L) && (symbol < 0.1)
     val lenScore = rd4(least(lit(1.0), nTokL.cast("double") / 100.0))
     val z = lenScore * lit(0.9) - rd4(punctD / nChars) * lit(1.2) +
       rd4(stopsD / nTokD) * lit(0.6) - lit(0.1)
@@ -1172,7 +1166,7 @@ object TextAnalysis {
   def packingEfficiency(docs: DataFrame,
       lengths: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame =
     docs
-      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .select(nTokensL(col("text")).as("n"))
       .select(col("n"), explode(array(lengths.map(lit): _*)).as("ctx"))
       .groupBy(col("ctx"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
@@ -1196,7 +1190,7 @@ object TextAnalysis {
     docs
       .select(col("source"),
         length(col("text")).cast("long").as("nc"),
-        size(tokens(col("text"))).cast("long").as("nws"),
+        nTokensL(col("text")).as("nws"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
           .cast("long").as("nbpe"))
       .groupBy(col("source"))
