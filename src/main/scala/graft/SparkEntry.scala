@@ -325,7 +325,10 @@ object SparkEntry {
     "tokenizer_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(t(s, dir, "documents"), 20)),
     "curriculum_stages" -> ((s, dir) =>
-      TextAnalysis.curriculumStagesFrom(TextAnalysis.sharedModelScores(s, dir), 4)),
+      // no frozen projection: with TextStats the score pass is a cheap
+      // codegen map scan, so Ranking's two passes recompute it for less
+      // than a 10x-corpus localCheckpoint write+read used to cost
+      TextAnalysis.curriculumStages(t(s, dir, "documents"), 4)),
     "data_kfold_grouped" -> ((s, dir) => Dedup.kfoldGroupedOf(
       t(s, dir, "documents"), Dedup.sharedClusters(s, dir), 5, "kf1")),
     "embedding_dim_stats" -> ((s, dir) =>

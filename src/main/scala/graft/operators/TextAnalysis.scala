@@ -77,22 +77,6 @@ object TextAnalysis {
         bm25TopKOf(sharedTokens(s, dir), terms, poolSize).localCheckpoint()
       })
 
-  private val sharedModelScoresCache =
-    graft.core.SharedViews.register(
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
-
-  /** The scored-corpus projection (doc_id, model_score, n_tokens) of
-    * [[modelScores]], built ONCE per (session, dir) and frozen — the
-    * two-phase global rank in `curriculum_stages` scans its input twice
-    * (range histogram, then the ranked pass), so ranking a frozen
-    * projection halves the corpus scans and shares them with any other
-    * model-score consumer.
-    */
-  def sharedModelScores(s: SparkSession, dir: String): DataFrame =
-    sharedModelScoresCache.getOrElseUpdate((s, dir),
-      graft.core.SharedViews.building(s) {
-        modelScores(graft.core.Tables.load(s, dir, "documents")).localCheckpoint()
-      })
 
   /** Token counting: whitespace tokens + a BPE-ish regex sub-token count. */
   def tokenCounts(docs: DataFrame): DataFrame =
