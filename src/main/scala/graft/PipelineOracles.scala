@@ -853,6 +853,58 @@ object PipelineOracles {
                FROM sym)
          SELECT vec_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5""",
 
+    // in-degree distribution of the same kNN graph (zero-in-degree mass
+    // via a left join against the full id column)
+    "embedding_hubness" -> s"""WITH $nrm, $sigs, $embPairs,
+         sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM epairs
+                 UNION ALL
+                 SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM epairs),
+         r AS (SELECT vec_id, neighbor_id,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+               FROM sym),
+         ind AS (SELECT neighbor_id AS vec_id, count(*) AS in_degree
+                 FROM r WHERE rnk <= 5 GROUP BY 1)
+         SELECT coalesce(in_degree, 0) AS in_degree, count(*) AS n_vectors
+         FROM embeddings e LEFT JOIN ind USING (vec_id)
+         GROUP BY 1""",
+
+    // truncated-prefix (matryoshka) recall vs the full-dim exact top-k:
+    // both sides brute force over the same bounded query set
+    "embedding_matryoshka_recall" -> s"""WITH $nrm,
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         fsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                        ${dot64("qv", "c.embedding")} / (nq.nrm * nc.nrm) AS cos
+                 FROM q JOIN embeddings c ON c.vec_id <> query_id
+                 JOIN nrm nq ON nq.vec_id = query_id
+                 JOIN nrm nc ON nc.vec_id = c.vec_id),
+         frk AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rnk
+                 FROM fsc),
+         gt AS (SELECT query_id, neighbor_id FROM frk WHERE rnk <= 10),
+         dims AS (SELECT unnest([8, 16, 32]) AS dim),
+         tsc AS (SELECT dim, query_id, c.vec_id AS neighbor_id,
+                        list_sum(list_transform(generate_series(1, dim),
+                          i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                        / (sqrt(list_sum(list_transform(generate_series(1, dim),
+                             i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                           * sqrt(list_sum(list_transform(generate_series(1, dim),
+                               i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+                 FROM dims CROSS JOIN q
+                 JOIN embeddings c ON c.vec_id <> query_id),
+         trk AS (SELECT dim, query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY dim, query_id
+                          ORDER BY cos DESC, neighbor_id) AS rnk
+                 FROM tsc),
+         tk AS (SELECT dim, query_id, neighbor_id FROM trk WHERE rnk <= 10)
+         SELECT dim, count(DISTINCT tk.query_id) AS n_queries,
+                floor(CAST(CAST(sum(CASE WHEN gt.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                      / (count(DISTINCT tk.query_id) * 10) * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM tk LEFT JOIN gt
+           ON gt.query_id = tk.query_id AND gt.neighbor_id = tk.neighbor_id
+         GROUP BY dim""",
+
     // knn-graph connected components: canonical undirected edges, the
     // same reach recursion as dedup_clusters
     "embedding_knn_clusters" -> s"""WITH RECURSIVE $nrm, $sigs, $embPairs,

@@ -106,6 +106,10 @@ object SparkEntry {
     "ts_topk_movers" -> ((s, dir) =>
       Tsdb.topkMovers(Tsdb.points(t(s, dir, "events")), "2024-01-15", 10)),
     "ts_rollup_cascade" -> ((s, dir) => Tsdb.rollupCascade(Tsdb.points(t(s, dir, "events")))),
+    "ts_series_churn" -> ((s, dir) =>
+      Tsdb.seriesChurn(t(s, dir, "events"), "2024-01-01", "2024-01-30")),
+    "ts_stickiness" -> ((s, dir) =>
+      Tsdb.stickiness(t(s, dir, "events"), "2024-01-07", "2024-01-30")),
 
     // ---- C/D/E/F. LLM-pipeline ops -----------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -123,6 +127,9 @@ object SparkEntry {
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(s, dir, 5)),
     "ann_knn_join_blocked" -> ((s, dir) => Similarity.knnJoinBlocked(s, dir, 5)),
     "embedding_pagerank" -> ((s, dir) => Similarity.pagerank(s, dir)),
+    "embedding_hubness" -> ((s, dir) => Similarity.hubness(s, dir, 5)),
+    "embedding_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(t(s, dir, "embeddings"), Seq(8, 16, 32), 10, 10)),
     "dedup_survivors" -> ((s, dir) =>
       Dedup.survivorsOf(t(s, dir, "documents"), Dedup.pairsAt(Dedup.sharedPairs(s, dir), 0.5))),
     "dedup_clusters" -> ((s, dir) => Dedup.sharedClusters(s, dir)),
@@ -1140,6 +1147,35 @@ object SparkEntry {
 
     "ts_avg_value" -> s"""$store2
          SELECT f1, f2, bucket, floor((total/cnt) * 10000.0 + 0.5) / 10000.0 AS avg_value FROM store""",
+
+    "ts_series_churn" ->
+      """WITH p AS (SELECT DISTINCT event_type AS f1, CAST(user_id AS VARCHAR) AS f2,
+                CAST(ts AS DATE) AS day FROM events),
+         cur AS (SELECT f1, f2, day, 1 AS is_cur FROM p),
+         pre AS (SELECT f1, f2, day + 1 AS day, 1 AS is_pre FROM p),
+         j AS (SELECT coalesce(cur.day, pre.day) AS day, is_cur, is_pre
+               FROM cur FULL OUTER JOIN pre
+                 ON cur.f1 = pre.f1 AND cur.f2 = pre.f2 AND cur.day = pre.day)
+         SELECT day,
+                CAST(sum(coalesce(is_cur, 0)) AS BIGINT) AS n_active,
+                CAST(sum(CASE WHEN is_cur IS NOT NULL AND is_pre IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN is_pre IS NOT NULL AND is_cur IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+         FROM j
+         WHERE day BETWEEN DATE '2024-01-01' AND DATE '2024-01-30'
+         GROUP BY 1""",
+
+    "ts_stickiness" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
+         w AS (SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS day
+               FROM p CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)),
+         wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+         SELECT dau.day, dau, wau,
+                floor(CAST(dau AS DOUBLE) / wau * 10000.0 + 0.5) / 10000.0 AS stickiness
+         FROM dau JOIN wau USING (day)
+         WHERE dau.day BETWEEN DATE '2024-01-07' AND DATE '2024-01-30'""",
 
     "ts_rate_counter" -> s"""$store2
          SELECT f1, f2, bucket,

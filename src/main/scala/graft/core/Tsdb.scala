@@ -1831,4 +1831,60 @@ object Tsdb {
         graft.functions.Hashing.rd4(
           col("total") - col("trend") - col("seasonal")).as("remainder"))
   }
+
+  /** Per-day active-series census with churn — the cardinality-management
+    * read every TSDB operator dashboard needs (kadiyadb's index grows one
+    * node per live series, /root/reference/index/node.go:60; knowing how
+    * many series appear and expire per day is what sizes it). A series
+    * (f1=event_type, f2=user_id) is ACTIVE on a day if it has ≥1 event,
+    * NEW if it was absent the previous day, CHURNED (counted on day d) if
+    * it was active on d-1 and silent on d. Scale shape: the presence
+    * table is a map-side-combined distinct (|series×days|, never raw
+    * events), and churn is ONE full-outer self-join of that table against
+    * itself shifted a day — both shuffles are bounded by the distinct
+    * presence count. Day 1 of the range reports every series as new.
+    */
+  def seriesChurn(events: DataFrame, fromDay: String, toDay: String): DataFrame = {
+    val p = events
+      .select(col("event_type").as("f1"), col("user_id").cast("string").as("f2"),
+        to_date(col("ts")).as("day"))
+      .distinct()
+    val cur = p.withColumn("is_cur", lit(1L))
+    val pre = p.select(col("f1"), col("f2"), date_add(col("day"), 1).as("day"))
+      .withColumn("is_pre", lit(1L))
+    cur.join(pre, Seq("f1", "f2", "day"), "full_outer")
+      .filter(col("day").between(lit(fromDay).cast("date"), lit(toDay).cast("date")))
+      .groupBy(col("day"))
+      .agg(
+        sum(coalesce(col("is_cur"), lit(0L))).as("n_active"),
+        sum(when(col("is_cur").isNotNull && col("is_pre").isNull, 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("is_pre").isNotNull && col("is_cur").isNull, 1L)
+          .otherwise(0L)).as("n_churned"))
+  }
+
+  /** DAU / trailing-WAU stickiness per day — the classic engagement ratio
+    * over the events stream. WAU(d) counts users active on ANY day in
+    * [d-6, d]; instead of a per-day range self-join, each (user, day)
+    * presence row is exploded onto the ≤7 target days it supports and
+    * distinct-counted — shuffle volume is 7×|user-days|, map-side
+    * combined, with no window over raw events. Only days with a full
+    * trailing week inside [fromDay, toDay] are reported.
+    */
+  def stickiness(events: DataFrame, fromDay: String, toDay: String,
+      window: Int = 7): DataFrame = {
+    val p = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = p.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = p
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(window - 1))).as("k"), col("day"))
+      .select(col("user_id"), expr("date_add(day, k)").as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .filter(col("day").between(lit(fromDay).cast("date"), lit(toDay).cast("date")))
+      .select(col("day"), col("dau"), col("wau"),
+        graft.functions.Hashing.rd4(
+          col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
 }

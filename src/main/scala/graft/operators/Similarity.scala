@@ -1628,4 +1628,67 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** Matryoshka (MRL-style) truncation sweep: exact top-k recall of
+    * prefix-dimension cosine search against the full-dimension ground
+    * truth, per candidate prefix length — the table that says how many
+    * dims a truncated index can drop before recall suffers (Kusupati et
+    * al., NeurIPS'22). Both sides are exact brute force over the SAME
+    * bounded query set (vec_id < nQueries, broadcast), so the number
+    * isolates the truncation loss, not index effects; per-pair work is
+    * |dims| prefix dot products in left-to-right double accumulation
+    * (bit-identical to the oracle's list folds). Scale path: queries
+    * stay a broadcast constant, candidates scan once per dim via the
+    * exploded (pair × dim) stream — map-only into a per-(dim, query)
+    * top-k window on bounded partitions.
+    */
+  def matryoshkaRecall(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val full = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truncated = emb.as("c")
+      .join(broadcast(q), col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"), col("qv"),
+        col("c.embedding").as("cv"),
+        explode(array(dims.map(lit): _*)).as("dim"))
+      .select(col("dim"), col("query_id"), col("neighbor_id"),
+        (V.dotF(expr("slice(qv, 1, dim)"), expr("slice(cv, 1, dim)")) /
+          (sqrt(V.dotF(expr("slice(qv, 1, dim)"), expr("slice(qv, 1, dim)"))) *
+            sqrt(V.dotF(expr("slice(cv, 1, dim)"), expr("slice(cv, 1, dim)")))))
+          .as("cos"))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    truncated.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(full, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("dim"), col("n_queries"),
+        Hashing.rd4(col("n_hits").cast("double") /
+          (col("n_queries") * k)).as("recall"))
+  }
+
+  /** Hubness profile of the kNN graph: the in-degree distribution over
+    * all corpus vectors (how many vectors claim each one among their
+    * top-k). Heavy right tails — hub vectors appearing in thousands of
+    * neighbor lists — are the classic high-dim embedding pathology
+    * (Radovanović et al., JMLR'10) and break graph-based dedup/search;
+    * this is the one-look diagnostic. Rides the SAME banded-LSH kNN
+    * graph as [[knnJoin]] (shared view, candidate-first), so the only
+    * new work is a count per neighbor and a left join against the id
+    * column for the zero-in-degree mass.
+    */
+  def hubness(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val indeg = knnJoin(s, dir, k)
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    graft.core.Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
 }

@@ -398,4 +398,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) == got(5L),
       "hub must outrank spokes; spokes and isolated node share the floor")
   }
+
+  test("matryoshkaRecall: full-dim prefix recovers the ground truth exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.matryoshkaRecall(emb, Seq(8, 64), 5, 5).collect()
+      .map(x => x.getAs[Int]("dim") ->
+        ((x.getAs[Long]("n_queries"), x.getAs[Double]("recall")))).toMap
+    assert(r(64) == ((5L, 1.0)), "dim=64 IS the ground-truth ranking")
+    assert(r(8)._1 == 5L && r(8)._2 <= 1.0 && r(8)._2 >= 0.0)
+  }
+
+  test("hubness: distribution masses account for every vector and edge") {
+    val dir = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val edges = Similarity.knnJoin(spark, dir, 5).count()
+    val dist = Similarity.hubness(spark, dir, 5).collect()
+      .map(x => x.getAs[Long]("in_degree") -> x.getAs[Long]("n_vectors"))
+    assert(dist.map(_._2).sum == n, "every corpus vector appears once")
+    assert(dist.map(t => t._1 * t._2).sum == edges,
+      "in-degree mass equals the edge count")
+  }
 }

@@ -726,4 +726,43 @@ class TsdbSpec extends SparkSpec {
         s"non-trivial decomposition of a constant series: $x")
     }
   }
+
+  test("seriesChurn: active/new/churned per day, day one all-new") {
+    // day1: series (view,1), (view,2); day2: (view,2), (click,1); day3: (view,2)
+    val ev = eventsDf(Seq(
+      ("2024-01-01 10:00:00", "view", 1L, 1.0),
+      ("2024-01-01 11:00:00", "view", 2L, 1.0),
+      ("2024-01-01 11:30:00", "view", 2L, 1.0), // dup presence must not double-count
+      ("2024-01-02 09:00:00", "view", 2L, 1.0),
+      ("2024-01-02 09:30:00", "click", 1L, 1.0),
+      ("2024-01-03 08:00:00", "view", 2L, 1.0)))
+    val r = Tsdb.seriesChurn(ev, "2024-01-01", "2024-01-30").collect()
+      .map(x => x.getAs[java.sql.Date]("day").toString ->
+        (x.getAs[Long]("n_active"), x.getAs[Long]("n_new"), x.getAs[Long]("n_churned")))
+      .toMap
+    assert(r("2024-01-01") == ((2L, 2L, 0L)))
+    assert(r("2024-01-02") == ((2L, 1L, 1L)), "click/1 new, view/1 churned")
+    assert(r("2024-01-03") == ((1L, 0L, 1L)), "click/1 churned, view/2 retained")
+    assert(r("2024-01-04") == ((0L, 0L, 1L)), "trailing churn-only day reported")
+    assert(r.size == 4, "quiet days with no activity and no churn yield no rows")
+  }
+
+  test("stickiness: trailing-7d WAU and the DAU ratio") {
+    // one user active every day 01-01..01-10, another only on 01-08
+    val ev = eventsDf(
+      (1 to 10).map(d => (f"2024-01-$d%02d 10:00:00", "view", 1L, 1.0)) ++
+        Seq(("2024-01-08 10:00:00", "view", 2L, 1.0)))
+    val r = Tsdb.stickiness(ev, "2024-01-07", "2024-01-30").collect()
+      .map(x => x.getAs[java.sql.Date]("day").toString ->
+        (x.getAs[Long]("dau"), x.getAs[Long]("wau"), x.getAs[Double]("stickiness")))
+      .toMap
+    assert(r("2024-01-07") == ((1L, 1L, 1.0)))
+    assert(r("2024-01-08") == ((2L, 2L, 1.0)), "both users active on the 8th")
+    assert(r("2024-01-09") == ((1L, 2L, 0.5)), "user 2 still inside the trailing week")
+    assert(r("2024-01-10") == ((1L, 2L, 0.5)))
+    // days with zero DAU have no presence row -> reported table ends at
+    // the last active day (the DAU side anchors the join)
+    assert(!r.contains("2024-01-11") && !r.contains("2024-01-14"))
+    assert(r.size == 4)
+  }
 }
