@@ -247,6 +247,52 @@ object TsdbScaleCheck {
         r.getAs[Long]("cents") == trueCents.getLong(1)),
       s"attribution leaked revenue: true $trueCents vs ${attOut.mkString(";")}")
 
+    // --- 9. census family at full volume: the churn/stickiness shuffles
+    // are bounded by DISTINCT presence (series×days / users×days), not
+    // raw events — at 50M events over 10k series × 8 days the uniform
+    // feed saturates every cell, so the closed forms are exact: all
+    // series active every day (new only on day 1, churn only on the
+    // trailing day), every user active every day (stickiness ≡ 1 on
+    // full-window days).
+    // deterministically COMPLETE (user, day) coverage: day = id mod 8,
+    // user = (id div 8) mod 1M — every user hits every day ~6 times, so
+    // the exact closed form holds (a hash-random feed leaves ~0.1% of
+    // the 8M cells empty and has no closed form)
+    val nUsers = math.min(1000000L, math.max(1L, nEvents / 8))
+    val census = spark.range(nEvents)
+      .withColumn("user_id", expr(s"(id div 8) % $nUsers"))
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, CAST((id % 8) * 86400 + (id % 86399) AS INT), " +
+          "TIMESTAMP_NTZ'2026-01-01 00:00:00')"))
+      .select(col("ts"), col("user_id"))
+    val churnFeed = spark.range(nEvents)
+      .withColumn("event_type", concat(lit("host"), expr("id % 500")))
+      .withColumn("user_id", expr("(id % 10000) div 500"))
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(((id div 10000) % 8) * 86400 + (id % 86399) AS INT), " +
+          "TIMESTAMP_NTZ'2026-01-01 00:00:00')"))
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val churn = timed(s"seriesChurn over $nEvents events / 80k series-days") {
+      graft.core.Tsdb.seriesChurn(churnFeed, "2026-01-01", "2026-01-09").collect()
+    }
+    require(churn.length == days + 1, s"want ${days + 1} churn days, got ${churn.length}")
+    churn.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toString
+      val want =
+        if (d == "2026-01-01") (hosts.toLong * metrics, hosts.toLong * metrics, 0L)
+        else if (d == "2026-01-09") (0L, 0L, hosts.toLong * metrics)
+        else (hosts.toLong * metrics, 0L, 0L)
+      require((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_churned")) == want, s"churn closed form broke on $d: $r")
+    }
+    val stick = timed(s"stickiness over $nEvents events / $nUsers users") {
+      graft.core.Tsdb.stickiness(census, "2026-01-07", "2026-01-08").collect()
+    }
+    require(stick.length == 2 && stick.forall(r =>
+      r.getAs[Long]("dau") == nUsers && r.getAs[Long]("wau") == nUsers &&
+        r.getAs[Double]("stickiness") == 1.0),
+      s"stickiness closed form broke: ${stick.mkString(";")}")
+
     println(s"TsdbScaleCheck OK at $nEvents events")
     deleteRec(dir)
     spark.stop()
