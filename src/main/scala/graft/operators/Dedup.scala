@@ -631,12 +631,30 @@ object Dedup {
     */
   def editDistancePairsOf(docs: DataFrame, sigs: DataFrame, minSim: Double): DataFrame = {
     val cand = candFromBands(lshBands(sigs))
-    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+    // The O(|a|·|b|) DP runs once per DISTINCT text-content pair, not per
+    // candidate pair: a crawl dup flood yields clone-groups whose cross
+    // pairs all carry byte-identical (ta, tb) — keying the Levenshtein
+    // table on 60-bit content fingerprints collapses that repetition
+    // (the dupSpanCoverage h60 discipline; the oracle-exact gate pins the
+    // astronomically-unlikely collision case), and the wide text column
+    // only ever joins the distinct-pair representatives, so the big pair
+    // stream shuffles ids + hashes only. Identical-content pairs take an
+    // O(n) memcmp fast path instead of the DP.
+    val fp = docs.select(col("doc_id"), Hashing.h60(col("text")).as("f"))
+    val candF = cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("f").as("fa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("f").as("fb")), "doc_b")
+    val rep = docs.select(Hashing.h60(col("text")).as("f"), col("text"))
+      .groupBy(col("f")).agg(min(col("text")).as("text"))
+    val levTab = candF.select(col("fa"), col("fb")).distinct()
+      .join(rep.select(col("f").as("fa"), col("text").as("ta")), "fa")
+      .join(rep.select(col("f").as("fb"), col("text").as("tb")), "fb")
+      .select(col("fa"), col("fb"),
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb")).cast("long")).as("lev"),
         greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+    candF.join(levTab, Seq("fa", "fb"))
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("max_len"))
       .withColumn("sim",
         Hashing.rd4(lit(1.0) - col("lev").cast("double") / col("max_len")))
       .filter(col("sim") >= minSim)
