@@ -1849,17 +1849,26 @@ object Tsdb {
       .select(col("event_type").as("f1"), col("user_id").cast("string").as("f2"),
         to_date(col("ts")).as("day"))
       .distinct()
-    val cur = p.withColumn("is_cur", lit(1L))
-    val pre = p.select(col("f1"), col("f2"), date_add(col("day"), 1).as("day"))
-      .withColumn("is_pre", lit(1L))
-    cur.join(pre, Seq("f1", "f2", "day"), "full_outer")
+    // full-outer-join-free: each presence row votes on the day it proves
+    // active and the next day it proves retained-into; max-combining the
+    // votes per (series, day) is exactly the full-outer's null pattern,
+    // with one hash aggregate instead of a sort-merge join (no sorts,
+    // one presence scan instead of two)
+    p.select(col("f1"), col("f2"), explode(array(
+        struct(col("day").as("day"), lit(1L).as("c"), lit(0L).as("r")),
+        struct(date_add(col("day"), 1).as("day"), lit(0L).as("c"), lit(1L).as("r"))))
+        .as("e"))
+      .select(col("f1"), col("f2"), col("e.day").as("day"),
+        col("e.c").as("c"), col("e.r").as("r"))
+      .groupBy(col("f1"), col("f2"), col("day"))
+      .agg(max(col("c")).as("is_cur"), max(col("r")).as("is_pre"))
       .filter(col("day").between(lit(fromDay).cast("date"), lit(toDay).cast("date")))
       .groupBy(col("day"))
       .agg(
-        sum(coalesce(col("is_cur"), lit(0L))).as("n_active"),
-        sum(when(col("is_cur").isNotNull && col("is_pre").isNull, 1L)
+        sum(col("is_cur")).as("n_active"),
+        sum(when(col("is_cur") === 1L && col("is_pre") === 0L, 1L)
           .otherwise(0L)).as("n_new"),
-        sum(when(col("is_pre").isNotNull && col("is_cur").isNull, 1L)
+        sum(when(col("is_pre") === 1L && col("is_cur") === 0L, 1L)
           .otherwise(0L)).as("n_churned"))
   }
 
