@@ -705,8 +705,14 @@ object Analytics {
     // scale and falls back to a keyed shuffle join if a 100TB parts
     // dimension ever outgrows the broadcast threshold (no hint on
     // purpose); the order total is a 1-row broadcast.
+    // distinct under an orderkey-only repartition: HashPartitioning(ok)
+    // satisfies the (ok, pk) clustering the dedup aggregate needs AND
+    // the self-join's orderkey distribution, so the basket table is
+    // exchanged ONCE instead of distinct-keyed then re-exchanged on ok
     val dp = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .distinct()
     val pairs = dp.as("a")
       .join(dp.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
