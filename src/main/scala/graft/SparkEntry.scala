@@ -273,6 +273,8 @@ object SparkEntry {
     "embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(t(s, dir, "embeddings"))),
     "embedding_norm_stats" -> ((s, dir) => Similarity.normStats(t(s, dir, "embeddings"))),
     "q_yoy_growth" -> (Analytics.yoyGrowth _),
+    "q_cohort_ltv" -> (Analytics.cohortLtv _),
+    "q_hhi_concentration" -> (Analytics.hhiConcentration _),
     "ts_props_funnel" -> ((s, dir) => Tsdb.propsFunnel(t(s, dir, "events"))),
     "mm_scene_detect" -> ((s, dir) => Multimodal.sceneDetect(t(s, dir, "documents"))),
     "ts_slo_streaks" -> ((s, dir) => Tsdb.sharedIncidents(s, dir, 0.25)),
@@ -1728,6 +1730,34 @@ object SparkEntry {
                 floor((sum(gap_days) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_gap_days
          FROM g JOIN customer ON c_custkey = o_custkey
          GROUP BY 1""",
+
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+                CAST(extract(year FROM o_orderdate) * 12 + extract(month FROM o_orderdate) AS BIGINT) AS ym,
+                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM orders),
+         f AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1)
+         SELECT cohort_ym, ym - cohort_ym AS age_months,
+                count(DISTINCT o.o_custkey) AS n_active_customers,
+                CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+         FROM o JOIN f ON o.o_custkey = f.o_custkey
+         GROUP BY 1, 2""",
+
+    "q_hhi_concentration" ->
+      """WITH li AS (SELECT p_type, l_suppkey,
+                CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+         sup AS (SELECT p_type, l_suppkey, CAST(sum(cents) AS BIGINT) AS sc
+                 FROM li GROUP BY 1, 2),
+         tot AS (SELECT p_type, CAST(sum(sc) AS BIGINT) AS tot,
+                        count(*) AS n_suppliers
+                 FROM sup GROUP BY 1),
+         sh AS (SELECT sup.p_type, n_suppliers,
+                       CAST(floor(CAST(sc AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS share6
+                FROM sup JOIN tot ON sup.p_type = tot.p_type)
+         SELECT p_type, n_suppliers,
+                floor(CAST(CAST(sum(share6 * share6) AS BIGINT) AS DOUBLE) / 1e12 * 10000.0 + 0.5) / 10000.0 AS hhi
+         FROM sh GROUP BY 1, 2""",
 
     "q_yoy_growth" ->
       """WITH rev AS (SELECT n_name, extract(year FROM o_orderdate) AS order_year,

@@ -734,6 +734,60 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Cohort LTV triangle: customers cohorted by their first-order month,
+    * every order billed to its (cohort_month, age_months) cell, per cell
+    * the active-customer count and exact-cents revenue — the
+    * revenue-retention read behind "how do cohorts decay". Months are
+    * exact integer indexes (year·12+month), so cohort and age arithmetic
+    * is engine-identical; revenue is the exact LONG cents sum divided
+    * once. Scale shape: the first-order table is a per-customer min
+    * aggregate (map-side combined, |customers| rows), the triangle is
+    * ONE customer-keyed join plus a (cohort, age) aggregate — no windows,
+    * no self-joins, shuffles bounded by |orders| then |customers|.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("ym"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cohort_ym"))
+    o.join(first, "o_custkey")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_active_customers"),
+        (sum(col("cents")) / 100.0).as("revenue"))
+  }
+
+  /** Supplier concentration per part type: the Herfindahl–Hirschman index
+    * over suppliers' revenue shares within each p_type — the
+    * supply-chain-risk read ("which part types depend on one supplier").
+    * Each supplier's share is snapped once to the 1e-6 grid (one double
+    * division of exact longs — identical on both engines), squared and
+    * summed as exact integers (Σ share6² ≤ (Σ share6)² = 1e12, no
+    * overflow), divided once at the end. Scale shape: lineitem⋈part is
+    * the broadcast-dim pattern (AQE falls back to a keyed shuffle if the
+    * part dimension outgrows the threshold), then two part-type-keyed
+    * aggregates — shares never shuffle raw line items twice.
+    */
+  def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+          .cast("long").as("cents"))
+    val sup = li.groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("sc"))
+    val tot = sup.groupBy(col("p_type"))
+      .agg(sum(col("sc")).as("tot"), count(lit(1)).as("n_suppliers"))
+    sup.join(tot, "p_type")
+      .select(col("p_type"), col("n_suppliers"),
+        floor(col("sc").cast("double") / col("tot").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("share6"))
+      .groupBy(col("p_type"), col("n_suppliers"))
+      .agg(sum(col("share6") * col("share6")).as("q6"))
+      .select(col("p_type"), col("n_suppliers"),
+        graft.functions.Hashing.rd4(col("q6").cast("double") / 1.0e12).as("hhi"))
+  }
+
   /** Top-3 customers by order revenue within every nation — windowed
     * top-k per group WITHOUT a per-nation window: nation cardinality is
     * fixed (25), so `PARTITION BY nation ORDER BY revenue` would sort

@@ -138,4 +138,50 @@ class AnalyticsViewSpec extends SparkSpec {
     }.map { case (k, pc, sz) => (k, pc.toDouble / 100.0, sz) }.toSet
     assert(got == want, s"skyline mismatch: got ${got.size}, want ${want.size}")
   }
+
+  test("cohortLtv: revenue conserved, age-0 cells carry the full cohort") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.cohortLtv(spark, dir).collect()
+    assert(r.forall(_.getAs[Long]("age_months") >= 0L))
+    // every cent of every order lands in exactly one cell
+    val totCents = spark.read.parquet(s"$dir/orders.parquet")
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))).head.getLong(0)
+    val cellCents = r.map(x =>
+      math.round(x.getAs[Double]("revenue") * 100.0)).sum
+    assert(cellCents == totCents, s"revenue leaked: $cellCents vs $totCents")
+    // age-0 active count = cohort size (every customer's first order is there)
+    val cohortSizes = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(min(expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)")).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.filter(_.getAs[Long]("age_months") == 0L).foreach { x =>
+      assert(x.getAs[Long]("n_active_customers") ==
+        cohortSizes(x.getAs[Long]("cohort_ym")))
+    }
+  }
+
+  test("hhiConcentration: bounds hold and the grid value tracks the double HHI") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.hhiConcentration(spark, dir).collect()
+    assert(r.nonEmpty)
+    // recompute shares as plain doubles per type
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("p_type"), col("l_suppkey")).agg(sum(col("cents")).as("sc"))
+      .collect().groupBy(_.getAs[String]("p_type"))
+    r.foreach { x =>
+      val t = x.getAs[String]("p_type"); val hhi = x.getAs[Double]("hhi")
+      val sc = li(t).map(_.getAs[Long]("sc").toDouble)
+      val tot = sc.sum
+      val want = sc.map(v => (v / tot) * (v / tot)).sum
+      assert(x.getAs[Long]("n_suppliers") == sc.length.toLong)
+      assert(hhi >= 1.0 / sc.length - 1e-3 && hhi <= 1.0 + 1e-4, s"$t hhi=$hhi")
+      assert(math.abs(hhi - want) < 1e-3, s"$t grid hhi $hhi vs double $want")
+    }
+  }
 }
