@@ -246,6 +246,7 @@ object SparkEntry {
     "text_token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     "sample_mixture_apply" -> ((s, dir) => TextAnalysis.applyMixture(t(s, dir, "documents"), "mx1")),
     "ts_sax" -> ((s, dir) => Tsdb.sax(Tsdb.points1(t(s, dir, "events")), 6)),
+    "ts_sax_motifs" -> ((s, dir) => Tsdb.saxMotifs(Tsdb.points1(t(s, dir, "events")), 6)),
     "ann_multiprobe_topk" -> ((s, dir) => Similarity.multiProbeTopK(t(s, dir, "embeddings"), 10, 5)),
     // cap 64 sits inside the 53-70 cluster-size spread at test SFs, so
     // BOTH the all-pairs and the LSH-sub-blocked path run under the
@@ -1581,6 +1582,28 @@ object SparkEntry {
          SELECT f1, count(*) AS n_segments,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sy GROUP BY 1""",
+
+    "ts_sax_motifs" -> s"""$store1,
+         segs AS (SELECT f1,
+                         date_trunc('day', bucket)
+                           + to_hours(CAST(floor(extract(hour FROM bucket)/6)*6 AS BIGINT)) AS seg,
+                         sum(total)/count(*) AS m
+                  FROM store GROUP BY 1, 2),
+         st AS (SELECT f1, count(*) AS n, sum(m) AS sm, sum(m*m) AS smm
+                FROM segs GROUP BY 1),
+         z AS (SELECT s.f1, seg,
+                      floor(((m - sm/n) / sqrt(smm/n - (sm/n)*(sm/n))) * 10000.0 + 0.5) / 10000.0 AS z
+               FROM segs s JOIN st USING (f1)),
+         sy AS (SELECT f1, seg,
+                       CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+                            WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+                FROM z),
+         pd AS (SELECT f1, CAST(seg AS DATE) AS day,
+                       string_agg(sym, '' ORDER BY seg) AS sax_word
+                FROM sy GROUP BY 1, 2 HAVING count(*) = 4)
+         SELECT f1, sax_word, count(*) AS n_days,
+                min(day) AS first_day, max(day) AS last_day
+         FROM pd GROUP BY 1, 2""",
 
     "ts_slo_availability" ->
       """WITH ph AS (SELECT date_trunc('hour', ts) AS h,

@@ -1343,7 +1343,19 @@ object Tsdb {
     * sorted collected array (deterministic order), sized |segments| per
     * series — the post-agg table, tiny by construction.
     */
-  def sax(pts1: DataFrame, segHours: Int = 6): DataFrame = {
+  def sax(pts1: DataFrame, segHours: Int = 6): DataFrame =
+    saxSymbols(pts1, segHours)
+      .groupBy(col("f1"))
+      .agg(count(lit(1)).as("n_segments"),
+        expr("array_join(transform(sort_array(collect_list(struct(seg, sym))), x -> x.sym), '')")
+          .as("sax_word"))
+
+  /** The shared (f1, seg, sym) SAX symbol table: segment means,
+    * per-series z-normalization, 4-symbol equiprobable-Gaussian
+    * breakpoints — the normalization chain [[sax]] and [[saxMotifs]]
+    * keep in lockstep.
+    */
+  private def saxSymbols(pts1: DataFrame, segHours: Int): DataFrame = {
     val rd4 = graft.functions.Hashing.rd4 _
     val segs = pts1
       .withColumn("seg",
@@ -1357,7 +1369,7 @@ object Tsdb {
       .select(col("f1"), col("n"), (col("sm") / col("n")).as("mu"),
         sqrt(col("smm") / col("n") - (col("sm") / col("n")) * (col("sm") / col("n")))
           .as("sigma"))
-    val z = segs.join(stats, "f1")
+    segs.join(stats, "f1")
       // nullif: a constant series has sigma=0; NULL z (DuckDB x/0=NULL)
       // under ANSI too
       .select(col("f1"), col("seg"),
@@ -1365,10 +1377,30 @@ object Tsdb {
       .withColumn("sym",
         when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
           .when(col("z") < 0.6745, "c").otherwise("d"))
-    z.groupBy(col("f1"))
-      .agg(count(lit(1)).as("n_segments"),
+  }
+
+  /** SAX motif discovery: each (series, day) rendered as its
+    * (24/segHours)-symbol daily SAX word — same normalization and
+    * breakpoints as [[sax]], full days only — then recurring words
+    * counted per series with their first/last occurrence: "which daily
+    * shapes does this series repeat, and when did each appear". The
+    * motif-mining read (Lin/Keogh's SAX lineage) on the rollup store.
+    * Scale shape: symbols are a bucket-level aggregate; the per-day
+    * word build groups a FIXED ≤4 symbols per (series, day) key (in-row
+    * sort of a bounded array, no window); motif counting is a
+    * (series, word)-keyed aggregate on day-sized data.
+    */
+  def saxMotifs(pts1: DataFrame, segHours: Int = 6): DataFrame = {
+    val perDay = saxSymbols(pts1, segHours)
+      .withColumn("day", to_date(col("seg")))
+      .groupBy(col("f1"), col("day"))
+      .agg(count(lit(1)).as("nseg"),
         expr("array_join(transform(sort_array(collect_list(struct(seg, sym))), x -> x.sym), '')")
           .as("sax_word"))
+      .filter(col("nseg") === (24 / segHours))
+    perDay.groupBy(col("f1"), col("sax_word"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
   }
 
   /** Daily SLO availability report: an hour is BAD when its error

@@ -727,6 +727,28 @@ class TsdbSpec extends SparkSpec {
     }
   }
 
+  test("saxMotifs: identical-shape days share a word; odd day stands alone") {
+    // one series, 4 full days, hourly points: low-then-high shape on
+    // days 1/2/4, inverted on day 3
+    val rows = for (d <- 1 to 4; h <- 0 until 24) yield {
+      val hi = h >= 12
+      val inverted = d == 3
+      val v = if (hi ^ inverted) 100.0 else 0.0
+      (f"2024-01-0$d%d $h%02d:15:00", "view", 1L, v)
+    }
+    val r = Tsdb.saxMotifs(Tsdb.points1(eventsDf(rows)), 6).collect()
+      .map(x => x.getAs[String]("sax_word") ->
+        ((x.getAs[Long]("n_days"),
+          x.getAs[java.sql.Date]("first_day").toString,
+          x.getAs[java.sql.Date]("last_day").toString))).toMap
+    assert(r.size == 2, s"want exactly two motifs, got $r")
+    val (main, odd) = (r.maxBy(_._2._1), r.minBy(_._2._1))
+    assert(main._2 == ((3L, "2024-01-01", "2024-01-04")), s"got $r")
+    assert(odd._2 == ((1L, "2024-01-03", "2024-01-03")), s"got $r")
+    assert(main._1.length == 4 && main._1 == odd._1.reverse,
+      s"inverted day must carry the reversed word: $r")
+  }
+
   test("seriesChurn: active/new/churned per day, day one all-new") {
     // day1: series (view,1), (view,2); day2: (view,2), (click,1); day3: (view,2)
     val ev = eventsDf(Seq(
