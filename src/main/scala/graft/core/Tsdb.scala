@@ -1874,7 +1874,9 @@ object Tsdb {
     * table is a map-side-combined distinct (|series×days|, never raw
     * events), and churn is ONE full-outer self-join of that table against
     * itself shifted a day — both shuffles are bounded by the distinct
-    * presence count. Day 1 of the range reports every series as new.
+    * presence count. When the feed starts at fromDay, day 1 reports every
+    * series as new; a series already active on fromDay-1 is (correctly)
+    * not counted as new on fromDay.
     */
   def seriesChurn(events: DataFrame, fromDay: String, toDay: String): DataFrame = {
     val p = events

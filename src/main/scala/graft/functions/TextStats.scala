@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -45,6 +46,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TextStatsExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TextStatsExpr.schema
+
+  // Fail at analysis rather than a runtime ClassCastException in
+  // compute() when handed a non-string child.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_stats expects a STRING child, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
     TextStatsHelper.compute(input.asInstanceOf[UTF8String])

@@ -300,9 +300,16 @@ object Analytics {
 
   /** TPC-H Q21 (adapted — no commit/receipt dates in this schema):
     * suppliers who were the ONLY late shipper (>60 days after the order
-    * date) on a multi-supplier finalized order. The EXISTS becomes a
-    * left-semi join and the NOT EXISTS a left-anti join, both equi-keyed
-    * on l_orderkey with the supplier-inequality as a residual condition.
+    * date) on a multi-supplier finalized order.
+    *
+    * Rather than translating EXISTS/NOT EXISTS into a left-semi plus a
+    * left-anti join (which re-shuffles the same lineitem⋈orders
+    * projection three times), ONE per-order aggregation answers both
+    * predicates: an order contributes iff it has >1 distinct supplier
+    * and exactly 1 distinct LATE supplier, in which case all its late
+    * lines belong to that sole supplier. The (order, supplier) fold and
+    * the per-order census both ride the join's orderkey partitioning —
+    * a single Exchange on l_orderkey replaces the r12 shape's three.
     */
   def q21(s: SparkSession, dir: String): DataFrame = {
     val lines = t(s, dir, "lineitem")
@@ -310,15 +317,27 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-    val late = lines.filter(col("late"))
-    late
-      .join(lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
-        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_semi")
-      .join(late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")),
-        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "left_anti")
-      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+    // Explicit orderkey repartition: HashPartitioning(l_orderkey)
+    // satisfies BOTH downstream clusterings ((l_orderkey, l_suppkey) and
+    // (l_orderkey)), so the two aggregates share ONE Exchange. Left to
+    // itself the first groupBy picks the compound key and the second
+    // reshuffles. Map-side combine would not have helped: lineitem has
+    // ~1 line per (order, supplier), so raw rows ≈ partial-agged rows.
+    val perSupp = lines.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"),
+        count(when(col("late"), lit(1))).as("n_late_lines"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("any_late"), lit(1L)).otherwise(lit(0L))).as("n_late_supp"),
+        max(when(col("any_late"), col("l_suppkey"))).as("late_suppkey"),
+        sum(when(col("any_late"), col("n_late_lines")).otherwise(lit(0L)))
+          .as("n_late_lines"))
+    perOrder
+      .filter(col("n_late_supp") === 1 && col("n_supp") > 1)
+      .join(t(s, dir, "supplier"), col("late_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }

@@ -635,25 +635,35 @@ object Dedup {
     // candidate pair: a crawl dup flood yields clone-groups whose cross
     // pairs all carry byte-identical (ta, tb) — keying the Levenshtein
     // table on 60-bit content fingerprints collapses that repetition
-    // (the dupSpanCoverage h60 discipline; the oracle-exact gate pins the
-    // astronomically-unlikely collision case), and the wide text column
+    // (the dupSpanCoverage h60 discipline). Unlike the pure-grouping h60
+    // uses, a collision HERE would corrupt output values (wrong lev for
+    // the losing text), so the key is (h60, length): only equal-length
+    // texts can collide, shrinking the birthday surface at zero cost —
+    // the length column rides the same projection. The wide text column
     // only ever joins the distinct-pair representatives, so the big pair
     // stream shuffles ids + hashes only. Identical-content pairs take an
     // O(n) memcmp fast path instead of the DP.
-    val fp = docs.select(col("doc_id"), Hashing.h60(col("text")).as("f"))
+    val fp = docs.select(col("doc_id"), Hashing.h60(col("text")).as("f"),
+      length(col("text")).cast("long").as("l"))
     val candF = cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("f").as("fa")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("f").as("fb")), "doc_b")
-    val rep = docs.select(Hashing.h60(col("text")).as("f"), col("text"))
-      .groupBy(col("f")).agg(min(col("text")).as("text"))
-    val levTab = candF.select(col("fa"), col("fb")).distinct()
-      .join(rep.select(col("f").as("fa"), col("text").as("ta")), "fa")
-      .join(rep.select(col("f").as("fb"), col("text").as("tb")), "fb")
-      .select(col("fa"), col("fb"),
+      .join(fp.select(col("doc_id").as("doc_a"), col("f").as("fa"),
+        col("l").as("la")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("f").as("fb"),
+        col("l").as("lb")), "doc_b")
+    val rep = docs.select(Hashing.h60(col("text")).as("f"),
+      length(col("text")).cast("long").as("l"), col("text"))
+      .groupBy(col("f"), col("l")).agg(min(col("text")).as("text"))
+    val levKeys = Seq("fa", "la", "fb", "lb")
+    val levTab = candF.select(levKeys.map(col): _*).distinct()
+      .join(rep.select(col("f").as("fa"), col("l").as("la"),
+        col("text").as("ta")), Seq("fa", "la"))
+      .join(rep.select(col("f").as("fb"), col("l").as("lb"),
+        col("text").as("tb")), Seq("fb", "lb"))
+      .select(col("fa"), col("la"), col("fb"), col("lb"),
         when(col("ta") === col("tb"), lit(0L))
           .otherwise(levenshtein(col("ta"), col("tb")).cast("long")).as("lev"),
         greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
-    candF.join(levTab, Seq("fa", "fb"))
+    candF.join(levTab, levKeys)
       .select(col("doc_a"), col("doc_b"), col("lev"), col("max_len"))
       .withColumn("sim",
         Hashing.rd4(lit(1.0) - col("lev").cast("double") / col("max_len")))

@@ -1046,8 +1046,8 @@ object TextAnalysis {
       col("n_tokens").cast("long").as("n_tokens"))
   }
 
-  /** [[curriculumStages]] over a prebuilt scored projection
-    * (e.g. [[sharedModelScores]]).
+  /** [[curriculumStages]] over a prebuilt scored projection — any
+    * frozen [[modelScores]]-shaped view a caller has already built.
     */
   def curriculumStagesFrom(scored: DataFrame, nStages: Int = 4): DataFrame = {
     graft.core.Ranking
