@@ -727,9 +727,21 @@ object Analytics {
     // distinct under an orderkey-only repartition: HashPartitioning(ok)
     // satisfies the (ok, pk) clustering the dedup aggregate needs AND
     // the self-join's orderkey distribution, so the basket table is
-    // exchanged ONCE instead of distinct-keyed then re-exchanged on ok
+    // exchanged ONCE instead of distinct-keyed then re-exchanged on ok.
+    //
+    // Exchange-reuse discipline (r13 plan audit: the r12 shape ran the
+    // lineitem scan + orderkey repartition FIVE times — 252 tasks /
+    // 300 MB shuffled vs 201 / 223 after this fix — because each
+    // consumer's subtree canonicalized differently and AQE stage reuse
+    // never fired): (a) the isnotnull join-key filters are applied HERE,
+    // once, so the self-join sides don't infer extra filters the other
+    // consumers lack; (b) the order total keeps l_partkey referenced in
+    // its inner aggregate (count(pk), not a pruned distinct-on-ok), so
+    // its scan+exchange subtree is byte-identical to dp's and reuses the
+    // same shuffle instead of adding a fifth scan.
     val dp = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .repartition(col("l_orderkey"))
       .distinct()
     val pairs = dp.as("a")
@@ -739,7 +751,9 @@ object Analytics {
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minSup)
     val marg = dp.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-    val totals = dp.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
+    val totals = dp.groupBy(col("l_orderkey"))
+      .agg(count(col("l_partkey")).as("__nparts"))
+      .agg(count(lit(1)).as("n_orders"))
     pairs
       .join(marg.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
       .join(marg.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")
