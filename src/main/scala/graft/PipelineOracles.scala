@@ -1392,6 +1392,36 @@ object PipelineOracles {
                      ELSE floor((dup_spans * 1.0 / n_spans) * 10000.0 + 0.5) / 10000.0 END AS dup_frac
          FROM documents d LEFT JOIN agg USING (doc_id)""",
 
+    "text_span_scrub" -> s"""WITH $tok,
+         posi AS (SELECT doc_id, tk,
+                    unnest(CASE WHEN len(tk) >= 8
+                           THEN generate_series(1, len(tk)-7)
+                           ELSE []::BIGINT[] END) AS i
+                  FROM tok),
+         pos AS (SELECT doc_id, i,
+                   CAST(${h60("array_to_string(tk[i:i+7], ' ')")} AS BIGINT) AS g
+                 FROM posi),
+         dfs AS (SELECT g, count(*) AS df, min(doc_id) AS keeper
+                 FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY 1),
+         scr AS (SELECT p.doc_id, p.i FROM pos p JOIN dfs USING (g)
+                 WHERE df >= 2 AND p.doc_id <> keeper),
+         spc AS (SELECT doc_id, count(*) AS n_spans_removed FROM scr GROUP BY 1),
+         cov AS (SELECT doc_id, list_sort(list(DISTINCT j)) AS cl,
+                        count(DISTINCT j) AS n_removed
+                 FROM (SELECT doc_id, unnest(generate_series(i, i+7)) AS j FROM scr)
+                 GROUP BY 1)
+         SELECT t.doc_id,
+                CASE WHEN cl IS NULL THEN array_to_string(tk, ' ')
+                     -- array_to_string([]) is NULL in DuckDB 1.0; a fully
+                     -- scrubbed doc must read as '' like Spark's array_join
+                     ELSE coalesce(array_to_string(list_transform(
+                            list_filter(generate_series(1, len(tk)),
+                                        j -> NOT list_contains(cl, j)),
+                            j -> tk[j]), ' '), '') END AS scrubbed_text,
+                CAST(coalesce(n_removed, 0) AS BIGINT) AS n_tokens_removed,
+                CAST(coalesce(n_spans_removed, 0) AS BIGINT) AS n_spans_removed
+         FROM tok t LEFT JOIN cov USING (doc_id) LEFT JOIN spc USING (doc_id)""",
+
     "text_quality_model" -> s"""WITH $tok,
          t2 AS (SELECT doc_id, len(tk) AS n_tokens,
                        len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,

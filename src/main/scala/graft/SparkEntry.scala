@@ -194,6 +194,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), 3)),
     "text_dup_span_coverage" -> ((s, dir) =>
       TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), 8)),
+    "text_span_scrub" -> ((s, dir) =>
+      TextAnalysis.spanScrub(t(s, dir, "documents"), 8)),
     "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),
     "mm_image_tiles" -> ((s, dir) => Multimodal.imageTiles(t(s, dir, "documents"), 64)),
     "dedup_minhash_estimate" -> ((s, dir) =>

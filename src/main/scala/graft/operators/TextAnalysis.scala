@@ -234,18 +234,21 @@ object TextAnalysis {
     *
     * Shuffle discipline (r12 plan audit, after A/B-ing a 60-bit-hash
     * variant that traded the string shuffles for ~20M md5 calls and
-    * LOST at sf1): the tf table is computed ONCE and memory-persisted
-    * (the df subtree and the scored subtree both read it — unpersisted,
-    * the tokenize+sort derivation ran twice); the df aggregate shuffles
-    * partial-agged vocabulary rows and broadcasts back (AQE falls back
-    * to a keyed shuffle if a 100TB vocabulary outgrows it), so the tf
-    * stream itself never shuffles for the join; and the per-doc rank
-    * filter compiles to WindowGroupLimit, which prunes to ≤k rows per
-    * doc per partition BEFORE the window exchange — the only full-width
-    * string shuffle left is output-sized.
+    * LOST at sf1): the tf table's tokenize+explode exchange is computed
+    * ONCE — the df subtree and the scored subtree consume the same
+    * canonical tf plan, so AQE shuffle-stage reuse shares it (r13
+    * structural A/B: a MEMORY_ONLY persist of tf was pure cost on top
+    * of that reuse — 143 tasks / 31 MB shuffled / 3.5 s persisted vs
+    * 83 / 21 MB / 1.4 s relying on reuse at the 10x stress scale); the
+    * df aggregate shuffles partial-agged vocabulary rows and broadcasts
+    * back (AQE falls back to a keyed shuffle if a 100TB vocabulary
+    * outgrows it), so the tf stream itself never shuffles for the join;
+    * and the per-doc rank filter compiles to WindowGroupLimit, which
+    * prunes to ≤k rows per doc per partition BEFORE the window
+    * exchange — the only full-width string shuffle left is output-sized.
     */
   private def tfidfScoredFrom(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
-    val tfp = tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val tfp = tf
     val dfT = tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tfp.join(dfT, "term").crossJoin(broadcast(n))
@@ -285,6 +288,68 @@ object TextAnalysis {
         when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
           .otherwise(graft.functions.Hashing.rd4(
             col("dup_spans").cast("double") / col("n_spans"))).as("dup_frac"))
+  }
+
+  /** ExactSubstr ACTION step (the second half of Lee et al. 2022's
+    * substring dedup, completing [[dupSpanCoverage]]'s MEASURE step):
+    * emit the corpus with cross-document duplicated ≥n-token spans
+    * REMOVED. Span definition matches dupSpanCoverage exactly (n-token
+    * windows over the whitespace split, 60-bit content hashes). For
+    * each duplicated span (present in ≥2 distinct docs) the doc with
+    * the MINIMUM doc_id keeps its occurrences; every other doc drops
+    * all token positions covered by that span. Output is one row per
+    * document: the whitespace-NORMALIZED scrubbed text (kept tokens
+    * joined by single spaces — deterministic and engine-portable,
+    * unlike preserving original separators), plus the removed
+    * span-occurrence and token counts.
+    *
+    * Scale shape: the only corpus-wide traffic is the span-occurrence
+    * stream — (doc, position, 60-bit hash) ints, token-count-sized,
+    * exactly dupSpanCoverage's discipline; the keeper/df table is one
+    * partial-agged aggregate over distinct (doc, span); covered
+    * positions explode only from SCRUBBED occurrences (bounded by the
+    * dup mass, not the corpus); and text re-assembly is in-row — the
+    * token strings themselves never shuffle. Per-doc state (token
+    * array, covered-position set) is bounded by document length.
+    */
+  def spanScrub(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // (doc, start, span-hash) for every n-token window
+    val pos = tok.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tk) >= $n
+              THEN transform(sequence(1, size(tk) - ${n - 1}),
+                             i -> struct(i AS i, array_join(slice(tk, i, $n), ' ') AS sp))
+              ELSE CAST(array() AS ARRAY<STRUCT<i: INT, sp: STRING>>) END""")).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"),
+        graft.functions.Hashing.h60(col("p.sp")).as("g"))
+    // one aggregate yields both the cross-doc frequency and the keeper
+    val keepers = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2)
+    val scrubbed = pos.join(keepers, "g")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("i"))
+    val spanCounts = scrubbed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_removed"))
+    val covered = scrubbed
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("j"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("j"))).as("cov"))
+    tok
+      .join(covered, Seq("doc_id"), "left")
+      .join(spanCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // fast path for unscathed docs; scrubbed docs drop covered
+        // positions via the codegen'd array_except, then gather tokens
+        when(col("cov").isNull, array_join(col("tk"), " "))
+          .otherwise(array_join(expr(
+            "transform(array_except(sequence(1, size(tk)), cov), j -> element_at(tk, j))"),
+            " ")).as("scrubbed_text"),
+        when(col("cov").isNull, lit(0L))
+          .otherwise(expr("size(cov)").cast("long")).as("n_tokens_removed"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"))
   }
 
   /** Corpus length-distribution report: documents per power-of-two

@@ -625,4 +625,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byLang("en").map(_.getAs[Long]("n_docs")).sum == 7L)
     assert(byLang("de").map(_.getAs[Long]("n_docs")).sum == 3L)
   }
+
+  test("spanScrub: min-doc keeps, losers drop covered tokens, short docs untouched") {
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    val d = docsDf(Seq(
+      (1L, s"$span alpha beta"),     // keeper (min doc_id) — untouched
+      (2L, s"prefix $span suffix"),  // loser: the 8 span tokens drop
+      (3L, span),                    // loser: fully scrubbed -> ''
+      (4L, "short doc"),             // < n tokens: no spans, untouched
+      (5L, "unique tokens here that never repeat anywhere else at all")))
+    val r = TextAnalysis.spanScrub(d, 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("scrubbed_text"),
+          x.getAs[Long]("n_tokens_removed"), x.getAs[Long]("n_spans_removed"))))
+      .toMap
+    assert(r(1L) == ((s"$span alpha beta", 0L, 0L)), s"keeper touched: ${r(1L)}")
+    assert(r(2L) == (("prefix suffix", 8L, 1L)), s"loser wrong: ${r(2L)}")
+    assert(r(3L) == (("", 8L, 1L)), s"full scrub wrong: ${r(3L)}")
+    assert(r(4L) == (("short doc", 0L, 0L)))
+    assert(r(5L)._2 == 0L && r(5L)._3 == 0L)
+    // overlapping occurrences: covered positions are a UNION, not a sum
+    val span9 = s"$span nine" // two overlapping 8-token spans
+    val o = TextAnalysis.spanScrub(docsDf(Seq(
+      (1L, span9), (2L, s"x $span9 y"))), 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("scrubbed_text"),
+          x.getAs[Long]("n_tokens_removed"), x.getAs[Long]("n_spans_removed"))))
+      .toMap
+    assert(o(2L) == (("x y", 9L, 2L)), s"overlap union wrong: ${o(2L)}")
+  }
 }
