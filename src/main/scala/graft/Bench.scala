@@ -31,7 +31,10 @@ import org.apache.spark.sql.SparkSession
   * default BASELINE_duckdb.json, use BASELINE_sf1_duckdb.json at sf1),
   * SPARK_GRAFT_ONLY (comma-separated query names — family-subset
   * captures at stress scale factors, e.g. the dedup/ANN sf3 scaling
-  * probe; the printed total then covers only those queries).
+  * probe; the printed total then covers only those queries),
+  * SPARK_GRAFT_GC_BETWEEN=1 (System.gc() before each timed query — an
+  * A/B isolation knob for long-JVM heap-pressure investigations, never
+  * on for committed captures: the pauses it injects are not workload).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -85,7 +88,9 @@ object Bench {
       // hide in the untimed warmup (the round-9 verdict's finding).
       graft.core.SharedViews.reclaimEverything(spark)
       sentinels += sentinel()
+      val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
       names.map { name =>
+        if (gcBetween) { System.gc(); Thread.sleep(50) }
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => () }
@@ -130,8 +135,20 @@ object Bench {
         else Some(s""","spark_vs_duckdb_excl_quantizer":${r3(sEx / dEx)}""")
       }
     }
+    // Noise-robust companion: the r12→r11 gate swung 0.829→0.978 at
+    // identical code purely on box contention (sentinels 0.08→0.25).
+    // Every query pays the box's per-query scheduling floor, which the
+    // sentinel measures directly — subtracting the capture's median
+    // sentinel from each per-query time (floored at 0) removes the
+    // uniform-inflation component a degraded box adds, so this ratio is
+    // comparable ACROSS captures whose sentinels differ. The unadjusted
+    // headline stays the gate; this is the cross-box tiebreaker.
+    val medSentinel = median(sentinels.toSeq)
+    val totalSentAdj = results.map { case (_, v) =>
+      math.max(0.0, v - medSentinel) }.sum
     val vsBaseline = duckdbTotal
-      .map(d => s""","duckdb_total_sec":${r3(d)},"spark_vs_duckdb":${r3(total / d)}""")
+      .map(d => s""","duckdb_total_sec":${r3(d)},"spark_vs_duckdb":${r3(total / d)}""" +
+        s""","spark_vs_duckdb_sentinel_adj":${r3(totalSentAdj / d)}""")
       .getOrElse("") + exclRatio.getOrElse("")
     val sentinelJson = sentinels.map(r3).mkString("[", ",", "]")
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -139,7 +156,7 @@ object Bench {
     val detailMedian = medians.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)},"sentinel_sec":$sentinelJson,"n_queries":${names.size},"queries":$detail,"queries_median":$detailMedian,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)},"value_sentinel_adj":${r3(totalSentAdj)},"sentinel_sec":$sentinelJson,"n_queries":${names.size},"queries":$detail,"queries_median":$detailMedian,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detailJson + "\n").getBytes("UTF-8"))
