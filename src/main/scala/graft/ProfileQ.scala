@@ -26,7 +26,8 @@ object ProfileQ {
         sr.add(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
       }
     })
-    args.foreach { name =>
+    val todo = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    todo.foreach { name =>
       for (pass <- 1 to 2) {
         graft.core.SharedViews.reclaimEverything(spark)
         tasks.reset(); input.reset(); sw.reset(); sr.reset()
