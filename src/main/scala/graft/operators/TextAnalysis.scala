@@ -236,20 +236,28 @@ object TextAnalysis {
     * variant that traded the string shuffles for ~20M md5 calls and
     * LOST at sf1): the tf table's tokenize+explode exchange is computed
     * ONCE — the df subtree and the scored subtree consume the same
-    * canonical tf plan, so AQE shuffle-stage reuse shares it (r13
-    * structural A/B: a MEMORY_ONLY persist of tf was pure cost on top
-    * of that reuse — 143 tasks / 31 MB shuffled / 3.5 s persisted vs
-    * 83 / 21 MB / 1.4 s relying on reuse at the 10x stress scale); the
-    * df aggregate shuffles partial-agged vocabulary rows and broadcasts
-    * back (AQE falls back to a keyed shuffle if a 100TB vocabulary
-    * outgrows it), so the tf stream itself never shuffles for the join;
-    * and the per-doc rank filter compiles to WindowGroupLimit, which
-    * prunes to ≤k rows per doc per partition BEFORE the window
-    * exchange — the only full-width string shuffle left is output-sized.
+    * canonical tf plan, so AQE shuffle-stage reuse shares it and a
+    * persist on top is pure cost (the df side re-runs only the cheap
+    * final aggregate over the locally-read shuffle output). The
+    * tautological tf >= 1 filter on the df branch is LOAD-BEARING:
+    * without a reference to the tf column, ColumnPruning strips
+    * count(1) out of the df branch's inner aggregate, the two
+    * exchanges stop canonicalizing identically, stage reuse dies and
+    * the corpus is tokenized twice (r13: caught as 39 MB shuffled /
+    * doubled tokenize at sf1 vs 21 MB with reuse; an earlier A/B that
+    * "proved" reuse worked unaided was reading the prior variant's
+    * leftover cache). The df aggregate shuffles partial-agged
+    * vocabulary rows and broadcasts back (AQE falls back to a keyed
+    * shuffle if a 100TB vocabulary outgrows it), so the tf stream
+    * itself never shuffles for the join; and the per-doc rank filter
+    * compiles to WindowGroupLimit, which prunes to ≤k rows per doc per
+    * partition BEFORE the window exchange — the only full-width string
+    * shuffle left is output-sized.
     */
   private def tfidfScoredFrom(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
     val tfp = tf
-    val dfT = tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfT = tfp.filter(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tfp.join(dfT, "term").crossJoin(broadcast(n))
       .withColumn("score", graft.functions.Hashing.rd4(
