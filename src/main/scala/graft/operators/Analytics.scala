@@ -751,8 +751,15 @@ object Analytics {
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minSup)
     val marg = dp.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    // the tautological __nparts >= 0 filter is load-bearing: without a
+    // consumer of the inner count, the optimizer eliminates it, the
+    // branch collapses to a distinct-on-orderkey whose pruned exchange
+    // no longer canonically matches dp's, and the totals branch pays
+    // its own lineitem scan + shuffle (verified via ProfilePlan: stage
+    // 7 re-scanned lineitem before this filter, ReusedExchange after)
     val totals = dp.groupBy(col("l_orderkey"))
       .agg(count(col("l_partkey")).as("__nparts"))
+      .filter(col("__nparts") >= 0)
       .agg(count(lit(1)).as("n_orders"))
     pairs
       .join(marg.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")

@@ -157,4 +157,41 @@ class PlanGuardSpec extends SparkSpec {
     assert(readSchema.contains("text") && !readSchema.contains("n_chars"),
       s"unpruned read schema: $readSchema")
   }
+
+  /** Execute the query's own AdaptiveSparkPlanExec to its FINAL plan and
+    * return the final section's string (a count()/collect wraps the query
+    * in a new QueryExecution, leaving this instance un-finalized, and the
+    * initial plan can't show AQE stage reuse).
+    */
+  private def finalPlan(name: String): String = {
+    val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    exec.execute().count()
+    exec.toString.split("== Initial Plan ==").head
+  }
+
+  test("shared-subtree fan-outs reuse ONE exchange (the r13 pruning disease)") {
+    // Both queries fan one aggregated subtree out to several consumers;
+    // ColumnPruning/RemoveRedundantAggregates can silently de-canonicalize
+    // a branch (strip an unused count) so AQE stage reuse dies and the
+    // fact table is re-scanned + re-shuffled per consumer — caught twice
+    // in round 13 (q_market_basket: 5 lineitem scans; text_tfidf_top_terms:
+    // corpus tokenized twice). Tautological filters in the operators keep
+    // the branches canonical; this pins that they KEEP working.
+    val basket = finalPlan("q_market_basket")
+    val basketScans = "lineitem.parquet".r.findAllIn(basket).length
+    assert(basketScans == 1,
+      s"q_market_basket final plan scans lineitem $basketScans times (want 1)")
+    assert(basket.contains("ReusedExchange"),
+      "q_market_basket final plan lost all exchange reuse")
+    val tfidf = finalPlan("text_tfidf_top_terms")
+    // the 1-row n_docs count is a metadata-only scan (empty ReadSchema)
+    // and is fine; the TEXT column must be read and tokenized only once
+    val textScans = tfidf.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema") &&
+        l.contains("text:string"))
+    assert(textScans == 1,
+      s"text_tfidf_top_terms final plan reads the text column $textScans times (want 1)")
+    assert(tfidf.contains("ReusedExchange"),
+      "text_tfidf_top_terms final plan lost the tokenize-exchange reuse")
+  }
 }
