@@ -1392,6 +1392,35 @@ object PipelineOracles {
                      ELSE floor((dup_spans * 1.0 / n_spans) * 10000.0 + 0.5) / 10000.0 END AS dup_frac
          FROM documents d LEFT JOIN agg USING (doc_id)""",
 
+    "quality_retention_curve" -> s"""WITH $tok,
+         t2 AS (SELECT doc_id, len(tk) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct,
+                       length(text) AS nchars,
+                       len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS stops
+                FROM tok),
+         q AS (SELECT n_tokens,
+                      floor((least(1.0, n_tokens / 100.0) * 0.4
+                            + (1.0 - punct * 1.0 / nchars) * 0.3
+                            + least(1.0, stops * 5.0 / n_tokens) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
+               FROM t2),
+         qq AS (SELECT least(9, CAST(floor(quality * 10) AS INT)) AS b,
+                       CAST(n_tokens AS BIGINT) AS nt,
+                       CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS q4 FROM q),
+         byb AS (SELECT b, count(*) AS nd, sum(nt) AS tok, sum(q4) AS sq4
+                 FROM qq GROUP BY 1),
+         th AS (SELECT unnest(generate_series(0, 9)) AS tb),
+         cum AS (SELECT tb, sum(nd) AS nd, sum(tok) AS tok, sum(sq4) AS sq4
+                 FROM th LEFT JOIN byb ON b >= tb GROUP BY 1),
+         tot AS (SELECT sum(nd) AS tnd, sum(tok) AS ttok FROM byb)
+         SELECT tb / 10.0 AS threshold,
+                CAST(coalesce(nd, 0) AS BIGINT) AS n_docs,
+                CAST(coalesce(tok, 0) AS BIGINT) AS n_tokens,
+                floor((coalesce(nd, 0) * 1.0 / tnd) * 10000.0 + 0.5) / 10000.0 AS frac_docs,
+                floor((coalesce(tok, 0) * 1.0 / ttok) * 10000.0 + 0.5) / 10000.0 AS frac_tokens,
+                CASE WHEN coalesce(nd, 0) = 0 THEN 0.0
+                     ELSE floor((sq4 / 10000.0 / nd) * 10000.0 + 0.5) / 10000.0 END AS mean_quality
+         FROM cum CROSS JOIN tot""",
+
     "text_span_scrub" -> s"""WITH $tok,
          posi AS (SELECT doc_id, tk,
                     unnest(CASE WHEN len(tk) >= 8

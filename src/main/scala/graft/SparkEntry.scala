@@ -196,6 +196,8 @@ object SparkEntry {
       TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), 8)),
     "text_span_scrub" -> ((s, dir) =>
       TextAnalysis.spanScrub(t(s, dir, "documents"), 8)),
+    "quality_retention_curve" -> ((s, dir) =>
+      TextAnalysis.qualityRetentionCurve(t(s, dir, "documents"))),
     "text_quality_model" -> ((s, dir) => TextAnalysis.qualityModel(t(s, dir, "documents"))),
     "mm_image_tiles" -> ((s, dir) => Multimodal.imageTiles(t(s, dir, "documents"), 64)),
     "dedup_minhash_estimate" -> ((s, dir) =>

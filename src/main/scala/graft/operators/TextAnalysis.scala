@@ -119,6 +119,49 @@ object TextAnalysis {
     withQuality(docs).select(col("doc_id"), col("n_tokens"),
       col("punct_ratio"), col("stop_ratio"), col("quality"))
 
+  /** Quality-filter operating curve: for each candidate threshold
+    * t = 0.0, 0.1, …, 0.9, the docs and tokens RETAINED by "keep docs
+    * with quality ≥ t", plus the retained set's mean quality — the
+    * curve a pipeline owner reads to pick a filter operating point
+    * (token budget vs quality lift) BEFORE committing a corpus rebuild,
+    * the quality-screen analogue of [[graft.operators.Dedup]]'s
+    * dedup_threshold_curve.
+    *
+    * Determinism: docs bucket by floor(quality·10) (quality is already
+    * on the rd4 1e-4 grid, so the bucket edge arithmetic is identical
+    * IEEE ops on identical doubles in both engines), per-bucket sums
+    * carry exact LONGs (token counts, quality·10⁴ grid values), and the
+    * cumulative step is a ≤100-row bucket join — the corpus-wide work is
+    * ONE map-side-combined 10-group aggregate; no windows, no second
+    * scan. Mean quality divides one exact LONG sum once.
+    */
+  def qualityRetentionCurve(docs: DataFrame): DataFrame = {
+    val q = withQuality(docs).select(
+      least(lit(9), floor(col("quality") * 10).cast("int")).as("b"),
+      col("n_tokens").cast("long").as("nt"),
+      round(col("quality") * 10000).cast("long").as("q4"))
+    val byB = q.groupBy(col("b")).agg(
+      count(lit(1)).as("nd"), sum(col("nt")).as("tok"), sum(col("q4")).as("sq4"))
+    val thresholds = docs.sparkSession.range(10).select(col("id").cast("int").as("tb"))
+    val tot = byB.agg(sum(col("nd")).as("tnd"), sum(col("tok")).as("ttok"))
+    thresholds
+      .join(byB, col("b") >= col("tb"), "left")
+      .groupBy(col("tb"))
+      .agg(sum(col("nd")).as("nd"), sum(col("tok")).as("tok"), sum(col("sq4")).as("sq4"))
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("tb") / 10.0).as("threshold"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"),
+        coalesce(col("tok"), lit(0L)).as("n_tokens"),
+        graft.functions.Hashing.rd4(
+          coalesce(col("nd"), lit(0L)) / col("tnd")).as("frac_docs"),
+        graft.functions.Hashing.rd4(
+          coalesce(col("tok"), lit(0L)) / col("ttok")).as("frac_tokens"),
+        when(coalesce(col("nd"), lit(0L)) === 0, lit(0.0))
+          .otherwise(graft.functions.Hashing.rd4(
+            col("sq4") / 10000.0 / col("nd"))).as("mean_quality"))
+  }
+
   /** Add marker-word counts + `pred_lang` — pure projection twin of
     * [[langId]], fusable into a single scan.
     */

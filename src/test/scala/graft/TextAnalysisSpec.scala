@@ -654,4 +654,35 @@ class TextAnalysisSpec extends SparkSpec {
       .toMap
     assert(o(2L) == (("x y", 9L, 2L)), s"overlap union wrong: ${o(2L)}")
   }
+
+  test("qualityRetentionCurve: monotone retention, threshold-0 keeps everything") {
+    import org.apache.spark.sql.functions._
+    val d = docsDf((1L to 20L).map(i =>
+      (i, ("the quick brown fox " * i.toInt).trim)))
+    val r = TextAnalysis.qualityRetentionCurve(d)
+      .orderBy("threshold").collect()
+    assert(r.length == 10, s"expected 10 thresholds, got ${r.length}")
+    assert(r.head.getAs[Double]("threshold") == 0.0 &&
+      r.head.getAs[Long]("n_docs") == 20L, "threshold 0 must keep every doc")
+    val totTokens = d.select(TextAnalysis.nTokensL(col("text"))).collect()
+      .map(_.getLong(0)).sum
+    assert(r.head.getAs[Long]("n_tokens") == totTokens)
+    assert(r.head.getAs[Double]("frac_docs") == 1.0)
+    // retention is non-increasing in the threshold, mean quality
+    // non-decreasing while docs remain
+    val kept = r.map(_.getAs[Long]("n_docs"))
+    assert(kept.sliding(2).forall(p => p(1) <= p(0)), kept.toSeq.toString)
+    val mq = r.filter(_.getAs[Long]("n_docs") > 0).map(_.getAs[Double]("mean_quality"))
+    assert(mq.sliding(2).forall(p => p.length < 2 || p(1) >= p(0) - 1e-9), mq.toSeq.toString)
+    // reconciliation: each threshold's doc count equals the filter's
+    val q = TextAnalysis.quality(d).collect()
+    r.foreach { row =>
+      val t = row.getAs[Double]("threshold")
+      // bucketization keeps quality >= t exactly (quality is on the 1e-4
+      // grid, thresholds on the 1e-1 grid)
+      val expect = q.count(_.getAs[Double]("quality") >= t - 1e-12)
+      assert(row.getAs[Long]("n_docs") == expect,
+        s"threshold $t kept ${row.getAs[Long]("n_docs")} docs, filter keeps $expect")
+    }
+  }
 }
