@@ -11,9 +11,14 @@ object ProfileText {
     val spark = Harness.session("spark.sql.session.timeZone" -> "UTC")
     val q = SparkEntry.queries("text_tfidf_top_terms")(spark, dir)
     val t0 = System.nanoTime()
-    println("rows=" + q.count())
+    // drive the EXACT AdaptiveSparkPlanExec to its final plan — count()
+    // wraps the query in a NEW QueryExecution and this instance would
+    // stay un-finalized (always printing 0 ReusedExchange); same pattern
+    // as ProfilePlan
+    val exec = q.queryExecution.executedPlan
+    println("rows=" + exec.execute().count())
     println(f"time=${(System.nanoTime() - t0) / 1e9}%.1f")
-    val p = q.queryExecution.executedPlan.toString
+    val p = exec.toString.split("== Initial Plan ==").head
     println("EXCH " + "Exchange ".r.findAllIn(p).length +
       " REUSEDexch " + "ReusedExchange".r.findAllIn(p).length +
       " SHUFSTAGE " + "ShuffleQueryStage".r.findAllIn(p).length +

@@ -1417,7 +1417,8 @@ object SparkEntry {
          GROUP BY CUBE (extract(year FROM o_orderdate), o_orderpriority)""",
 
     "q_market_basket" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
          tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
          pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                        count(*) AS pair_count

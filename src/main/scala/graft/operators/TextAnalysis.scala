@@ -132,8 +132,8 @@ object TextAnalysis {
     * IEEE ops on identical doubles in both engines), per-bucket sums
     * carry exact LONGs (token counts, quality·10⁴ grid values), and the
     * cumulative step is a ≤100-row bucket join — the corpus-wide work is
-    * ONE map-side-combined 10-group aggregate; no windows, no second
-    * scan. Mean quality divides one exact LONG sum once.
+    * ONE map-side-combined 10-group aggregate; the only window runs over
+    * the 10-row curve. Mean quality divides one exact LONG sum once.
     */
   def qualityRetentionCurve(docs: DataFrame): DataFrame = {
     val q = withQuality(docs).select(
@@ -143,12 +143,20 @@ object TextAnalysis {
     val byB = q.groupBy(col("b")).agg(
       count(lit(1)).as("nd"), sum(col("nt")).as("tok"), sum(col("q4")).as("sq4"))
     val thresholds = docs.sparkSession.range(10).select(col("id").cast("int").as("tb"))
-    val tot = byB.agg(sum(col("nd")).as("tnd"), sum(col("tok")).as("ttok"))
+    // totals = the threshold-0 row (b ∈ [0,9] so tb=0 retains every
+    // bucket), lifted over the 10-row curve with an un-partitioned
+    // window — NOT a second `byB.agg(...)` consumer: that branch would
+    // not read sq4, ColumnPruning would strip it from its copy of the
+    // aggregate, the two subtrees would stop canonicalizing, and AQE
+    // exchange reuse would die (the corpus scanned + quality-scored
+    // twice — the market-basket/tfidf pruning disease)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     thresholds
       .join(byB, col("b") >= col("tb"), "left")
       .groupBy(col("tb"))
       .agg(sum(col("nd")).as("nd"), sum(col("tok")).as("tok"), sum(col("sq4")).as("sq4"))
-      .crossJoin(broadcast(tot))
+      .withColumn("tnd", max(when(col("tb") === 0, col("nd"))).over(all))
+      .withColumn("ttok", max(when(col("tb") === 0, col("tok"))).over(all))
       .select(
         (col("tb") / 10.0).as("threshold"),
         coalesce(col("nd"), lit(0L)).as("n_docs"),

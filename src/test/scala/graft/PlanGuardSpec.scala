@@ -41,6 +41,7 @@ class PlanGuardSpec extends SparkSpec {
       "domain_mix_weights" -> "input = per-source aggregate; sources are a fixed enum",
       "sample_mixture_apply" -> "same mixWeights window: per-source aggregate input",
       "dedup_threshold_curve" -> "input = fixed 10-row threshold-bucket grid",
+      "quality_retention_curve" -> "input = fixed 10-row quality-decile grid",
       "dedup_blocking_recall" -> "input = the same fixed 10-row Jaccard-decile grid",
       "embedding_threshold_curve" -> "input = fixed 10-row cosine-decile grid",
       "mixture_token_share" -> "same mixWeights window: per-source aggregate input",
@@ -193,5 +194,15 @@ class PlanGuardSpec extends SparkSpec {
       s"text_tfidf_top_terms final plan reads the text column $textScans times (want 1)")
     assert(tfidf.contains("ReusedExchange"),
       "text_tfidf_top_terms final plan lost the tokenize-exchange reuse")
+    // round 14: quality_retention_curve had the same disease (its totals
+    // branch `byB.agg(sum nd, sum tok)` pruned sq4 from its copy of the
+    // bucket aggregate). The fix derives totals from the threshold-0 row
+    // via a 10-row window, leaving the corpus scan single-consumer.
+    val curve = finalPlan("quality_retention_curve")
+    val curveScans = curve.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema") &&
+        l.contains("text:string"))
+    assert(curveScans == 1,
+      s"quality_retention_curve final plan reads the text column $curveScans times (want 1)")
   }
 }
