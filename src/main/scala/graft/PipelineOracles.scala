@@ -1344,7 +1344,8 @@ object PipelineOracles {
 
     "mm_feature_extract" -> s"""
          SELECT doc_id, i AS feature_idx,
-                CAST(CAST((CAST(${h60("text || '_e' || i")} % 2000 AS BIGINT) - 1000)
+                CAST(CAST((CAST(('0x' || substr(md5(text), i * 4 + 1, 4))::UBIGINT % 2000
+                                AS BIGINT) - 1000)
                           / 1000.0 AS REAL) AS DOUBLE) AS feature_val
          FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g""",
 

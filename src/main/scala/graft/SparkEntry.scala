@@ -104,7 +104,7 @@ object SparkEntry {
     "ts_correlation" -> ((s, dir) =>
       Tsdb.correlation(Tsdb.points1(t(s, dir, "events")), "purchase", "error")),
     "ts_topk_movers" -> ((s, dir) =>
-      Tsdb.topkMovers(Tsdb.points(t(s, dir, "events")), "2024-01-15", 10)),
+      Tsdb.topkMoversFromEvents(t(s, dir, "events"), "2024-01-15", 10)),
     "ts_rollup_cascade" -> ((s, dir) => Tsdb.rollupCascade(Tsdb.points(t(s, dir, "events")))),
     "ts_series_churn" -> ((s, dir) =>
       Tsdb.seriesChurn(t(s, dir, "events"), "2024-01-01", "2024-01-30")),

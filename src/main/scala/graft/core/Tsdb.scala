@@ -644,6 +644,31 @@ object Tsdb {
       .orderBy(abs(col("delta")).desc, col("f1"), col("f2"))
       .limit(k)
 
+  /** [[topkMovers]] fused over raw events: ONE (f1, f2) aggregation of
+    * exact cent LONGS per period instead of points() → re-aggregate —
+    * halves the shuffles and never materializes the (series, bucket)
+    * grid. Value-identical to the two-level form when values sit on the
+    * 2-dec grid: each bucket total is then a whole number of cents (the
+    * per-bucket round is an identity), so period sums of bucket totals
+    * equal the direct cent sums, and a period total can never land on a
+    * .005 rounding knife edge. `split` must be bucket-aligned (midnight
+    * is hour-aligned), making the raw-ts comparison equal to the
+    * bucket comparison.
+    */
+  def topkMoversFromEvents(events: DataFrame, split: String, k: Int): DataFrame =
+    events
+      .groupBy(col("event_type").as("f1"), col("user_id").cast("string").as("f2"))
+      .agg(
+        sum(when(col("ts") < lit(split).cast("timestamp_ntz"),
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("c1"),
+        sum(when(col("ts") >= lit(split).cast("timestamp_ntz"),
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("c2"))
+      .select(col("f1"), col("f2"),
+        (col("c1") / 100.0).as("p1_total"), (col("c2") / 100.0).as("p2_total"),
+        ((col("c2") - col("c1")) / 100.0).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("f1"), col("f2"))
+      .limit(k)
+
   /** Latest point per series (arg-max on bucket). */
   def latest(pts: DataFrame): DataFrame =
     pts.groupBy(col("f1"), col("f2"))
@@ -1748,32 +1773,30 @@ object Tsdb {
   def attribution(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // touches and purchases both filter this windowed projection, so it
-    // would otherwise execute twice (scan + window sort); the persisted
-    // form is narrow (4 columns, touch+purchase rows only)
-    val base = events
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE window pass resolves both models: at each purchase row,
+    // last_value(touch_type, ignoreNulls) over the user's (ts, event_id)
+    // stream IS the tcnt-th touch the old formulation self-joined for,
+    // and first_value(ignoreNulls) is touch #1 (non-null exactly when a
+    // touch precedes the purchase). Replaces the windowed-base persist +
+    // per-model explode + (user, index) join — one user-keyed exchange,
+    // one sort, zero joins, zero cached state. Rows-frame: the (ts,
+    // event_id) order is a total order, so ROWS == the oracle's RANGE.
+    events
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .withColumn("is_touch", col("event_type").isin("view", "click"))
-      .withColumn("tcnt", sum(col("is_touch").cast("long")).over(w))
-      .select(col("user_id"), col("event_type"), col("is_touch"), col("tcnt"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touches = base.filter(col("is_touch"))
-      .select(col("user_id").as("tu"), col("tcnt").as("ti"),
-        col("event_type").as("touch_type"))
-    val wanted = base.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("pu"), col("cents"),
+      .withColumn("touch_type",
+        when(col("event_type").isin("view", "click"), col("event_type")))
+      .withColumn("lt", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("ft", first(col("touch_type"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"),
         explode(array(
-          struct(lit("last_touch").as("model"), col("tcnt").as("want")),
+          struct(lit("last_touch").as("model"),
+            coalesce(col("lt"), lit("none")).as("tt")),
           struct(lit("first_touch").as("model"),
-            when(col("tcnt") >= 1L, lit(1L)).otherwise(lit(0L)).as("want"))))
-          .as("mw"))
-      .select(col("pu"), col("cents"),
-        col("mw.model").as("model"), col("mw.want").as("want"))
-    wanted
-      .join(touches, col("pu") === col("tu") && col("want") === col("ti"), "left")
-      .groupBy(col("model"),
-        coalesce(col("touch_type"), lit("none")).as("touch_type"))
+            coalesce(col("ft"), lit("none")).as("tt")))).as("mw"))
+      .groupBy(col("mw.model").as("model"), col("mw.tt").as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cs"))
       .select(col("model"), col("touch_type"), col("n_purchases"),
         (col("cs").cast("double") / 100.0).as("revenue"))

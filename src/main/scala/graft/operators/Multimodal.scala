@@ -142,12 +142,21 @@ object Multimodal {
   /** Feature extraction STUB: a deterministic 8-dim pseudo-embedding per
     * payload (hash-derived floats in [-1,1)). Schema/batching is what a
     * real extractor would produce (array<float> column).
+    *
+    * ONE md5 of the payload, eight 16-bit hex windows — the previous
+    * shape hashed the full text EIGHT times inside an interpreted
+    * higher-order lambda (~8× the per-row digest cost plus ~1µs/element
+    * lambda overhead); explicit array elements over a hoisted digest
+    * stay in whole-stage codegen.
     */
   def featureExtract(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      expr("""transform(sequence(0, 7), i ->
-                CAST((CAST(conv(substring(md5(concat(text, '_e', i)), 1, 15), 16, 10) AS BIGINT)
-                      % 2000 - 1000) / 1000.0 AS FLOAT))""").as("features"))
+    docs
+      .withColumn("__h", md5(col("text")))
+      .select(col("doc_id"),
+        array((0 until 8).map { i =>
+          ((conv(substring(col("__h"), i * 4 + 1, 4), 16, 10).cast("long")
+            % 2000L - 1000L) / 1000.0).cast("float")
+        }: _*).as("features"))
 
   /** Audio metadata + fixed-duration chunking: the audio twin of
     * binaryMeta + frameSample. "Decode" derives sample_rate/duration from
