@@ -12,6 +12,36 @@ object PipelineOracles {
   /** DuckDB twin of Hashing.h60. */
   private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::UBIGINT"
 
+  /** Fixed-unroll replay of TextAnalysis.bpeMerges: k trainer rounds,
+    * same double-space symbol representation, same greedy left-to-right
+    * `replace` merge apply (both engines' replace scans sequentially
+    * non-overlapping), same (occ DESC, a, b) argmax tie-break.
+    */
+  private def bpeMergesOracle(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, cnt
+           FROM (SELECT cnt, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+                 FROM (SELECT cnt, string_split(trim(syms), '  ') AS sy FROM v${r - 1})
+                 WHERE len(sy) >= 2)),
+         b$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS occ FROM p$r
+                 GROUP BY 1, 2 ORDER BY occ DESC, a, b LIMIT 1),
+         v$r AS (SELECT replace(v.syms, ' ' || b.a || '  ' || b.b || ' ',
+                                ' ' || b.a || b.b || ' ') AS syms, v.cnt
+                 FROM v${r - 1} v CROSS JOIN b$r b)"""
+    }.mkString(",\n         ")
+    val rows = (1 to k).map(r =>
+      s"""SELECT $r AS merge_round, a AS sym_a, b AS sym_b,
+              a || b AS merged, occ AS occurrences FROM b$r""")
+      .mkString(" UNION ALL ")
+    s"""WITH $tok,
+         tkx AS (SELECT unnest(tk) AS tok2 FROM tok),
+         v0 AS (SELECT ' ' || rtrim(regexp_replace(tok2, '(.)', '\\1  ', 'g')) || ' ' AS syms,
+                       count(*) AS cnt
+                FROM tkx WHERE length(tok2) >= 2 GROUP BY 1),
+         $rounds
+         SELECT * FROM ($rows) ORDER BY merge_round"""
+  }
+
   /** One PCA power-iteration round (Similarity.pcaPower replay): snap →
     * center → dot (1e-9 grid) → weighted per-dim sum (1e-6 grid) →
     * driver-order norm fold. Shared by the loading report and the
@@ -2290,6 +2320,8 @@ object PipelineOracles {
                 floor(sum(c * g) / (sum(c) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_log_ratio
          FROM bc JOIN lr USING (b)
          GROUP BY 1""",
+
+    "tokenizer_bpe_merges" -> bpeMergesOracle(8),
 
     "tokenizer_bpe_pairs" -> s"""WITH $tok,
          tkx AS (SELECT unnest(tk) AS tok2 FROM tok),

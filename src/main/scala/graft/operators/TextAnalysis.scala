@@ -1139,6 +1139,66 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("pair"))
       .limit(k)
 
+  /** Iterated BPE trainer: `k` merge rounds over the corpus VOCABULARY
+    * (word types × frequencies, ≈√corpus by Zipf — the only corpus-wide
+    * pass is the wordcount; every round runs on the word-type table,
+    * never raw text; Sennrich et al. 2016's trainer loop). Each round is
+    * one pair-count aggregate + a 1-row argmax collect + one map-only
+    * merge apply, localCheckpointed so lineage stays flat (the k-means
+    * driver-loop discipline).
+    *
+    * Representation: a word's symbol sequence is a string of
+    * double-space-joined symbols with single-space pads (`lower` →
+    * `" l  o  w  e  r "`), so each symbol owns BOTH its delimiters and
+    * applying merge (a, b) is `replace(syms, " a  b ", " ab ")` — the
+    * engine-native left-to-right non-overlapping scan IS greedy BPE
+    * application, identically in Spark and DuckDB (a single-space join
+    * would share the boundary space between occurrences and skip the
+    * second of back-to-back matches). Pair occurrences count every
+    * adjacent position (overlapping, the classic trainer's statistic);
+    * argmax ties break on (sym_a, sym_b) so the merge sequence is
+    * deterministic on any engine.
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "), rtrim(regexp_replace(col("tok"), "(.)", "$1  ")), lit(" "))
+          .as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = vocab
+        .select(col("cnt"), split(trim(col("syms")), "  ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(sy) - 1),
+             i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("occ"))
+        .orderBy(col("occ").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, occ) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, occ))
+        vocab = vocab
+          .withColumn("syms",
+            replace(col("syms"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_round", "sym_a", "sym_b", "merged", "occurrences")
+  }
+
   /** Curriculum staging: the corpus ordered easy→hard by model score and
     * cut into `nStages` equal-count stages, reporting each stage's doc
     * and token mass plus its score range — the schedule table a

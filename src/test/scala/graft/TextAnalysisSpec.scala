@@ -154,6 +154,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) >= 0L && fp(1L) < 2147483647L)
   }
 
+  test("bpeMerges: greedy trainer rounds with overlap-correct apply and early stop") {
+    // word types: "aaaa" ×2, "ab" ×3
+    // round 1 pairs: (a,a) 3 positions × 2 = 6 beats (a,b) 1 × 3 = 3
+    //   greedy apply: aaaa -> [aa, aa] (left-to-right, non-overlapping)
+    // round 2: (a,b) 3 beats (aa,aa) 2 -> ab fully merged
+    // round 3: (aa,aa) 2 -> aaaa; round 4: no pairs left -> stop early
+    val r = TextAnalysis.bpeMerges(docsDf(Seq(
+      (1L, "aaaa ab ab"), (2L, "aaaa ab"))), 8)
+      .orderBy("merge_round")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4))).toSeq
+    assert(r == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "aa", "aaaa", 2L)), s"merge sequence diverged: $r")
+  }
+
   test("multimodal: resize preserves aspect ratio; featureExtract is deterministic") {
     val meta = Multimodal.binaryMeta(docs)
     val resized = Multimodal.resize(meta, 128, 128).collect()
