@@ -74,12 +74,47 @@ object Bench {
     // of three is stable enough to compare across captures
     def sentinel(): Double = Seq(sentinelOnce(), sentinelOnce(), sentinelOnce()).sorted.apply(1)
     sentinel() // untimed warmup: JIT the sentinel itself
+    // Memory-bandwidth sentinel (STREAM-triad style): round 13's box ran
+    // a ~1.2-1.3x uniform slow mode INVISIBLE to the CPU sentinel (equal
+    // modular-sum readings, 30% slower queries) — that mode throttles
+    // DRAM bandwidth, which a sum over a generated range never touches.
+    // Three 16M-double arrays swept a[i] = b[i] + 0.5*c[i] across 8
+    // threads (~0.4 GB of real memory traffic per sweep); median of 3.
+    // A capture is comparable to another only at similar readings of
+    // BOTH sentinels; BASELINE.md records the blessed reference value
+    // used for the mem-adjusted companion ratio below.
+    val memN = 16 << 20
+    val memA = new Array[Double](memN)
+    val memB = new Array[Double](memN)
+    val memC = new Array[Double](memN)
+    java.util.Arrays.fill(memB, 1.5)
+    java.util.Arrays.fill(memC, 2.5)
+    def memSentinelOnce(): Double = {
+      val nThreads = 8
+      val chunk = memN / nThreads
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          var i = t * chunk; val end = i + chunk
+          while (i < end) { memA(i) = memB(i) + 0.5 * memC(i); i += 1 }
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      // keep the stores observable so the sweep cannot be dead-code'd
+      if (memA(memN - 1) == -1.0) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def memSentinel(): Double =
+      Seq(memSentinelOnce(), memSentinelOnce(), memSentinelOnce()).sorted.apply(1)
+    memSentinel() // untimed warmup: JIT + fault the pages in
     // best-of-3 timed passes: single-shot numbers on a shared box carry
     // multi-second noise spikes (observed: whole-run totals swinging
     // ±12% between consecutive runs); min-of-passes reports reproducible
     // cost, and median-of-passes is published alongside so a judge can
     // see when even the min was taken under load
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to nPasses).map { _ =>
       // Honest accounting: drop every shared frozen view (and its
       // checkpoint blocks) so each pass rebuilds them INSIDE the timing
@@ -88,6 +123,7 @@ object Bench {
       // hide in the untimed warmup (the round-9 verdict's finding).
       graft.core.SharedViews.reclaimEverything(spark)
       sentinels += sentinel()
+      memSentinels += memSentinel()
       val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
       names.map { name =>
         if (gcBetween) { System.gc(); Thread.sleep(50) }
@@ -146,17 +182,32 @@ object Bench {
     val medSentinel = median(sentinels.toSeq)
     val totalSentAdj = results.map { case (_, v) =>
       math.max(0.0, v - medSentinel) }.sum
+    // Bandwidth-adjusted companion: a throttled-DRAM mode inflates query
+    // times MULTIPLICATIVELY (every shuffle/scan/sort is a memory sweep),
+    // so the correction is a scale by ref/measured — unlike the CPU
+    // sentinel's additive per-query scheduling floor. The reference
+    // reading is committed in the baseline json (mem_sentinel_ref_sec,
+    // blessed quiet-box value documented in BASELINE.md); the companion
+    // is only printed when the baseline carries one.
+    val medMemSentinel = median(memSentinels.toSeq)
+    val memRef: Option[Double] = baselineTxt.flatMap(txt =>
+      """"mem_sentinel_ref_sec"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble))
+    val memAdj: Option[String] = for {
+      d <- duckdbTotal; ref <- memRef; if medMemSentinel > 0
+    } yield s""","spark_vs_duckdb_mem_adj":${r3(total * (ref / medMemSentinel) / d)}"""
     val vsBaseline = duckdbTotal
       .map(d => s""","duckdb_total_sec":${r3(d)},"spark_vs_duckdb":${r3(total / d)}""" +
         s""","spark_vs_duckdb_sentinel_adj":${r3(totalSentAdj / d)}""")
-      .getOrElse("") + exclRatio.getOrElse("")
+      .getOrElse("") + exclRatio.getOrElse("") + memAdj.getOrElse("")
     val sentinelJson = sentinels.map(r3).mkString("[", ",", "]")
+    val memSentinelJson = memSentinels.map(r3).mkString("[", ",", "]")
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val detailMedian = medians.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)},"value_sentinel_adj":${r3(totalSentAdj)},"sentinel_sec":$sentinelJson,"n_queries":${names.size},"queries":$detail,"queries_median":$detailMedian,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)},"value_sentinel_adj":${r3(totalSentAdj)},"sentinel_sec":$sentinelJson,"mem_sentinel_sec":$memSentinelJson,"n_queries":${names.size},"queries":$detail,"queries_median":$detailMedian,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detailJson + "\n").getBytes("UTF-8"))
@@ -172,6 +223,6 @@ object Bench {
     }
     val qs = kept.mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)}$vsBaseline,"sentinel_sec":$sentinelJson,"n_queries":${names.size},"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_median":${r3(totalMedian)}$vsBaseline,"sentinel_sec":$sentinelJson,"mem_sentinel_sec":$memSentinelJson,"n_queries":${names.size},"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }

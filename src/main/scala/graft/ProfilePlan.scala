@@ -8,27 +8,43 @@ package graft
   * {{{ sbt "runMain graft.ProfilePlan <name> [<name>...]" }}}
   */
 object ProfilePlan {
+
+  /** Final-plan per-parquet-file scan counts for one registered query —
+    * shared by the CLI below and PlanGuardSpec's committed watchlist
+    * (which pins these counts for every query so a benign duplicate
+    * scan silently flipping into a duplicate SHUFFLE fails CI).
+    */
+  def finalPlanScanCounts(spark: org.apache.spark.sql.SparkSession,
+      name: String, dir: String): (String, Map[String, Int]) = {
+    val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    exec.execute().count()
+    val p = exec.toString.split("== Initial Plan ==").head
+    val perFile = "InMemoryFileIndex\\(1 paths\\)\\[file:([^\\]]+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .groupBy(identity).view.mapValues(_.size)
+      .map { case (f, n) => f.split('/').last -> n }.toMap
+    (p, perFile)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Harness.session("spark.sql.session.timeZone" -> "UTC")
     val todo = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val tsv = sys.env.get("PLAN_TSV").map(p => new java.io.PrintWriter(p))
     todo.foreach { name =>
       graft.core.SharedViews.reclaimEverything(spark)
-      val q = SparkEntry.queries(name)(spark, dir)
       // drive the EXACT AdaptiveSparkPlanExec instance to its final plan
       // (count()/write wrap the query in a new QueryExecution, leaving
-      // this instance un-finalized)
-      val exec = q.queryExecution.executedPlan
-      exec.execute().count()
-      // AdaptiveSparkPlan prints final plan THEN "== Initial Plan ==";
-      // count only the final section
-      val p = exec.toString.split("== Initial Plan ==").head
+      // this instance un-finalized); count only the final section —
+      // AdaptiveSparkPlan prints final plan THEN "== Initial Plan =="
+      val (p, perFile) = finalPlanScanCounts(spark, name, dir)
       def c(pat: String) = pat.r.findAllIn(p).length
-      val perFile = "InMemoryFileIndex\\(1 paths\\)\\[file:([^\\]]+)\\]".r
-        .findAllMatchIn(p).map(_.group(1)).toSeq
-        .groupBy(identity).view.mapValues(_.size)
-        .map { case (f, n) => f.split('/').last -> n }.toMap
       val dup = perFile.filter(_._2 > 1).map { case (f, n) => s"$f x$n" }
+      tsv.foreach { w =>
+        perFile.toSeq.sorted.foreach { case (f, n) => w.println(s"$name\t$f\t$n") }
+        if (perFile.isEmpty) w.println(s"$name\t-\t0")
+        w.flush()
+      }
       println(s"PLAN $name isFinal=${p.contains("isFinalPlan=true")} " +
         s"scans=${c("Scan parquet")} exch=${c("Exchange hashpartitioning")} " +
         s"singleExch=${c("Exchange SinglePartition")} bcast=${c("BroadcastExchange")} " +
@@ -37,6 +53,7 @@ object ProfilePlan {
       if (sys.env.contains("PLAN_FULL")) println(p)
       spark.catalog.clearCache()
     }
+    tsv.foreach(_.close())
     spark.stop()
   }
 }

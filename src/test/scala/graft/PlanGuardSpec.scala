@@ -205,4 +205,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(curveScans == 1,
       s"quality_retention_curve final plan reads the text column $curveScans times (want 1)")
   }
+
+  test("final-plan per-file scan counts never exceed the committed watchlist") {
+    // Regenerate with:
+    //   PLAN_TSV=src/test/resources/plan_scan_watchlist.tsv \
+    //     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt "runMain graft.ProfilePlan"
+    // The r13 sweep found 60 queries with a BENIGN duplicate per-file
+    // scan (each side re-reads a pruned column slice map-side — cheaper
+    // than materializing at 100 TB) and two with a duplicated SHUFFLE
+    // (the pruning disease). The disease always shows as a scan-count
+    // increase in the EXECUTED final plan, so pinning the per-file scan
+    // counts of every registered query turns an optimizer/refactor
+    // regression into a loud CI failure. One-sided: fewer scans than the
+    // watchlist (better reuse) passes; a new query must be swept and
+    // added deliberately. Queries that materialize during construction
+    // (driver-loop trainers, localCheckpoint pipelines) legitimately pin
+    // to zero final-plan parquet scans.
+    val src = scala.io.Source.fromFile("src/test/resources/plan_scan_watchlist.tsv")
+    val expected: Map[String, Map[String, Int]] =
+      try src.getLines().toSeq.map(_.split("\t")).collect {
+        case Array(q, f, n) => (q, f, n.toInt)
+      }.groupBy(_._1).map { case (q, rows) =>
+        q -> rows.collect { case (_, f, n) if f != "-" => f -> n }.toMap }
+      finally src.close()
+    val missing = SparkEntry.queries.keys.filterNot(expected.contains)
+    assert(missing.isEmpty,
+      s"queries missing from the scan watchlist (re-sweep it): ${missing.mkString(", ")}")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      graft.core.SharedViews.reclaimEverything(spark)
+      val (_, perFile) = ProfilePlan.finalPlanScanCounts(spark, name, dir)
+      spark.catalog.clearCache()
+      val exp = expected(name)
+      perFile.collect { case (f, n) if n > exp.getOrElse(f, 0) =>
+        s"$name: $f x$n (watchlist ${exp.getOrElse(f, 0)})" }
+    }
+    assert(offenders.isEmpty,
+      s"final-plan scan counts grew past the watchlist (duplicate-work " +
+        s"regression):\n${offenders.mkString("\n")}")
+  }
 }
