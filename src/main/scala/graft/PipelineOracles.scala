@@ -18,14 +18,18 @@ object PipelineOracles {
     * non-overlapping), same (occ DESC, a, b) argmax tie-break.
     */
   private def bpeMergesOracle(k: Int): String = {
+    // MATERIALIZED is load-bearing: each v_r is consumed by BOTH p_{r+1}
+    // and v_{r+1}, so inlining re-derives the whole chain per consumer
+    // (measured 9.8 s vs 0.46 s at sf0.1) — the Spark side checkpoints
+    // per round, so the twin must get the same linear evaluation
     val rounds = (1 to k).map { r =>
-      s"""p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, cnt
+      s"""p$r AS MATERIALIZED (SELECT sy[i] AS a, sy[i + 1] AS b, cnt
            FROM (SELECT cnt, sy, unnest(generate_series(1, len(sy) - 1)) AS i
                  FROM (SELECT cnt, string_split(trim(syms), '  ') AS sy FROM v${r - 1})
                  WHERE len(sy) >= 2)),
-         b$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS occ FROM p$r
+         b$r AS MATERIALIZED (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS occ FROM p$r
                  GROUP BY 1, 2 ORDER BY occ DESC, a, b LIMIT 1),
-         v$r AS (SELECT replace(v.syms, ' ' || b.a || '  ' || b.b || ' ',
+         v$r AS MATERIALIZED (SELECT replace(v.syms, ' ' || b.a || '  ' || b.b || ' ',
                                 ' ' || b.a || b.b || ' ') AS syms, v.cnt
                  FROM v${r - 1} v CROSS JOIN b$r b)"""
     }.mkString(",\n         ")
@@ -35,7 +39,8 @@ object PipelineOracles {
       .mkString(" UNION ALL ")
     s"""WITH $tok,
          tkx AS (SELECT unnest(tk) AS tok2 FROM tok),
-         v0 AS (SELECT ' ' || rtrim(regexp_replace(tok2, '(.)', '\\1  ', 'g')) || ' ' AS syms,
+         v0 AS MATERIALIZED (SELECT
+                       ' ' || rtrim(regexp_replace(tok2, '(.)', '\\1  ', 'g')) || ' ' AS syms,
                        count(*) AS cnt
                 FROM tkx WHERE length(tok2) >= 2 GROUP BY 1),
          $rounds
