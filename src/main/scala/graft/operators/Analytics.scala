@@ -626,28 +626,52 @@ object Analytics {
       // eager: materialized once BEFORE the three concurrent rank passes
       // below — lazy would let all three threads race into computing it
       .localCheckpoint()
-    def quartile(order: Seq[org.apache.spark.sql.Column], name: String) =
-      Ranking.withGlobalRank(base, order, "__rnk", Some("__tot"))
-        .select(col("o_custkey"),
-          Ranking.ntileOfRank(4, col("__rnk"), col("__tot")).as(name))
+    // Exact NTILE(4) without materializing ranked tables or joining them
+    // back: each metric's rank pass runs ONCE just to COLLECT the three
+    // tile-boundary tuples (the first (value, custkey) of tiles 2..4 in
+    // that metric's total order), then quartile assignment is a map-only
+    // broadcast comparison over the checkpointed base — a row's rank is
+    // ≥ a boundary's rank iff its (value, key) tuple sorts at-or-after
+    // the boundary tuple, because (value desc, custkey) is a TOTAL
+    // order. Values compare exactly: every boundary value is collected
+    // from the same column it is compared against. Replaces three
+    // 100%-of-customers shuffle joins with nine driver-held tuples.
+    val n = base.count()
+    // NTILE row split (Ranking.ntileOfRank's contract): first `rem`
+    // tiles take q+1 rows, the rest take q
+    val q4 = n / 4; val rem = n % 4
+    def firstRankOfTile(t: Long): Long =
+      if (t - 1 <= rem) (t - 1) * (q4 + 1) + 1
+      else rem * (q4 + 1) + (t - 1 - rem) * q4 + 1
+    val boundaryRanks = (2L to 4L).map(firstRankOfTile).filter(_ <= n)
+    def scoreOf(metric: org.apache.spark.sql.Column, name: String) = {
+      val bounds = Ranking
+        .withGlobalRank(base, Seq(metric.desc, col("o_custkey")), "__rnk")
+        .filter(col("__rnk").isin(boundaryRanks: _*))
+        .select(metric.as("__v"), col("o_custkey"))
+        .collect()
+        .map(r => (r.get(0), r.getLong(1)))
+      bounds.foldLeft(lit(1L)) { case (acc, (bv, bk)) =>
+        // at-or-after boundary (bv, bk) in (metric desc, custkey asc)
+        acc + when(metric < lit(bv) ||
+          (metric === lit(bv) && col("o_custkey") >= lit(bk)), 1L).otherwise(0L)
+      }.as(name)
+    }
     // the three rank passes are independent — submit their eager jobs
-    // (range sampling + offset collect) from parallel threads so they
+    // (range sampling + boundary collect) from parallel threads so they
     // overlap instead of serializing three driver round-trips
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val Seq(rq, fq, mq) = Await.result(Future.sequence(Seq(
-      Future(quartile(Seq(col("last_order").desc, col("o_custkey")), "r_score")),
-      Future(quartile(Seq(col("frequency").desc, col("o_custkey")), "f_score")),
-      Future(quartile(Seq(col("monetary").desc, col("o_custkey")), "m_score")))),
+    val Seq(rs, fs, ms) = Await.result(Future.sequence(Seq(
+      Future(scoreOf(col("last_order"), "r_score")),
+      Future(scoreOf(col("frequency"), "f_score")),
+      Future(scoreOf(col("monetary"), "m_score")))),
       Duration.Inf)
     base
-      .join(rq, "o_custkey")
-      .join(fq, "o_custkey")
-      .join(mq, "o_custkey")
       .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
-        col("r_score"), col("f_score"), col("m_score"),
-        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+        rs, fs, ms)
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
   }
 
   /** Pareto analysis: the smallest customer set covering 80% of revenue.
