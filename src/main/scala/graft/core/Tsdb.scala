@@ -994,21 +994,18 @@ object Tsdb {
     * user shuffle happens once, segment joins are co-partitioned.
     */
   def propsFunnel(events: DataFrame, threshold: Long = 50L): DataFrame = {
-    val withK = events
+    // ONE per-user aggregation: the "k at the user's first event" is an
+    // arg-min — min_by over the (ts_ns, event_id) total order — so it
+    // fuses into the same groupBy as the first-touch timestamps. The
+    // previous shape paid a per-user window sort + a rn=1 filter + a
+    // join back; this is scan → one user shuffle → 2-row aggregate.
+    events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-    // first event per user by (raw nanos, event_id) — one shuffle on
-    // user_id; the groupBy below and the join are then co-partitioned
-    val firstK = withK
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("k").as("first_k"))
-    withK
       .groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "signup", expr("ts_ns div 1000"))).as("first_signup"),
-        min(when(col("event_type") === "purchase", expr("ts_ns div 1000"))).as("first_purchase"))
-      .join(firstK, "user_id")
+        min(when(col("event_type") === "purchase", expr("ts_ns div 1000"))).as("first_purchase"),
+        min_by(col("k"), struct(col("ts_ns"), col("event_id"))).as("first_k"))
       .withColumn("segment", when(col("first_k") > threshold, "high").otherwise("low"))
       .groupBy(col("segment"))
       .agg(
