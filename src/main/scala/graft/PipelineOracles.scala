@@ -47,6 +47,34 @@ object PipelineOracles {
          SELECT * FROM ($rows) ORDER BY merge_round"""
   }
 
+  /** Replay of TextAnalysis.bpeEncodeStats: train the same k merges
+    * (bpeMergesOracle's CTE chain), then apply them IN LEARNED ORDER as
+    * nested greedy replaces over every corpus token and aggregate
+    * per-source fertility.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val trainer = bpeMergesOracle(k)
+    val ctes = trainer.substring(trainer.indexOf("WITH ") + 5,
+      trainer.lastIndexOf("SELECT * FROM"))
+    // nested replaces, merge 1 innermost (applied first)
+    val applied = (1 to k).foldLeft(
+      "' ' || rtrim(regexp_replace(d.tok2, '(.)', '\\1  ', 'g')) || ' '") {
+      (inner, r) =>
+        s"replace($inner, ' ' || b$r.a || '  ' || b$r.b || ' ', ' ' || b$r.a || b$r.b || ' ')"
+    }
+    val joins = (1 to k).map(r => s"CROSS JOIN b$r").mkString(" ")
+    s"""WITH $ctes,
+         dtk AS (SELECT d2.source, t.doc_id, unnest(t.tk) AS tok2
+                 FROM tok t JOIN documents d2 USING (doc_id)),
+         enc AS (SELECT d.source, d.doc_id,
+                        len(string_split(trim($applied), '  ')) AS nsub
+                 FROM (SELECT * FROM dtk WHERE length(tok2) >= 1) d $joins)
+         SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                count(*) AS n_words, CAST(sum(nsub) AS BIGINT) AS n_subtokens,
+                floor((sum(nsub) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS fertility
+         FROM enc GROUP BY 1"""
+  }
+
   /** One PCA power-iteration round (Similarity.pcaPower replay): snap →
     * center → dot (1e-9 grid) → weighted per-dim sum (1e-6 grid) →
     * driver-order norm fold. Shared by the loading report and the
@@ -2327,6 +2355,8 @@ object PipelineOracles {
          GROUP BY 1""",
 
     "tokenizer_bpe_merges" -> bpeMergesOracle(8),
+
+    "tokenizer_bpe_encode" -> bpeEncodeOracle(8),
 
     "tokenizer_bpe_pairs" -> s"""WITH $tok,
          tkx AS (SELECT unnest(tk) AS tok2 FROM tok),

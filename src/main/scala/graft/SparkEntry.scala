@@ -340,6 +340,8 @@ object SparkEntry {
       TextAnalysis.bpePairStats(t(s, dir, "documents"), 20)),
     "tokenizer_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), 8)),
+    "tokenizer_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeStats(t(s, dir, "documents"), 8)),
     "curriculum_stages" -> ((s, dir) =>
       // no frozen projection: with TextStats the score pass is a cheap
       // codegen map scan, so Ranking's two passes recompute it for less

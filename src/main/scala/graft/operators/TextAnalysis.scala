@@ -1199,6 +1199,41 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_round", "sym_a", "sym_b", "merged", "occurrences")
   }
 
+  /** The trainer's APPLY step: encode the corpus with the merges
+    * [[bpeMerges]] learned and report per-source subword fertility —
+    * the number a pipeline owner reads to price a domain's token budget
+    * under the TRAINED tokenizer (tokenizer_fertility's heuristic
+    * sub-token guess, replaced by the real learned segmentation).
+    * Merges apply IN LEARNED ORDER as a chain of k codegen'd replaces
+    * over the same double-space symbol encoding (greedy left-to-right,
+    * identical in both engines — see [[bpeMerges]]); the corpus pass is
+    * one explode + a map-side-combined |sources|-group aggregate, no
+    * window, no join.
+    */
+  def bpeEncodeStats(docs: DataFrame, k: Int = 8): DataFrame = {
+    val merges = bpeMerges(docs, k)
+      .orderBy(col("merge_round"))
+      .collect()
+    val sym = concat(lit(" "),
+      rtrim(regexp_replace(col("tok"), "(.)", "$1  ")), lit(" "))
+    val applied = merges.foldLeft(sym) { (c, m) =>
+      replace(c, lit(s" ${m.getString(1)}  ${m.getString(2)} "),
+        lit(s" ${m.getString(3)} "))
+    }
+    docs
+      .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(applied), "  ")).cast("long").as("nsub"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("nsub")).as("n_subtokens"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_subtokens"),
+        graft.functions.Hashing.rd4(col("n_subtokens") / col("n_words"))
+          .as("fertility"))
+  }
+
   /** Curriculum staging: the corpus ordered easy→hard by model score and
     * cut into `nStages` equal-count stages, reporting each stage's doc
     * and token mass plus its score range — the schedule table a

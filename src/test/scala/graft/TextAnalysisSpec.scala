@@ -171,6 +171,25 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "aa", "aa", "aaaa", 2L)), s"merge sequence diverged: $r")
   }
 
+  test("bpeEncodeStats: learned merges apply in order, per-source fertility exact") {
+    import org.apache.spark.sql.functions._
+    // trainer on word types {aaaa x2, ab x3, aab x1}: round 1 learns
+    // (a,a) occ 7 (aaaa contributes 3 overlapping positions x2, aab 1),
+    // round 2 learns (a,b) occ 3. Encoding with those two merges:
+    // aaaa -> [aa, aa] (greedy, the round-1 merge already collapsed the
+    // a's so round 2's ' a  b ' never matches inside aab), ab -> [ab],
+    // aab -> [aa, b], b -> [b].
+    val docs = docsDf(Seq(
+      (1L, "aaaa ab ab"), (2L, "aaaa ab"), (3L, "aab b")))
+      .withColumn("source", when(col("doc_id") <= 2, "X").otherwise("Y"))
+    val r = TextAnalysis.bpeEncodeStats(docs, 2).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_words"),
+          x.getAs[Long]("n_subtokens"), x.getAs[Double]("fertility"))).toMap
+    assert(r("X") == ((2L, 5L, 7L, 1.4)), s"X diverged: ${r("X")}")
+    assert(r("Y") == ((1L, 2L, 3L, 1.5)), s"Y diverged: ${r("Y")}")
+  }
+
   test("multimodal: resize preserves aspect ratio; featureExtract is deterministic") {
     val meta = Multimodal.binaryMeta(docs)
     val resized = Multimodal.resize(meta, 128, 128).collect()
