@@ -990,8 +990,8 @@ object Tsdb {
   /** Property-segmented funnel: [[funnel]]'s first-touch signup→purchase
     * conversion, split by a JSON-prop segment (here k > 50 at the user's
     * FIRST event — min_by makes the segment assignment deterministic).
-    * The product-analytics "conversion by acquisition cohort" read; the
-    * user shuffle happens once, segment joins are co-partitioned.
+    * The product-analytics "conversion by acquisition cohort" read; one
+    * user-keyed shuffle, segment assignment fused into the aggregate.
     */
   def propsFunnel(events: DataFrame, threshold: Long = 50L): DataFrame = {
     // ONE per-user aggregation: the "k at the user's first event" is an
