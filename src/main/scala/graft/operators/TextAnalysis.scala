@@ -1210,10 +1210,18 @@ object TextAnalysis {
     * one explode + a map-side-combined |sources|-group aggregate, no
     * window, no join.
     */
-  def bpeEncodeStats(docs: DataFrame, k: Int = 8): DataFrame = {
-    val merges = bpeMerges(docs, k)
-      .orderBy(col("merge_round"))
-      .collect()
+  def bpeEncodeStats(docs: DataFrame, k: Int = 8): DataFrame =
+    bpeEncodeStatsFrom(docs,
+      bpeMerges(docs, k).orderBy(col("merge_round")).collect().toSeq)
+
+  /** [[bpeEncodeStats]] over an ALREADY-LEARNED merge table (rows in
+    * learned order, [[bpeMerges]]' schema) — the per-ingest-state seam:
+    * production encodes read the frozen tokenizer
+    * ([[TokenizerStore.collectMerges]]), they never re-run the trainer
+    * loop per call.
+    */
+  def bpeEncodeStatsFrom(docs: DataFrame,
+      merges: Seq[org.apache.spark.sql.Row]): DataFrame = {
     val sym = concat(lit(" "),
       rtrim(regexp_replace(col("tok"), "(.)", "$1  ")), lit(" "))
     val applied = merges.foldLeft(sym) { (c, m) =>
