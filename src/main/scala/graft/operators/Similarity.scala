@@ -824,22 +824,15 @@ object Similarity {
   /** Verified-pair floor of the shared embedding pair view. */
   val SharedEmbFloor = 0.4
 
-  private val embPairsViewCache =
-    graft.core.SharedViews.register(
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
-
   /** The verified embedding near-dup pair table over `dir`'s embeddings
-    * at [[SharedEmbFloor]], built ONCE per (session, dir) and frozen —
-    * the [[graft.operators.Dedup.sharedPairs]] pattern on the vector
-    * side: the pair listing, keep-first survivors, and the cosine
-    * threshold curve all start from this table.
+    * at [[SharedEmbFloor]] — since round 15 a PERSISTED per-ingest
+    * artifact ([[EmbPairsStore]], the IVF-PQ-index precedent): built once
+    * per corpus, fingerprint-validated, read from parquet by every
+    * consumer (pair listing, keep-first survivors, threshold curve, kNN
+    * join/hubness/PageRank/clusters) instead of rebuilt per session/pass.
     */
   def sharedEmbPairs(s: SparkSession, dir: String): DataFrame =
-    embPairsViewCache.getOrElseUpdate((s, dir),
-      graft.core.SharedViews.building(s) {
-        embeddingDedup(graft.core.Tables.load(s, dir, "embeddings"), SharedEmbFloor)
-          .localCheckpoint()
-      })
+    EmbPairsStore.pairs(s, dir)
 
   /** Cosine range search: every corpus vector with cos ≥ minCos of each
     * query — the radius-based retrieval twin of [[bruteForceTopK]].

@@ -45,10 +45,21 @@ class AnnViewSpec extends SparkSpec {
     assert(sameRows(Similarity.embeddingSurvivorsFrom(emb, view),
       Similarity.embeddingSurvivors(emb, 0.4)),
       "embeddingSurvivorsFrom(view) != embeddingSurvivors")
-    // memoized + frozen
+    // memoized, and frozen DISK state (the persisted EmbPairsStore):
+    // the optimized plan is a parquet scan of the store's pairs/, with
+    // no dependence on the embeddings source
     assert(Similarity.sharedEmbPairs(spark, dir) eq view)
-    assert(view.queryExecution.optimizedPlan.isInstanceOf[
-      org.apache.spark.sql.execution.LogicalRDD])
+    val storePaths = view.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(storePaths.nonEmpty && storePaths.forall(p =>
+      p.contains("graft_embpairs") && p.contains("pairs")),
+      s"sharedEmbPairs must read the persisted pair store, got $storePaths")
   }
 
   test("the quantizer is trained ONCE per (session, dir)") {
