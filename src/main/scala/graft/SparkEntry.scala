@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, Tsdb}
-import graft.operators.{Analytics, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TokenizerStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory. */
 object SparkEntry {
@@ -338,10 +338,11 @@ object SparkEntry {
       TextAnalysis.dsirWeights(t(s, dir, "documents"))),
     "tokenizer_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(t(s, dir, "documents"), 20)),
-    "tokenizer_bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeMerges(t(s, dir, "documents"), 8)),
-    "tokenizer_bpe_encode" -> ((s, dir) =>
-      TextAnalysis.bpeEncodeStats(t(s, dir, "documents"), 8)),
+    // both read the per-ingest TokenizerStore (trained once per corpus,
+    // like the k-means quantizers) — the oracle still replays the trainer
+    "tokenizer_bpe_merges" -> ((s, dir) => TokenizerStore.merges(s, dir, 8)),
+    "tokenizer_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeStatsFrom(
+      t(s, dir, "documents"), TokenizerStore.collectMerges(s, dir, 8))),
     "curriculum_stages" -> ((s, dir) =>
       // no frozen projection: with TextStats the score pass is a cheap
       // codegen map scan, so Ranking's two passes recompute it for less
