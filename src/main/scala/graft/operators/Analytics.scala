@@ -636,41 +636,46 @@ object Analytics {
     // order. Values compare exactly: every boundary value is collected
     // from the same column it is compared against. Replaces three
     // 100%-of-customers shuffle joins with nine driver-held tuples.
-    val n = base.count()
-    // NTILE row split (Ranking.ntileOfRank's contract): first `rem`
-    // tiles take q+1 rows, the rest take q
-    val q4 = n / 4; val rem = n % 4
-    def firstRankOfTile(t: Long): Long =
-      if (t - 1 <= rem) (t - 1) * (q4 + 1) + 1
-      else rem * (q4 + 1) + (t - 1 - rem) * q4 + 1
-    val boundaryRanks = (2L to 4L).map(firstRankOfTile).filter(_ <= n)
-    def scoreOf(metric: org.apache.spark.sql.Column, name: String) = {
-      val bounds = Ranking
-        .withGlobalRank(base, Seq(metric.desc, col("o_custkey")), "__rnk")
-        .filter(col("__rnk").isin(boundaryRanks: _*))
-        .select(metric.as("__v"), col("o_custkey"))
-        .collect()
-        .map(r => (r.get(0), r.getLong(1)))
-      bounds.foldLeft(lit(1L)) { case (acc, (bv, bk)) =>
-        // at-or-after boundary (bv, bk) in (metric desc, custkey asc)
-        acc + when(metric < lit(bv) ||
-          (metric === lit(bv) && col("o_custkey") >= lit(bk)), 1L).otherwise(0L)
-      }.as(name)
+    //
+    // r15: ONE action for all nine tuples — the boundary ranks are
+    // IN-PLAN expressions of the rank pass's own total (NTILE's row
+    // split: the first tot%4 tiles take ⌈tot/4⌉ rows), each branch
+    // carries all three metric columns so the union stays
+    // uniform-schema, and the three range passes ride a single collect
+    // instead of a count job plus three thread-raced actions.
+    def boundaryRankExpr(t: Int) = {
+      val q4 = expr("__tot div 4"); val rem = col("__tot") % 4
+      when(lit(t - 1) <= rem, (q4 + 1) * (t - 1) + 1)
+        .otherwise(rem * (q4 + 1) + (q4 * (lit(t - 1) - rem)) + 1)
     }
-    // the three rank passes are independent — submit their eager jobs
-    // (range sampling + boundary collect) from parallel threads so they
-    // overlap instead of serializing three driver round-trips
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val Seq(rs, fs, ms) = Await.result(Future.sequence(Seq(
-      Future(scoreOf(col("last_order"), "r_score")),
-      Future(scoreOf(col("frequency"), "f_score")),
-      Future(scoreOf(col("monetary"), "m_score")))),
-      Duration.Inf)
+    def branch(metric: org.apache.spark.sql.Column, name: String) =
+      Ranking
+        .withGlobalRank(base, Seq(metric.desc, col("o_custkey")), "__rnk",
+          totalCol = Some("__tot"))
+        .filter(col("__rnk") === boundaryRankExpr(2) ||
+          col("__rnk") === boundaryRankExpr(3) ||
+          col("__rnk") === boundaryRankExpr(4))
+        .select(lit(name).as("__metric"), col("last_order"), col("frequency"),
+          col("monetary"), col("o_custkey"))
+    val bounds = branch(col("last_order"), "r")
+      .unionByName(branch(col("frequency"), "f"))
+      .unionByName(branch(col("monetary"), "m"))
+      .collect()
+    def scoreOf(metric: org.apache.spark.sql.Column, metricIdx: Int,
+        tag: String, name: String) = {
+      bounds.filter(_.getString(0) == tag)
+        .map(r => (r.get(1 + metricIdx), r.getLong(4)))
+        .foldLeft(lit(1L)) { case (acc, (bv, bk)) =>
+          // at-or-after boundary (bv, bk) in (metric desc, custkey asc)
+          acc + when(metric < lit(bv) ||
+            (metric === lit(bv) && col("o_custkey") >= lit(bk)), 1L).otherwise(0L)
+        }.as(name)
+    }
     base
       .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
-        rs, fs, ms)
+        scoreOf(col("last_order"), 0, "r", "r_score"),
+        scoreOf(col("frequency"), 1, "f", "f_score"),
+        scoreOf(col("monetary"), 2, "m", "m_score"))
       .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
   }
 
