@@ -9,13 +9,21 @@ package graft
   */
 object ProfilePlan {
 
-  /** Final-plan per-parquet-file scan counts for one registered query —
-    * shared by the CLI below and PlanGuardSpec's committed watchlist
-    * (which pins these counts for every query so a benign duplicate
-    * scan silently flipping into a duplicate SHUFFLE fails CI).
+  /** Pseudo-file key carrying the final-plan shuffle-exchange count in
+    * the committed watchlist TSV (next to the per-file scan counts).
+    */
+  val ExchangesKey = "__exchanges__"
+
+  /** Final-plan per-parquet-file scan counts AND the shuffle-exchange
+    * count for one registered query — shared by the CLI below and
+    * PlanGuardSpec's committed watchlist (which pins both for every
+    * query: a benign duplicate scan silently flipping into a duplicate
+    * SHUFFLE fails CI on the scan axis, and a rewrite that adds a
+    * shuffle at CONSTANT scan count — the r14 topk_movers disease
+    * class — fails on the exchange axis).
     */
   def finalPlanScanCounts(spark: org.apache.spark.sql.SparkSession,
-      name: String, dir: String): (String, Map[String, Int]) = {
+      name: String, dir: String): (String, Map[String, Int], Int) = {
     val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
     exec.execute().count()
     val p = exec.toString.split("== Initial Plan ==").head
@@ -23,7 +31,11 @@ object ProfilePlan {
       .findAllMatchIn(p).map(_.group(1)).toSeq
       .groupBy(identity).view.mapValues(_.size)
       .map { case (f, n) => f.split('/').last -> n }.toMap
-    (p, perFile)
+    // real shuffle exchanges are tree nodes ("+- Exchange hash…"); a
+    // ReusedExchange prints its target inline (", Exchange hash…") and
+    // must NOT count — reuse is the cure, not the disease
+    val nExch = "- Exchange ".r.findAllIn(p).length
+    (p, perFile, nExch)
   }
 
   def main(args: Array[String]): Unit = {
@@ -37,12 +49,13 @@ object ProfilePlan {
       // (count()/write wrap the query in a new QueryExecution, leaving
       // this instance un-finalized); count only the final section —
       // AdaptiveSparkPlan prints final plan THEN "== Initial Plan =="
-      val (p, perFile) = finalPlanScanCounts(spark, name, dir)
+      val (p, perFile, nExch) = finalPlanScanCounts(spark, name, dir)
       def c(pat: String) = pat.r.findAllIn(p).length
       val dup = perFile.filter(_._2 > 1).map { case (f, n) => s"$f x$n" }
       tsv.foreach { w =>
         perFile.toSeq.sorted.foreach { case (f, n) => w.println(s"$name\t$f\t$n") }
         if (perFile.isEmpty) w.println(s"$name\t-\t0")
+        w.println(s"$name\t$ExchangesKey\t$nExch")
         w.flush()
       }
       println(s"PLAN $name isFinal=${p.contains("isFinalPlan=true")} " +

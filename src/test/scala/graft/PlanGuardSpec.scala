@@ -221,6 +221,10 @@ class PlanGuardSpec extends SparkSpec {
     // added deliberately. Queries that materialize during construction
     // (driver-loop trainers, localCheckpoint pipelines) legitimately pin
     // to zero final-plan parquet scans.
+    // v2 (r15): each query also pins its final-plan SHUFFLE-EXCHANGE
+    // count (the __exchanges__ pseudo-file) — the scan axis misses a
+    // rewrite that adds a shuffle at constant scan count (the r14
+    // ts_topk_movers disease class); both axes are one-sided.
     val src = scala.io.Source.fromFile("src/test/resources/plan_scan_watchlist.tsv")
     val expected: Map[String, Map[String, Int]] =
       try src.getLines().toSeq.map(_.split("\t")).collect {
@@ -231,16 +235,25 @@ class PlanGuardSpec extends SparkSpec {
     val missing = SparkEntry.queries.keys.filterNot(expected.contains)
     assert(missing.isEmpty,
       s"queries missing from the scan watchlist (re-sweep it): ${missing.mkString(", ")}")
+    val missingExch = SparkEntry.queries.keys.filterNot(q =>
+      expected.get(q).exists(_.contains(ProfilePlan.ExchangesKey)))
+    assert(missingExch.isEmpty,
+      s"queries missing an ${ProfilePlan.ExchangesKey} watchlist row " +
+        s"(re-sweep it): ${missingExch.mkString(", ")}")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       graft.core.SharedViews.reclaimEverything(spark)
-      val (_, perFile) = ProfilePlan.finalPlanScanCounts(spark, name, dir)
+      val (_, perFile, nExch) = ProfilePlan.finalPlanScanCounts(spark, name, dir)
       spark.catalog.clearCache()
       val exp = expected(name)
       perFile.collect { case (f, n) if n > exp.getOrElse(f, 0) =>
-        s"$name: $f x$n (watchlist ${exp.getOrElse(f, 0)})" }
+        s"$name: $f x$n (watchlist ${exp.getOrElse(f, 0)})" } ++
+        (if (nExch > exp.getOrElse(ProfilePlan.ExchangesKey, 0))
+          Seq(s"$name: $nExch shuffle exchanges (watchlist " +
+            s"${exp.getOrElse(ProfilePlan.ExchangesKey, 0)})")
+         else Seq.empty)
     }
     assert(offenders.isEmpty,
-      s"final-plan scan counts grew past the watchlist (duplicate-work " +
-        s"regression):\n${offenders.mkString("\n")}")
+      s"final-plan scan/exchange counts grew past the watchlist " +
+        s"(duplicate-work regression):\n${offenders.mkString("\n")}")
   }
 }
