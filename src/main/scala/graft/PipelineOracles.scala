@@ -50,7 +50,12 @@ object PipelineOracles {
   /** Replay of TextAnalysis.bpeEncodeStats: train the same k merges
     * (bpeMergesOracle's CTE chain), then apply them IN LEARNED ORDER as
     * nested greedy replaces over every corpus token and aggregate
-    * per-source fertility.
+    * per-source fertility. Merge application is NULL-SAFE (r14 advice):
+    * if the corpus exhausts learnable merges before round k, the empty
+    * b_r rows arrive as NULLs through LEFT JOINs and coalesce to a
+    * never-matching chr(1) pattern — a no-op replace, exactly like the
+    * Spark side applying only the merges actually learned (a CROSS JOIN
+    * would instead empty `enc` and return zero rows).
     */
   private def bpeEncodeOracle(k: Int): String = {
     val trainer = bpeMergesOracle(k)
@@ -60,9 +65,10 @@ object PipelineOracles {
     val applied = (1 to k).foldLeft(
       "' ' || rtrim(regexp_replace(d.tok2, '(.)', '\\1  ', 'g')) || ' '") {
       (inner, r) =>
-        s"replace($inner, ' ' || b$r.a || '  ' || b$r.b || ' ', ' ' || b$r.a || b$r.b || ' ')"
+        s"""replace($inner, coalesce(' ' || b$r.a || '  ' || b$r.b || ' ', chr(1)),
+                    coalesce(' ' || b$r.a || b$r.b || ' ', chr(1)))"""
     }
-    val joins = (1 to k).map(r => s"CROSS JOIN b$r").mkString(" ")
+    val joins = (1 to k).map(r => s"LEFT JOIN b$r ON TRUE").mkString(" ")
     s"""WITH $ctes,
          dtk AS (SELECT d2.source, t.doc_id, unnest(t.tk) AS tok2
                  FROM tok t JOIN documents d2 USING (doc_id)),
