@@ -97,6 +97,13 @@ object Tables {
     * precision (timestamp_ntz's full resolution), so a predicate on ts_ns
     * selects exactly the rows the same predicate on ts would, including
     * feeds with fractional-second timestamps.
+    *
+    * `value` is SNAPPED to the 2-dec cent grid at this boundary: the
+    * exact-LONG-cents fused aggregates (ts_topk_movers et al.) assume
+    * whole-cent values (`round(v*100)` lossless), and the generated
+    * parquet honors the grid by construction (pinned in TablesSpec) — a
+    * text feed carrying sub-cent values would otherwise silently diverge
+    * from the per-bucket-rounded oracle arithmetic (r14 advice).
     */
   def loadEventsText(spark: SparkSession, path: String, format: String): DataFrame = {
     val reader = spark.read.schema(eventsTextSchema)
@@ -112,6 +119,7 @@ object Tables {
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .withColumn("ts_ns",
         expr("unix_micros(CAST(ts AS TIMESTAMP))") * 1000L)
+      .withColumn("value", round(col("value") * 100).cast("long") / 100.0)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"), col("ts_ns"))
   }

@@ -40,13 +40,17 @@ class TablesSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(dir, "ev.csv"),
       """event_id,ts,user_id,event_type,value,props
         |1,2024-01-01 10:05:00.250,7,purchase,10.5,{}
+        |2,2024-01-01 10:05:01.250,7,purchase,3.14159,{}
         |""".stripMargin)
     val df = Tables.loadEventsText(spark, s"$dir/ev.csv", "csv")
-    val r = df.head()
+    // sub-cent feed values snap to the 2-dec grid at the load boundary
+    // (the exact-LONG-cents aggregate invariant — see the events-grid test)
+    assert(df.filter(col("event_id") === 2).head().getAs[Double]("value") == 3.14)
+    val r = df.filter(col("event_id") === 1).head()
     // the fractional 250 ms survives in BOTH columns, so a range predicate
     // on ts_ns selects exactly the rows the same predicate on ts would
     assert(r.getAs[Long]("ts_ns") == 1704103500250000000L)
-    assert(df.filter(expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000 = ts_ns")).count() == 1L)
+    assert(df.filter(expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000 = ts_ns")).count() == 2L)
   }
 
   test("schema evolution: epochs written before a new column still fetch") {
@@ -113,6 +117,21 @@ class TablesSpec extends SparkSpec {
           ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano)
       }
     }
+  }
+
+  test("events values sit on the 2-dec cent grid (the fused-aggregate invariant)") {
+    // Tsdb.topkMoversFromEvents (and every exact-LONG-cents sum) assumes
+    // event values are whole cents: round(v*100) is then lossless and the
+    // per-event cent ladder equals the oracle's per-bucket round. A
+    // text-feed or generator change breaking the grid would make Spark
+    // and DuckDB silently diverge (r14 advice) — this pins the invariant
+    // at the data-load boundary. loadEventsText enforces the same grid
+    // for external feeds by snapping value to whole cents on load.
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val off = ev.filter(
+      abs(col("value") * 100 - round(col("value") * 100)) > lit(1e-9)).count()
+    assert(off == 0L, s"$off event values off the 2-dec grid — the exact-cents " +
+      "fused aggregates (ts_topk_movers et al.) no longer match their oracles")
   }
 
   test("spread widens a narrow scan to the session width and no-ops otherwise") {
