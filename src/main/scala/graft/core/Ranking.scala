@@ -262,6 +262,115 @@ object Ranking {
       .drop("__pid", "__mid", "__v", "__moff")
   }
 
+  /** Exact order statistics WITHOUT a sort or range shuffle — the
+    * two-pass selection that replaces a full [[withGlobalRank]] pass
+    * when only a handful of ranked rows are needed (e.g. NTILE tile
+    * boundaries): a rank pass computes |df| ranks to read k of them,
+    * this computes exactly k.
+    *
+    * For each metric (a LONG-valued total-order twin of a df column,
+    * e.g. `unix_date(d)` or exact cents) and each target DESC-rank
+    * from `ranksOf(n)`, returns the full df row at that rank under
+    * (metric DESC, key ASC) — via three shuffle-free jobs shared by ALL
+    * metrics:
+    *
+    *   1. one aggregate of approx-percentile BRACKETS around each
+    *      target (accuracy 10⁴, padded by the sketch's rank-error bound
+    *      plus the integer tile-split slack);
+    *   2. one aggregate of exact per-bracket counts — rows strictly
+    *      above the bracket and rows inside it — which both VERIFIES
+    *      the bracket (the sketch is an optimization, never trusted)
+    *      and bounds the collect;
+    *   3. one candidate-only collect of in-bracket rows (≤ `capRows`,
+    *      else that metric reports None and the caller falls back to
+    *      its rank pass — the loud guard for pathological tie floods,
+    *      e.g. a metric with a billion-row tie group).
+    *
+    * The driver then sorts each bracket's candidates (bounded) and
+    * picks rank − above − 1. Exactness never depends on the sketch:
+    * a bracket that fails verification yields None, not a wrong row.
+    * Ties are exact — a bracket includes every row carrying its edge
+    * values, and `above` counts strictly-greater rows only.
+    *
+    * Returns per metric: Some(rows in target order) or None (fallback
+    * required). `df` should be cheap to re-scan (checkpointed/frozen):
+    * the three jobs scan it once each, map-side only.
+    */
+  def boundaryRowsDesc(df: DataFrame, key: Column,
+      metrics: Seq[(String, Column)], ranksOf: Long => Seq[Long],
+      capRows: Long = 1L << 20): Map[String, Option[Seq[org.apache.spark.sql.Row]]] = {
+    val n = df.count()
+    if (n == 0) return metrics.map(_._1 -> Some(Seq.empty[org.apache.spark.sql.Row])).toMap
+    val targets = ranksOf(n).filter(t => t >= 1 && t <= n)
+    if (targets.isEmpty)
+      return metrics.map(_._1 -> Some(Seq.empty[org.apache.spark.sql.Row])).toMap
+    val acc = 10000
+    val delta = 2.0 / acc + 4.0 / n
+    // job 1: brackets — per metric one approx_percentile over the asc
+    // percentile pair of every target (desc rank t = asc position n-t+1)
+    val ps = targets.flatMap { t =>
+      val p = (n - t + 1).toDouble / n
+      Seq(math.max(0.0, p - delta), math.min(1.0, p + delta))
+    }
+    val withNum = metrics.zipWithIndex.foldLeft(df) { case (d, ((_, v), i)) =>
+      d.withColumn(s"__bn$i", v.cast("long"))
+    }
+    val percRow = withNum.agg(
+      percentile_approx(col("__bn0"), typedLit(ps), lit(acc)).as("__p0"),
+      metrics.indices.drop(1).map(i =>
+        percentile_approx(col(s"__bn$i"), typedLit(ps), lit(acc)).as(s"__p$i")): _*
+    ).head()
+    val brackets: Seq[Seq[(Long, Long)]] = metrics.indices.map { i =>
+      val arr = percRow.getSeq[Long](i)
+      targets.indices.map(j => (arr(2 * j), arr(2 * j + 1)))
+    }
+    // job 2: exact verification counts per (metric, target) bracket
+    val cntCols = metrics.indices.flatMap { i =>
+      targets.indices.flatMap { j =>
+        val (lo, hi) = brackets(i)(j)
+        Seq(
+          sum(when(col(s"__bn$i") > hi, 1L).otherwise(0L)).as(s"__a${i}_$j"),
+          sum(when(col(s"__bn$i") >= lo && col(s"__bn$i") <= hi, 1L).otherwise(0L))
+            .as(s"__c${i}_$j"))
+      }
+    }
+    val cntRow = withNum.agg(cntCols.head, cntCols.tail: _*).head()
+    def above(i: Int, j: Int) = cntRow.getLong(2 * (i * targets.size + j))
+    def inside(i: Int, j: Int) = cntRow.getLong(2 * (i * targets.size + j) + 1)
+    // a metric is bracket-resolvable iff every target lands inside its
+    // verified bracket and the total candidate volume is collectable
+    val ok: Seq[Boolean] = metrics.indices.map { i =>
+      targets.indices.forall { j =>
+        val t = targets(j)
+        t > above(i, j) && t <= above(i, j) + inside(i, j)
+      } && targets.indices.map(inside(i, _)).sum <= capRows
+    }
+    if (!ok.exists(identity))
+      return metrics.map(_._1 -> None).toMap
+    // job 3: one candidate-only collect across all resolvable brackets
+    val candPred = metrics.indices.filter(ok).flatMap { i =>
+      targets.indices.map { j =>
+        val (lo, hi) = brackets(i)(j)
+        col(s"__bn$i") >= lo && col(s"__bn$i") <= hi
+      }
+    }.reduce(_ || _)
+    val keyIdx = df.columns.length + metrics.size
+    val cand = withNum
+      .filter(candPred)
+      .select(df.columns.map(col) ++ metrics.indices.map(i => col(s"__bn$i")) :+
+        key.as("__bkey"): _*)
+      .collect()
+    metrics.zipWithIndex.map { case ((name, _), i) =>
+      name -> (if (!ok(i)) None else Some(targets.indices.map { j =>
+        val (lo, hi) = brackets(i)(j)
+        val rows = cand.filter { r =>
+          val v = r.getLong(df.columns.length + i); v >= lo && v <= hi
+        }.sortBy(r => (-r.getLong(df.columns.length + i), r.getLong(keyIdx)))
+        rows((targets(j) - above(i, j) - 1).toInt)
+      }))
+    }.toMap
+  }
+
   /** Exact SQL `NTILE(n)` bucket from a global rank and total count: the
     * first (total % n) buckets take ⌈total/n⌉ rows, the rest ⌊total/n⌋ —
     * bit-identical to the window NTILE every engine implements, computed

@@ -607,11 +607,13 @@ object Analytics {
   /** RFM segmentation: per-customer Recency (last order date),
     * Frequency (order count) and Monetary (total spend), each quartiled
     * with key tie-breaks (1 = best), concatenated into the classic 'rfm'
-    * segment code. Quartiles are EXACT NTILE(4) semantics but computed by
-    * [[graft.core.Ranking.withGlobalRank]] — a range shuffle + broadcast
-    * offsets, NOT an unpartitioned window — so no |customers|-sized table
-    * ever funnels through one task; the three rank passes and the final
-    * key joins are all 32-way parallel.
+    * segment code. Quartiles are EXACT NTILE(4) semantics, but the only
+    * ranked rows anyone needs are the nine tile boundaries — so they
+    * come from [[graft.core.Ranking.boundaryRowsDesc]]'s shuffle-free
+    * two-pass selection (three map-side jobs shared by all metrics)
+    * and quartile assignment is a map-only broadcast comparison over
+    * the checkpointed base: no |customers|-sized sort, window, range
+    * shuffle or join anywhere.
     */
   def rfm(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
@@ -637,45 +639,67 @@ object Analytics {
     // from the same column it is compared against. Replaces three
     // 100%-of-customers shuffle joins with nine driver-held tuples.
     //
-    // r15: ONE action for all nine tuples — the boundary ranks are
-    // IN-PLAN expressions of the rank pass's own total (NTILE's row
-    // split: the first tot%4 tiles take ⌈tot/4⌉ rows), each branch
-    // carries all three metric columns so the union stays
-    // uniform-schema, and the three range passes ride a single collect
-    // instead of a count job plus three thread-raced actions.
-    def boundaryRankExpr(t: Int) = {
-      val q4 = expr("__tot div 4"); val rem = col("__tot") % 4
-      when(lit(t - 1) <= rem, (q4 + 1) * (t - 1) + 1)
-        .otherwise(rem * (q4 + 1) + (q4 * (lit(t - 1) - rem)) + 1)
+    // r15: the nine tuples come from [[Ranking.boundaryRowsDesc]] — a
+    // THREE-JOB shuffle-free exact selection shared by all metrics
+    // (approx-percentile brackets, exact count verification, candidate-
+    // only collect) instead of three full range-shuffle rank passes; a
+    // metric whose bracket fails verification (pathological tie flood
+    // past the collect cap) falls back to its exact rank pass. Each
+    // metric selects on a LONG total-order twin (epoch days / count /
+    // exact cents) but the emitted score expression compares the
+    // ORIGINAL column against the boundary row's own value from that
+    // column, so assignment arithmetic is unchanged from the rank-pass
+    // form.
+    // NTILE row split (Ranking.ntileOfRank's contract): first `rem`
+    // tiles take q+1 rows, the rest take q
+    def boundaryRanks(n: Long): Seq[Long] = {
+      val q4 = n / 4; val rem = n % 4
+      def firstRankOfTile(t: Long): Long =
+        if (t - 1 <= rem) (t - 1) * (q4 + 1) + 1
+        else rem * (q4 + 1) + (t - 1 - rem) * q4 + 1
+      (2L to 4L).map(firstRankOfTile)
     }
-    def branch(metric: org.apache.spark.sql.Column, name: String) =
-      Ranking
-        .withGlobalRank(base, Seq(metric.desc, col("o_custkey")), "__rnk",
-          totalCol = Some("__tot"))
-        .filter(col("__rnk") === boundaryRankExpr(2) ||
-          col("__rnk") === boundaryRankExpr(3) ||
-          col("__rnk") === boundaryRankExpr(4))
-        .select(lit(name).as("__metric"), col("last_order"), col("frequency"),
-          col("monetary"), col("o_custkey"))
-    val bounds = branch(col("last_order"), "r")
-      .unionByName(branch(col("frequency"), "f"))
-      .unionByName(branch(col("monetary"), "m"))
-      .collect()
-    def scoreOf(metric: org.apache.spark.sql.Column, metricIdx: Int,
-        tag: String, name: String) = {
-      bounds.filter(_.getString(0) == tag)
-        .map(r => (r.get(1 + metricIdx), r.getLong(4)))
-        .foldLeft(lit(1L)) { case (acc, (bv, bk)) =>
-          // at-or-after boundary (bv, bk) in (metric desc, custkey asc)
-          acc + when(metric < lit(bv) ||
-            (metric === lit(bv) && col("o_custkey") >= lit(bk)), 1L).otherwise(0L)
-        }.as(name)
+    val metricCols = Seq[(String, org.apache.spark.sql.Column, Int)](
+      ("r", col("last_order"), 1), ("f", col("frequency"), 2), ("m", col("monetary"), 3))
+    // order-isomorphic LONG twin of last_order under either vintage of
+    // the generator schema (DATE or TIMESTAMP_NTZ)
+    val recencyNum =
+      if (base.schema("last_order").dataType ==
+        org.apache.spark.sql.types.DateType) expr("unix_date(last_order)")
+      else expr("unix_micros(CAST(last_order AS TIMESTAMP))")
+    val selected = Ranking.boundaryRowsDesc(base, col("o_custkey"),
+      Seq("r" -> recencyNum, "f" -> col("frequency"),
+        "m" -> round(col("monetary") * 100)),
+      boundaryRanks)
+    def scoreExpr(metric: org.apache.spark.sql.Column,
+        bounds: Seq[(Any, Long)], name: String) =
+      bounds.foldLeft(lit(1L)) { case (acc, (bv, bk)) =>
+        // at-or-after boundary (bv, bk) in (metric desc, custkey asc)
+        acc + when(metric < lit(bv) ||
+          (metric === lit(bv) && col("o_custkey") >= lit(bk)), 1L).otherwise(0L)
+      }.as(name)
+    // exact-rank fallback for a metric the selection could not resolve
+    def rankPassBounds(metric: org.apache.spark.sql.Column): Seq[(Any, Long)] = {
+      val n = base.count()
+      val bs = boundaryRanks(n).filter(_ <= n)
+      Ranking.withGlobalRank(base, Seq(metric.desc, col("o_custkey")), "__rnk")
+        .filter(col("__rnk").isin(bs: _*))
+        .select(metric.as("__v"), col("o_custkey"))
+        .collect()
+        .map(r => (r.get(0), r.getLong(1))).toSeq
+    }
+    val scores = metricCols.map { case (tag, metric, idx) =>
+      val bounds = selected(tag) match {
+        case Some(rows) => rows.map(r => (r.get(idx), r.getLong(0)))
+        case None => rankPassBounds(metric)
+      }
+      scoreExpr(metric, bounds, tag match {
+        case "r" => "r_score"; case "f" => "f_score"; case _ => "m_score"
+      })
     }
     base
-      .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
-        scoreOf(col("last_order"), 0, "r", "r_score"),
-        scoreOf(col("frequency"), 1, "f", "f_score"),
-        scoreOf(col("monetary"), 2, "m", "m_score"))
+      .select(col("o_custkey") +: col("last_order") +: col("frequency") +:
+        col("monetary") +: scores: _*)
       .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
   }
 

@@ -143,6 +143,48 @@ class RankingSpec extends SparkSpec {
       s"long running sum drifted: $got")
   }
 
+  test("boundaryRowsDesc selects exactly the rank-pass boundary rows, ties included") {
+    // heavy ties on v (v = i % 7 over 500 rows ⇒ ~71-row tie groups):
+    // the bracket must resolve the boundary WITHIN a tie group via the
+    // key order, exactly as the full rank pass would
+    val df = (0 until 500).map(i => (i.toLong, (i % 7).toLong)).toDF("k", "v")
+    val targets = Seq(3L, 126L, 250L, 374L, 498L)
+    val got = Ranking.boundaryRowsDesc(df, col("k"),
+      Seq("a" -> col("v")), _ => targets)("a")
+    assert(got.isDefined, "verified brackets must resolve on tie-heavy data")
+    val want = Ranking
+      .withGlobalRank(df, Seq(col("v").desc, col("k")), "rnk")
+      .filter(col("rnk").isin(targets: _*))
+      .orderBy(col("rnk")).select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.get.map(r => (r.getLong(0), r.getLong(1))) == want,
+      "selection diverged from the rank pass")
+    // two metrics share the three jobs and each resolves independently
+    val multi = Ranking.boundaryRowsDesc(df, col("k"),
+      Seq("a" -> col("v"), "b" -> (lit(1000L) - col("k"))), _ => Seq(42L))
+    val want42 = Ranking
+      .withGlobalRank(df, Seq(col("v").desc, col("k")), "rnk")
+      .filter(col("rnk") === 42L).select(col("k")).head().getLong(0)
+    assert(multi("a").get.head.getLong(0) == want42,
+      "multi-metric selection diverged from the rank pass")
+    assert(multi("b").get.head.getLong(0) == 41L,
+      "strict-order metric: desc-rank 42 of (1000-k) is k=41")
+  }
+
+  test("boundaryRowsDesc falls back loudly when the candidate cap trips") {
+    // one giant tie group: every bracket holds all 300 rows, capRows=64
+    // forces None — the caller's signal to run the exact rank pass
+    val df = (0 until 300).map(i => (i.toLong, 5L)).toDF("k", "v")
+    val got = Ranking.boundaryRowsDesc(df, col("k"),
+      Seq("a" -> col("v")), _ => Seq(150L), capRows = 64L)
+    assert(got("a").isEmpty, "cap overflow must yield None, not a collect flood")
+    // and with a workable cap the same call resolves exactly
+    val ok = Ranking.boundaryRowsDesc(df, col("k"),
+      Seq("a" -> col("v")), _ => Seq(150L))
+    assert(ok("a").get.head.getLong(0) == 149L,
+      "within an all-tie group rank 150 is key 149")
+  }
+
   test("withRunningMax equals the exclusive window max across partition cuts") {
     val df = sample(257).withColumn("val", col("v").cast("long"))
     val got = Ranking.withRunningMax(df, Seq(col("k")), col("val"), "pmax",
