@@ -14,6 +14,14 @@ object ProfilePlan {
     */
   val ExchangesKey = "__exchanges__"
 
+  /** Pseudo-file key carrying the final-plan broadcast-exchange count —
+    * under AQE every broadcast build is a scheduled stage too, so the
+    * floor-calibrated weak rule's stage estimate is
+    * exchanges + bcasts + 1 (a 5-dim star join pays ~6 stage launches
+    * before touching a byte; see BASELINE.md).
+    */
+  val BcastsKey = "__bcasts__"
+
   /** Final-plan per-parquet-file scan counts AND the shuffle-exchange
     * count for one registered query — shared by the CLI below and
     * PlanGuardSpec's committed watchlist (which pins both for every
@@ -23,7 +31,7 @@ object ProfilePlan {
     * class — fails on the exchange axis).
     */
   def finalPlanScanCounts(spark: org.apache.spark.sql.SparkSession,
-      name: String, dir: String): (String, Map[String, Int], Int) = {
+      name: String, dir: String): (String, Map[String, Int], Int, Int) = {
     val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
     exec.execute().count()
     val p = exec.toString.split("== Initial Plan ==").head
@@ -31,11 +39,13 @@ object ProfilePlan {
       .findAllMatchIn(p).map(_.group(1)).toSeq
       .groupBy(identity).view.mapValues(_.size)
       .map { case (f, n) => f.split('/').last -> n }.toMap
-    // real shuffle exchanges are tree nodes ("+- Exchange hash…"); a
-    // ReusedExchange prints its target inline (", Exchange hash…") and
-    // must NOT count — reuse is the cure, not the disease
+    // real exchanges are tree nodes ("+- Exchange hash…" /
+    // "+- BroadcastExchange …"); a ReusedExchange prints its target
+    // inline (", Exchange hash…") and must NOT count — reuse is the
+    // cure, not the disease
     val nExch = "- Exchange ".r.findAllIn(p).length
-    (p, perFile, nExch)
+    val nBcast = "- BroadcastExchange ".r.findAllIn(p).length
+    (p, perFile, nExch, nBcast)
   }
 
   def main(args: Array[String]): Unit = {
@@ -49,13 +59,14 @@ object ProfilePlan {
       // (count()/write wrap the query in a new QueryExecution, leaving
       // this instance un-finalized); count only the final section —
       // AdaptiveSparkPlan prints final plan THEN "== Initial Plan =="
-      val (p, perFile, nExch) = finalPlanScanCounts(spark, name, dir)
+      val (p, perFile, nExch, nBcast) = finalPlanScanCounts(spark, name, dir)
       def c(pat: String) = pat.r.findAllIn(p).length
       val dup = perFile.filter(_._2 > 1).map { case (f, n) => s"$f x$n" }
       tsv.foreach { w =>
         perFile.toSeq.sorted.foreach { case (f, n) => w.println(s"$name\t$f\t$n") }
         if (perFile.isEmpty) w.println(s"$name\t-\t0")
         w.println(s"$name\t$ExchangesKey\t$nExch")
+        w.println(s"$name\t$BcastsKey\t$nBcast")
         w.flush()
       }
       println(s"PLAN $name isFinal=${p.contains("isFinalPlan=true")} " +

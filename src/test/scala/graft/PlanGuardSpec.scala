@@ -236,13 +236,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(missing.isEmpty,
       s"queries missing from the scan watchlist (re-sweep it): ${missing.mkString(", ")}")
     val missingExch = SparkEntry.queries.keys.filterNot(q =>
-      expected.get(q).exists(_.contains(ProfilePlan.ExchangesKey)))
+      expected.get(q).exists(e => e.contains(ProfilePlan.ExchangesKey) &&
+        e.contains(ProfilePlan.BcastsKey)))
     assert(missingExch.isEmpty,
-      s"queries missing an ${ProfilePlan.ExchangesKey} watchlist row " +
-        s"(re-sweep it): ${missingExch.mkString(", ")}")
+      s"queries missing ${ProfilePlan.ExchangesKey}/${ProfilePlan.BcastsKey} " +
+        s"watchlist rows (re-sweep it): ${missingExch.mkString(", ")}")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       graft.core.SharedViews.reclaimEverything(spark)
-      val (_, perFile, nExch) = ProfilePlan.finalPlanScanCounts(spark, name, dir)
+      val (_, perFile, nExch, nBcast) = ProfilePlan.finalPlanScanCounts(spark, name, dir)
       spark.catalog.clearCache()
       val exp = expected(name)
       perFile.collect { case (f, n) if n > exp.getOrElse(f, 0) =>
@@ -251,6 +252,11 @@ class PlanGuardSpec extends SparkSpec {
           Seq(s"$name: $nExch shuffle exchanges (watchlist " +
             s"${exp.getOrElse(ProfilePlan.ExchangesKey, 0)})")
          else Seq.empty)
+      // __bcasts__ rows are deliberately NOT asserted: AQE flips a
+      // shuffle join to broadcast (or not) on runtime stats that
+      // flicker at sf0.001, and a conversion is a win, not a disease —
+      // the rows exist as the stage-count input to BASELINE.md's
+      // floor-calibrated weak rule (n_stages ≈ exchanges + bcasts + 1)
     }
     assert(offenders.isEmpty,
       s"final-plan scan/exchange counts grew past the watchlist " +
