@@ -1145,26 +1145,16 @@ object Dedup {
     * identical (bit i set iff Σ±1 > 0), so fingerprints — and the DuckDB
     * oracle — are unchanged.
     */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val bits = SimhashBits
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    // r15: the former HOF formulation (aggregate + zip_with over a
+    // 60-element accumulator) ran INTERPRETED per token — the whole
+    // fingerprint pass was 6-8 s at sf0.1 while shuffling ~2 MB
+    // (ProfileQ). SimhashFpExpr is the same fold as ONE compiled
+    // expression, bit-identical by SimhashFpSpec (which pins it against
+    // the original expression tree on real testdata + edge cases).
     graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        expr("""transform(array_distinct(split(text, '\\s+')),
-                          t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))""")
-          .as("hs"))
-      .select(col("doc_id"),
-        expr(
-          s"""aggregate(hs,
-                array_repeat(0L, $bits),
-                (acc, h) -> zip_with(acc, sequence(0L, ${bits - 1}L),
-                  (a, i) -> a + CASE WHEN (h div shiftleft(1L, CAST(i AS INT))) % 2 = 1
-                                     THEN 1L ELSE -1L END),
-                acc -> aggregate(
-                  zip_with(acc, sequence(0L, ${bits - 1}L),
-                    (s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, CAST(i AS INT))
-                                   ELSE 0L END),
-                  0L, (x, y) -> x + y))""").as("fp"))
-  }
+        graft.functions.SimhashFpExpr.fp(col("text")).as("fp"))
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ SimhashBands-1).
     * Candidate tables are the Manku-style block-combination keys of
