@@ -96,15 +96,12 @@ object Dedup {
     shinglesFrom(docs.select(col("doc_id"), col("text")), n)
 
   private def shinglesFrom(d: DataFrame, n: Int): DataFrame =
-    d
-      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(
-              CASE WHEN size(tk) >= $n
-                   THEN transform(sequence(1, size(tk) - ${n - 1}),
-                                  i -> array_join(slice(tk, i, $n), ' '))
-                   ELSE slice(tk, 1, 0) END)""")).as("sg"))
-      .select(col("doc_id"), Hashing.h60(col("sg")).as("shingle"))
+    // r15: the former split + interpreted transform(slice + array_join)
+    // + array_distinct + per-row md5 chain is now ONE compiled pass
+    // emitting the hashed distinct n-grams directly (bit-identical by
+    // ShinglesSpec, which pins it against the original expression tree)
+    d.select(col("doc_id"),
+        explode(graft.functions.ShinglesExpr.hashes(col("text"), n)).as("shingle"))
 
   /** Restrict a shingle table to shingles whose document frequency is at
     * most `maxDf` (shingles are distinct per doc, so count = doc freq).
@@ -378,7 +375,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingles(docs))
 
-  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     // shingle is already the h60 hash — reduce into the permutation field
     val hashed = sh.withColumn("hm", col("shingle") % P)
     val aggs = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
