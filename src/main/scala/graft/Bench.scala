@@ -48,6 +48,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-adaptive reduce-side sizing (opt guide §2.2): when false,
+      // AQE coalesces post-shuffle partitions toward
+      // advisoryPartitionSizeInBytes instead of preserving parallelism —
+      // the production-recommended setting at real data volumes, where
+      // partitions are sized by BYTES, not by the local core count.
+      // Env-overridable for A/B comparability with pre-r15 captures.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

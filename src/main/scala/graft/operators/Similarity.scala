@@ -155,14 +155,25 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment (max cosine, tie-break centroid id). */
-  private[graft] def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wa = Window.partitionBy(col("vec_id")).orderBy(
-      (V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
+  private[graft] def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
+    // r15 (opt guide §2.3/§2.4): argmax cos with cid tie-break as ONE
+    // hash aggregate — min(struct(-cos, cid, embedding)) — instead of a
+    // per-vector window. The window shuffled and sorted every
+    // (vector, centroid) row (nCent × corpus, embedding arrays included);
+    // the aggregate's map-side partial combine collapses the broadcast
+    // nest to one row per vector BEFORE the exchange. Ordering is
+    // identical: row_number over (cos DESC, cid ASC) = 1 picks the same
+    // struct min (-cos flips the double order exactly for the real-valued
+    // cos domain; (cos, cid) is unique per vector so the embedding field
+    // never participates in the comparison).
     e.crossJoin(broadcast(cent))
-      .withColumn("arnk", row_number().over(wa))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-  }
+      .select(col("vec_id"), struct(
+        (-(V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))))
+          .as("nc"),
+        col("cid").as("cid"),
+        col("embedding").as("embedding")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"), col("b.cid").as("cid"))
 
   /** Deterministic centroid update: per-component fixed-point integer
     * mean (order-independent — see ivfTopK). Empty clusters drop out.
@@ -587,16 +598,24 @@ object Similarity {
       .select(col("vec_id"), explode(subStructs("embedding")).as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
       .withColumn("vv", V.dotF(col("sv"), col("sv")))
-    val wenc = Window.partitionBy(col("vec_id"), col("s")).orderBy(
-      (col("vv") + col("cc") - lit(2.0) * V.dotF(col("sv"), col("cvec"))).asc, col("cid"))
-    val codes = subv.join(broadcast(codebook), "s")
-      .withColumn("r", row_number().over(wenc))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("s"), col("cid"), col("cc"))
-    val aggs = (0 until nSub).flatMap(s => Seq(
-      max(when(col("s") === s, col("cid"))).as(s"c$s"),
-      max(when(col("s") === s, col("cc"))).as(s"cc$s")))
-    val wide = codes.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+    // r15: per-(vector, subspace) argmin codeword as ONE fused hash
+    // aggregate — min(struct(dist, cid, cc)) per subspace column —
+    // replacing the (vec_id, s) window + a second pivot aggregate. The
+    // window shuffled and sorted every (vector, subspace, codeword) row
+    // (nSub·nCode × corpus); the aggregate's map-side combine collapses
+    // the broadcast nest to one wide row per vector before the exchange.
+    // Ordering identical: row_number over (dist ASC, cid ASC) = 1 is the
+    // struct min; (dist, cid) is unique so cc never participates.
+    val enc = subv.join(broadcast(codebook), "s")
+      .select(col("vec_id"), col("s"), struct(
+        (col("vv") + col("cc") - lit(2.0) * V.dotF(col("sv"), col("cvec"))).as("d"),
+        col("cid").as("cid"), col("cc").as("cc")).as("sc"))
+    val aggs = (0 until nSub).map(s =>
+      min(when(col("s") === s, col("sc"))).as(s"b$s"))
+    val wide = enc.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +:
+        (0 until nSub).flatMap(s => Seq(
+          col(s"b$s.cid").as(s"c$s"), col(s"b$s.cc").as(s"cc$s"))): _*)
       .withColumn("rnrm", sqrt((0 until nSub).map(s => col(s"cc$s")).reduce(_ + _)))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
@@ -732,12 +751,26 @@ object Similarity {
       .select(col("vec_id"), col("cid"), explode(pqSubStructs("res", nSub)).as("x"))
       .select(col("vec_id"), col("cid"), col("x.s").as("s"), col("x.sv").as("sv"))
       .withColumn("vv", V.dotF(col("sv"), col("sv")))
-    val wenc = Window.partitionBy(col("vec_id"), col("s")).orderBy(
-      (col("vv") + col("cc") - lit(2.0) * V.dotF(col("sv"), col("cwv"))).asc, col("code"))
-    val codes = subv.join(broadcast(cb), "s")
-      .withColumn("r", row_number().over(wenc))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("cid"), col("s"), col("code"), col("cc"))
+    // r15: per-(vector, subspace) argmin codeword as ONE fused hash
+    // aggregate (same rewrite as pqTopK — the (vec_id, s) window shuffled
+    // and sorted every (vector, subspace, codeword) row; min(struct) with
+    // map-side combine collapses the broadcast nest to one wide row per
+    // vector before the exchange; row_number over (dist ASC, code ASC)=1
+    // is exactly the struct min, (dist, code) unique so cc never
+    // participates). The per-subspace centroid×codeword dot cx is then
+    // fetched by nSub broadcast joins on (cid, code) — tiny lookup
+    // tables, no further exchange (the former shape paid a second pivot
+    // aggregate for it).
+    val enc = subv.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("cid"), col("s"), struct(
+        (col("vv") + col("cc") - lit(2.0) * V.dotF(col("sv"), col("cwv"))).as("d"),
+        col("code").as("code"), col("cc").as("cc")).as("sc"))
+    val aggs = (0 until nSub).map(s =>
+      min(when(col("s") === s, col("sc"))).as(s"b$s"))
+    var widePre = enc.groupBy(col("vec_id"), col("cid")).agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +: col("cid") +:
+        (0 until nSub).flatMap(s => Seq(
+          col(s"b$s.code").as(s"c$s"), col(s"b$s.cc").as(s"cc$s"))): _*)
     // centroid-subvector × codeword dots (nCent·nSub·nCode rows) and
     // per-cell ⟨c,c⟩ — the query-independent pieces of the recon norm
     val ccx = cent.select(col("cid"), explode(pqSubStructs("cvec", nSub)).as("x"))
@@ -745,12 +778,12 @@ object Similarity {
       .join(cb.select(col("s"), col("code"), col("cwv")), "s")
       .select(col("cid"), col("s"), col("code"), V.dotF(col("csv"), col("cwv")).as("cx"))
     val cnorm = cent.select(col("cid"), V.dotF(col("cvec"), col("cvec")).as("ccn"))
-    val aggs = (0 until nSub).flatMap(s => Seq(
-      max(when(col("s") === s, col("code"))).as(s"c$s"),
-      max(when(col("s") === s, col("cc"))).as(s"cc$s"),
-      max(when(col("s") === s, col("cx"))).as(s"cx$s")))
-    codes.join(broadcast(ccx), Seq("cid", "s", "code"))
-      .groupBy(col("vec_id"), col("cid")).agg(aggs.head, aggs.tail: _*)
+    for (s <- 0 until nSub)
+      widePre = widePre.join(
+        broadcast(ccx.filter(col("s") === s)
+          .select(col("cid"), col("code").as(s"c$s"), col("cx").as(s"cx$s"))),
+        Seq("cid", s"c$s"))
+    widePre
       .join(broadcast(cnorm), "cid")
       .withColumn("rnrm", sqrt(col("ccn")
         + lit(2.0) * (0 until nSub).map(s => col(s"cx$s")).reduce(_ + _)
