@@ -1051,14 +1051,11 @@ object Dedup {
       k: Int = 20): DataFrame = {
     val top = shin.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle")).limit(k)
+    // r15: native one-pass distinct n-gram extraction (NgramsSpec pins
+    // bit-equality with the former interpreted transform/array_join chain)
     val grams = graft.core.Tables.spread(docs.select(col("doc_id"), col("text")))
-      .select(split(col("text"), "\\s+").as("tk"))
-      .select(explode(expr(
-        s"""array_distinct(
-              CASE WHEN size(tk) >= $n
-                   THEN transform(sequence(1, size(tk) - ${n - 1}),
-                                  i -> array_join(slice(tk, i, $n), ' '))
-                   ELSE slice(tk, 1, 0) END)""")).as("g"))
+      .select(explode(
+        graft.functions.NgramsExpr.grams(col("text"), n, distinct = true)).as("g"))
       .select(col("g"), Hashing.h60(col("g")).as("shingle"))
     grams.join(broadcast(top), "shingle")
       .groupBy(col("shingle"), col("df")).agg(min(col("g")).as("gram"))

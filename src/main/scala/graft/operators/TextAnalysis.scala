@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token array. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace token array — r15: the native zero-copy byte scan
+    * ([[graft.functions.WsTokensExpr]], bit-identical to
+    * `split(text, '\\s+')` by WsTokensSpec) instead of the builtin
+    * regex split, which round-trips every row through java.lang.String.
+    */
+  def tokens(text: Column): Column = graft.functions.WsTokensExpr.tokens(text)
 
   /** Codegen'd whitespace-token count (long) — same value as
     * `size(tokens(text))` via one [[graft.functions.TextStatsExpr]] byte
@@ -202,12 +206,11 @@ object TextAnalysis {
     * contamination and boilerplate screening.
     */
   def topBigrams(docs: DataFrame, k: Int): DataFrame =
+    // r15: native one-pass bigram extraction (NgramsSpec pins
+    // bit-equality with the former interpreted transform/array_join chain)
     docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(tk) >= 2
-                THEN transform(sequence(1, size(tk) - 1), i -> array_join(slice(tk, i, 2), ' '))
-                ELSE slice(tk, 1, 0) END""")).as("bigram"))
+      .select(col("doc_id"), explode(
+        graft.functions.NgramsExpr.grams(col("text"), 2, distinct = false)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
       .orderBy(col("occurrences").desc, col("bigram"))
@@ -491,7 +494,7 @@ object TextAnalysis {
     */
   def bowEmbedding(docs: DataFrame, dim: Int = 64): DataFrame = {
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), pmod(graft.functions.Hashing.h60(col("tok")), lit(dim.toLong)).as("idx"))
       .groupBy(col("doc_id"), col("idx")).agg(count(lit(1)).as("tf"))
