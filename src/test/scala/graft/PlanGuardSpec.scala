@@ -225,6 +225,15 @@ class PlanGuardSpec extends SparkSpec {
     // count (the __exchanges__ pseudo-file) — the scan axis misses a
     // rewrite that adds a shuffle at constant scan count (the r14
     // ts_topk_movers disease class); both axes are one-sided.
+    // v3 (r16): the exchange axis asserts exchanges + bcasts COMBINED.
+    // AQE flips a broadcast join to shuffle (or back) on runtime size
+    // stats that flicker at sf0.001; a flip converts one BroadcastExchange
+    // into one shuffle Exchange, so the sum is invariant under it while
+    // still catching the disease the guard hunts (ADDED duplicate work —
+    // an extra stage raises the sum no matter which kind it lands as).
+    // The independent r15 verify run tripped the exchange-only form on
+    // exactly such a flip (dedup_incremental 5 vs pinned 4, with bcasts
+    // 1 vs pinned 2).
     val src = scala.io.Source.fromFile("src/test/resources/plan_scan_watchlist.tsv")
     val expected: Map[String, Map[String, Int]] =
       try src.getLines().toSeq.map(_.split("\t")).collect {
@@ -241,22 +250,31 @@ class PlanGuardSpec extends SparkSpec {
     assert(missingExch.isEmpty,
       s"queries missing ${ProfilePlan.ExchangesKey}/${ProfilePlan.BcastsKey} " +
         s"watchlist rows (re-sweep it): ${missingExch.mkString(", ")}")
+    // Force-build the standing stores BEFORE the sweep: a query whose
+    // /tmp store is absent builds it inline with a different (bigger)
+    // final plan than the committed steady-state shape — one flake class
+    // the r15 verdict named. One consumer per store is enough; plans are
+    // discarded, only the side effect (the persisted store) matters.
+    Seq("ann_kmeans_topk", "ann_ivfpq_topk", "ann_knn_join",
+        "tokenizer_bpe_merges", "tokenizer_bpe_encode", "dedup_incremental")
+      .foreach { n =>
+        SparkEntry.queries(n)(spark, dir).count()
+        graft.core.SharedViews.reclaimEverything(spark)
+        spark.catalog.clearCache()
+      }
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       graft.core.SharedViews.reclaimEverything(spark)
       val (_, perFile, nExch, nBcast) = ProfilePlan.finalPlanScanCounts(spark, name, dir)
       spark.catalog.clearCache()
       val exp = expected(name)
+      val expStages = exp.getOrElse(ProfilePlan.ExchangesKey, 0) +
+        exp.getOrElse(ProfilePlan.BcastsKey, 0)
       perFile.collect { case (f, n) if n > exp.getOrElse(f, 0) =>
         s"$name: $f x$n (watchlist ${exp.getOrElse(f, 0)})" } ++
-        (if (nExch > exp.getOrElse(ProfilePlan.ExchangesKey, 0))
-          Seq(s"$name: $nExch shuffle exchanges (watchlist " +
-            s"${exp.getOrElse(ProfilePlan.ExchangesKey, 0)})")
+        (if (nExch + nBcast > expStages)
+          Seq(s"$name: ${nExch + nBcast} exchange stages " +
+            s"($nExch shuffle + $nBcast broadcast; watchlist $expStages)")
          else Seq.empty)
-      // __bcasts__ rows are deliberately NOT asserted: AQE flips a
-      // shuffle join to broadcast (or not) on runtime stats that
-      // flicker at sf0.001, and a conversion is a win, not a disease —
-      // the rows exist as the stage-count input to BASELINE.md's
-      // floor-calibrated weak rule (n_stages ≈ exchanges + bcasts + 1)
     }
     assert(offenders.isEmpty,
       s"final-plan scan/exchange counts grew past the watchlist " +
