@@ -565,13 +565,16 @@ object PipelineOracles {
     "corpus_ccnet_buckets" -> """WITH tk AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
            FROM documents),
-         vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
-         sc AS (SELECT doc_id,
-                       floor(ln(n_total / cnt) * 1000000.0 + 0.5) / 1000000.0 AS nll
-                FROM tk JOIN vocab USING (tok) CROSS JOIN tot),
-         d AS (SELECT doc_id, count(*) AS n_tokens,
-                      floor(avg(nll) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+         sc AS (SELECT doc_id, tf,
+                       CAST(floor(ln(n_total / cnt) * 1000000.0 + 0.5) AS BIGINT) AS nll6
+                FROM tf JOIN vocab USING (tok) CROSS JOIN tot),
+         d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                      floor(CAST(sum(tf * nll6) AS DOUBLE) / 1000000.0
+                            / CAST(sum(tf) AS BIGINT)
+                            * 10000.0 + 0.5) / 10000.0 AS avg_nll
                FROM sc GROUP BY 1),
          j AS (SELECT d.doc_id, d.n_tokens, d.avg_nll, doc.lang
                FROM d JOIN documents doc USING (doc_id)),
@@ -2128,13 +2131,16 @@ object PipelineOracles {
     "text_lm_score" -> """WITH tk AS (
            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
            FROM documents),
-         vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
-         sc AS (SELECT doc_id,
-                       floor(ln(n_total / cnt) * 1000000.0 + 0.5) / 1000000.0 AS nll
-                FROM tk JOIN vocab USING (tok) CROSS JOIN tot)
-         SELECT doc_id, count(*) AS n_tokens,
-                floor(avg(nll) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+         sc AS (SELECT doc_id, tf,
+                       CAST(floor(ln(n_total / cnt) * 1000000.0 + 0.5) AS BIGINT) AS nll6
+                FROM tf JOIN vocab USING (tok) CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                floor(CAST(sum(tf * nll6) AS DOUBLE) / 1000000.0
+                      / CAST(sum(tf) AS BIGINT)
+                      * 10000.0 + 0.5) / 10000.0 AS avg_nll
          FROM sc GROUP BY 1""",
 
     // integer char/token sums per source, two correctly-rounded divisions

@@ -80,28 +80,16 @@ object ShinglesHelper {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 11 || b == '\f' || b == '\r'
-
   def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
     // token byte ranges, Java split(regex, -1) semantics: boundary
-    // separator runs contribute EMPTY tokens ("" -> one empty token)
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    if (len == 0 || isWs(bytes(0))) { starts.add(0); ends.add(0) }
-    var i = 0
-    while (i < len) {
-      if (!isWs(bytes(i))) {
-        val st = i
-        while (i < len && !isWs(bytes(i))) i += 1
-        starts.add(st); ends.add(i)
-      } else i += 1
-    }
-    if (len > 0 && isWs(bytes(len - 1))) { starts.add(len); ends.add(len) }
-
-    val t = starts.size()
+    // separator runs contribute EMPTY tokens ("" -> one empty token).
+    // Offsets live in unboxed int[] buffers (r15 ADVICE: the previous
+    // ArrayList<Integer> boxed two Integers per token in this hot path).
+    val tok = new TokenOffsets().scan(bytes)
+    val starts = tok.starts
+    val ends = tok.ends
+    val t = tok.count
     if (t < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
 
     val seen = new java.util.HashSet[UTF8String]()
@@ -113,13 +101,13 @@ object ShinglesHelper {
       // compose tok_g .. tok_{g+n-1} joined by ' ' (array_join semantics)
       var glen = n - 1
       var j = 0
-      while (j < n) { glen += ends.get(g + j) - starts.get(g + j); j += 1 }
+      while (j < n) { glen += ends(g + j) - starts(g + j); j += 1 }
       val gram = new Array[Byte](glen)
       var p = 0
       j = 0
       while (j < n) {
         if (j > 0) { gram(p) = ' '; p += 1 }
-        val st = starts.get(g + j); val en = ends.get(g + j)
+        val st = starts(g + j); val en = ends(g + j)
         System.arraycopy(bytes, st, gram, p, en - st)
         p += en - st
         j += 1

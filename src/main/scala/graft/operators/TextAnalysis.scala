@@ -616,16 +616,15 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: rolling polynomial hash over the token stream
-    * (order-sensitive, multiplicity-sensitive).
+    * (order-sensitive, multiplicity-sensitive). r16: the interpreted
+    * transform+aggregate fold (the text family's last HOF kernel) is one
+    * compiled byte scan ([[graft.functions.FingerprintExpr]], bit-identical
+    * by FingerprintSpec against the original expression tree).
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      expr(
-        """aggregate(
-             transform(split(text, '\\s+'),
-                       x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 1000003),
-             0L, (acc, x) -> (acc * 31 + x) % 2147483647)""").as("fingerprint"))
+      graft.functions.FingerprintExpr.fp(col("text")).as("fingerprint"))
 
   /** Deterministic train/val/test assignment: each doc lands in a split
     * by salted content-hash bucket (trainPct / valPct / rest percent).
@@ -930,15 +929,33 @@ object TextAnalysis {
     * (e.g. [[sharedTokens]]).
     */
   def lmScoreOf(tk: DataFrame): DataFrame = {
-    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // r16 (guide §2.3 "aggregate before you shuffle"): group the
+    // occurrence stream to (doc_id, tok, tf) FIRST — the vocab join then
+    // probes one row per DISTINCT (doc, term) instead of one per
+    // occurrence (5–20× fewer on web text), the per-row ln()+grid-snap
+    // runs once per distinct term-doc, and the vocabulary derives from
+    // the same grouped table so its aggregate reads the tf exchange.
+    //
+    // Exactness: the former avg(nll) summed 1e-6-grid addends in engine
+    // summation order; here the per-term nll is kept as its exact grid
+    // NUMERATOR (micro-nats, a LONG) and the doc average divides one
+    // exact integer Σ tf·nll6 — order-independent on any engine. The
+    // oracle twin accumulates the identical integers (updated in
+    // lockstep; value equality vs the old formulation verified at
+    // sf0.001/sf0.01/sf0.1 — same rd4 output on every doc).
+    val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("n_total"))
-    tk.join(vocab, "tok")
+    tf.join(vocab, "tok")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        graft.functions.Hashing.rd6(log(col("n_total") / col("cnt"))).as("nll"))
+      .select(col("doc_id"), col("tf"),
+        floor(log(col("n_total") / col("cnt")) * 1000000.0 + 0.5)
+          .cast("long").as("nll6"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        graft.functions.Hashing.rd4(avg(col("nll"))).as("avg_nll"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        graft.functions.Hashing.rd4(
+          sum(col("tf") * col("nll6")).cast("double") / 1000000.0 /
+            sum(col("tf"))).as("avg_nll"))
   }
 
   /** Deterministic global training-order shuffle + shard assignment: the
@@ -1445,27 +1462,15 @@ object TextAnalysis {
     // a phrase occurring n_occur times contributes n_occur to freq and
     // n_occur * plen to degree — the same integers the per-occurrence
     // formulation counts).
-    val stopArr = "array('the','a','of','and','to','in','is','')"
+    // r16: phrase segmentation is ONE compiled byte scan
+    // ([[graft.functions.RakePhrasesExpr]]) — the former in-row chain ran
+    // four interpreted HOF lambdas per doc (flag/starts/stops/slice-join,
+    // ~1µs per token EACH, guide §4) and materialized the token array
+    // plus three derived arrays; RakePhrasesSpec pins bit-equality
+    // against that legacy expression tree.
     val phrases = docs
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .withColumn("flag", expr(s"transform(tk, t -> array_contains($stopArr, t))"))
-      // starts of non-stop runs (1-based); stops = stopword positions,
-      // so a phrase spans [start, next stop after it)
-      .withColumn("starts", expr(
-        """CASE WHEN size(tk) < 1 THEN CAST(array() AS ARRAY<INT>)
-               ELSE filter(sequence(1, size(tk)),
-                    i -> NOT element_at(flag, i)
-                         AND (i = 1 OR element_at(flag, i - 1)))
-           END"""))
-      .withColumn("stops", expr(
-        """CASE WHEN size(tk) < 1 THEN CAST(array() AS ARRAY<INT>)
-               ELSE filter(sequence(1, size(tk)), i -> element_at(flag, i))
-           END"""))
-      .select(explode(expr(
-        """transform(starts, s -> array_join(
-             slice(tk, s,
-               coalesce(array_min(filter(stops, x -> x > s)), size(tk) + 1) - s),
-             ' '))""")).as("phrase"))
+      .select(explode(
+        graft.functions.RakePhrasesExpr.phrases(col("text"))).as("phrase"))
     val phraseCounts = phrases
       .groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
       .withColumn("words", split(col("phrase"), " "))
