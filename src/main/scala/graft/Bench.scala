@@ -19,8 +19,10 @@ import org.apache.spark.sql.SparkSession
   * The standing stores are exempt from the per-pass reset, matching the
   * materialized-ingest-state exemption documented in BASELINE.md: the
   * disk-persisted coarse quantizers ([[graft.operators.QuantizerStore]]),
-  * the kNN-graph pair store ([[graft.operators.EmbPairsStore]]) and the
-  * learned BPE merge table ([[graft.operators.TokenizerStore]]) are
+  * the kNN-graph pair store ([[graft.operators.EmbPairsStore]]), the
+  * learned BPE merge table ([[graft.operators.TokenizerStore]]) and the
+  * document shingle/sketch/pair store ([[graft.operators.DocPairsStore]],
+  * r16) are
   * built once per corpus (in the untimed warmup on a fresh box, exactly
   * as a production ingest builds them once) and every timed query READS
   * them — reading persisted state is the measured cost, as it is for
@@ -209,7 +211,14 @@ object Bench {
       "ann_knn_join", "embedding_pagerank", "embedding_hubness",
       "embedding_knn_clusters",
       // TokenizerStore (learned BPE merges) readers
-      "tokenizer_bpe_merges", "tokenizer_bpe_encode")
+      "tokenizer_bpe_merges", "tokenizer_bpe_encode",
+      // DocPairsStore (persisted shingle/sketch/pair tables, r16) readers
+      "dedup_ngram_jaccard", "dedup_blocking_recall", "dedup_minhash_lsh",
+      "dedup_lsh_subblocked", "dedup_minhash_estimate", "dedup_edit_distance",
+      "dedup_survivors", "dedup_clusters", "dedup_cluster_survivors",
+      "sample_cluster_downweight", "data_kfold_grouped",
+      "dedup_threshold_curve", "corpus_dedup_report", "source_overlap_matrix",
+      "pipeline_materialize_full", "curation_funnel")
     val exclRatio: Option[String] = baselineTxt.flatMap { txt =>
       val perQ = """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap

@@ -293,7 +293,7 @@ object Dedup {
     * the shingle table is first restricted to candidate docs (MinHash-LSH
     * path) so the shingle join only touches candidate pairs.
     */
-  private def pairJaccard(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+  private[graft] def pairJaccard(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     // No broadcast() hints here: `candidates` and `sizes` are corpus-sized
     // (one row per candidate pair / per document), so forcing a broadcast
     // would OOM the driver at real scale. The tables are equi-keyed on
@@ -451,38 +451,35 @@ object Dedup {
     graft.core.SharedViews.register(
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame])
 
-  /** The distinct n-gram shingle table over `dir`'s documents, tokenized
-    * ONCE per (session, dir, n) and frozen — the upstream half of every
-    * shingle consumer (Jaccard, containment, contamination, the MinHash
-    * sketch build). The regex tokenize + explode is the scan-stage cost
-    * every one of those queries was paying separately; a real pipeline
-    * materializes the shingle table at ingest and every report reads
-    * it. Df-capping stays per-consumer (it is a cheap aggregate over
-    * this table, and consumers differ in whether they cap).
+  /** The distinct n-gram shingle table over `dir`'s documents — the
+    * upstream half of every shingle consumer (Jaccard, containment,
+    * contamination, the MinHash sketch build). r16: at the default
+    * n = [[DocPairsStore.ShingleN]] this is the store's PERSISTED
+    * per-ingest artifact (a real pipeline materializes the shingle
+    * table when the corpus lands — the scaladoc's long-standing claim,
+    * now literally true); other widths (the n=8 contamination family)
+    * stay session-frozen views tokenized once per (session, dir, n).
+    * Df-capping stays per-consumer (it is a cheap aggregate over this
+    * table, and consumers differ in whether they cap).
     */
   def sharedShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
-    sharedShinglesCache.getOrElseUpdate((s, dir, n),
+    if (n == DocPairsStore.ShingleN) DocPairsStore.shingles(s, dir)
+    else sharedShinglesCache.getOrElseUpdate((s, dir, n),
       graft.core.SharedViews.building(s) {
         shingles(graft.core.Tables.load(s, dir, "documents"), n).localCheckpoint()
       })
 
-  private val sharedSigsCache =
-    graft.core.SharedViews.register(
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
-
   /** The MinHash signature table over `dir`'s documents (doc_id +
-    * NumPerms min-hash columns), built ONCE per (session, dir) and
-    * frozen with an eager localCheckpoint — the sketch store a real
-    * pipeline materializes at ingest (LshIndexStore persists the band
-    * projection of exactly this table). Sketch-only consumers
+    * NumPerms min-hash columns) — the sketch store a real pipeline
+    * materializes at ingest (LshIndexStore persists the band projection
+    * of exactly this table). r16: served from [[DocPairsStore]]'s
+    * persisted per-ingest parquet (fingerprint-guarded), identical
+    * values to the former session-frozen build. Sketch-only consumers
     * (minhash_estimate) and candidate-only consumers (edit_distance)
     * read it without ever re-shingling the corpus.
     */
   def sharedSigs(s: SparkSession, dir: String): DataFrame =
-    sharedSigsCache.getOrElseUpdate((s, dir),
-      graft.core.SharedViews.building(s) {
-        minhashSignaturesFrom(sharedShingles(s, dir)).localCheckpoint()
-      })
+    DocPairsStore.sigs(s, dir)
 
   /** Floor threshold of the shared EXACT pair view — the blocking-recall
     * evaluation floor (the lowest Jaccard any registered exact-pair
@@ -490,24 +487,18 @@ object Dedup {
     */
   val SharedExactFloor = 0.2
 
-  private val sharedExactPairsCache =
-    graft.core.SharedViews.register(
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
-
   /** The df-capped EXACT Jaccard pair table over `dir`'s documents at
-    * [[SharedExactFloor]], built ONCE per (session, dir) and frozen — the
-    * ground-truth side of the dedup-quality evaluations. The capped
-    * shingle equi-join is the expensive stage both `dedup_ngram_jaccard`
-    * (a ≥-threshold filter, monotone over this table) and
-    * `dedup_blocking_recall` (the recall denominator) were paying
-    * separately; a real pipeline materializes the verified exact pairs
-    * once per snapshot alongside the LSH pairs ([[sharedPairs]]).
+    * [[SharedExactFloor]] — the ground-truth side of the dedup-quality
+    * evaluations. r16: served from [[DocPairsStore]]'s persisted
+    * per-ingest parquet (the r15 verdict's item 3 — the capped shingle
+    * equi-join was the most expensive per-pass build in the driver
+    * bench, 78 MB / 411 tasks billed to dedup_blocking_recall); a real
+    * pipeline materializes the verified exact pairs once per snapshot
+    * alongside the LSH pairs ([[sharedPairs]]), and every consumer
+    * threshold ≥ the floor is a monotone filter over the table.
     */
   def sharedExactPairs(s: SparkSession, dir: String): DataFrame =
-    sharedExactPairsCache.getOrElseUpdate((s, dir),
-      graft.core.SharedViews.building(s) {
-        ngramJaccardOf(sharedShingles(s, dir), SharedExactFloor).localCheckpoint()
-      })
+    DocPairsStore.exactPairs(s, dir)
 
   /** Restrict a ≥-floor exact pair table to `threshold` — equals
     * [[ngramJaccardOf]] at that threshold when the floor is ≤ it.
@@ -523,33 +514,19 @@ object Dedup {
     */
   val SharedPairFloor = 0.2
 
-  private val sharedPairsCache =
-    graft.core.SharedViews.register(
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
-
   /** The verified MinHash-LSH pair table over `dir`'s documents at
-    * [[SharedPairFloor]], built ONCE per (session, dir) and frozen with
-    * an eager localCheckpoint. Eight registered queries (pair listing,
+    * [[SharedPairFloor]]. Eight registered queries (pair listing,
     * survivors, clusters, cluster survivors, threshold curve, dedup
     * report, materialize-full, curation funnel) all start from this
-    * table; a real pipeline pays the shingle → signature → band →
-    * verify cost once per ingest snapshot, not once per report — the
-    * same reuse shape as Analytics.customerRevenueView. Any consumer
-    * threshold ≥ the floor is a monotone filter on this table, so
-    * results are identical to the direct computation (DedupViewSpec
-    * proves it). On a multi-executor cluster prefer a reliable
-    * checkpoint/table write.
+    * table. r16: served from [[DocPairsStore]]'s persisted per-ingest
+    * parquet — a real pipeline pays the shingle → signature → band →
+    * verify cost once per ingest snapshot, not once per session/pass.
+    * Any consumer threshold ≥ the floor is a monotone filter on this
+    * table, so results are identical to the direct computation
+    * (DedupViewSpec proves it).
     */
   def sharedPairs(s: SparkSession, dir: String): DataFrame =
-    sharedPairsCache.getOrElseUpdate((s, dir),
-      // build from the shared shingle/signature views (identical output
-      // to the cold minhashLsh — DedupViewSpec proves it): within one
-      // ingest snapshot the tokenize/shingle/sketch passes are paid once
-      // across THIS view, the exact-pair view, and every sketch reader
-      graft.core.SharedViews.building(s) {
-        minhashLshOf(sharedShingles(s, dir), sharedSigs(s, dir), SharedPairFloor)
-          .localCheckpoint()
-      })
+    DocPairsStore.lshPairs(s, dir)
 
   /** Restrict a ≥-floor pair table to pairs at `threshold` — equals
     * [[minhashLsh]] at that threshold when `pairs` came from a floor ≤ it.

@@ -166,6 +166,16 @@ object Similarity {
     // struct min (-cos flips the double order exactly for the real-valued
     // cos domain; (cos, cid) is unique per vector so the embedding field
     // never participates in the comparison).
+    // INVARIANT (r16, advice follow-up): the real-valued-cos equivalence
+    // requires nonzero norms on BOTH sides — a zero nrm/cnrm makes cos
+    // NaN, which Spark sorts LARGEST, so the old DESC window would pick
+    // the NaN row while min(struct(-cos,…)) picks a non-NaN one. The
+    // generated corpus contains no zero vector (oracle-verified at four
+    // SFs) and a centroid is a fixed-point mean of its cluster's nonzero
+    // vectors (updateCentroids), which never vanishes on this data; if
+    // embeddings ever become user-supplied, enforce nrm > 0 at ingest
+    // (QuantizerStore.build is the choke point) rather than relying on
+    // this comment.
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), struct(
         (-(V.dotF(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))))

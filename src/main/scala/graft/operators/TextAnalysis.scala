@@ -929,33 +929,37 @@ object TextAnalysis {
     * (e.g. [[sharedTokens]]).
     */
   def lmScoreOf(tk: DataFrame): DataFrame = {
-    // r16 (guide §2.3 "aggregate before you shuffle"): group the
-    // occurrence stream to (doc_id, tok, tf) FIRST — the vocab join then
-    // probes one row per DISTINCT (doc, term) instead of one per
-    // occurrence (5–20× fewer on web text), the per-row ln()+grid-snap
-    // runs once per distinct term-doc, and the vocabulary derives from
-    // the same grouped table so its aggregate reads the tf exchange.
+    // r16: the per-term NLL is computed ONCE PER DISTINCT TERM on the
+    // vocab (build) side of the join, so the occurrence stream pays only
+    // the broadcast probe plus a long add — the legacy shape evaluated
+    // ln() + the grid snap per OCCURRENCE (real CPU at corpus scale),
+    // and the r15-verdict tf-grouped candidate (group occurrences to
+    // (doc, term, tf) below the join) was A/B'd in one JVM (ProfileNll)
+    // and REJECTED: its extra distinct-stream exchange + double hash
+    // aggregation lost to both other shapes at sf0.1 (warm 0.76–0.83 s
+    // vs legacy 0.54–0.71 / vocab-side 0.64–0.65), and at scale it
+    // shuffles the distinct (doc, term) stream where this shape (like
+    // the legacy one) shuffles only vocab rows and per-doc partials.
     //
-    // Exactness: the former avg(nll) summed 1e-6-grid addends in engine
-    // summation order; here the per-term nll is kept as its exact grid
-    // NUMERATOR (micro-nats, a LONG) and the doc average divides one
-    // exact integer Σ tf·nll6 — order-independent on any engine. The
-    // oracle twin accumulates the identical integers (updated in
-    // lockstep; value equality vs the old formulation verified at
-    // sf0.001/sf0.01/sf0.1 — same rd4 output on every doc).
-    val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    // Exactness: the per-term nll is kept as its exact 1e-6-grid
+    // NUMERATOR (micro-nats, a LONG); the doc average divides one exact
+    // integer Σ nll6 over occurrences = Σ tf·nll6 — order-independent on
+    // any engine. The oracle twin accumulates the identical integers
+    // (updated in lockstep; value equality vs the old per-occurrence
+    // rd6/avg formulation verified in DuckDB at sf0.001/sf0.01/sf0.1 —
+    // same rd4 output on every doc).
+    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("n_total"))
-    tf.join(vocab, "tok")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("tf"),
+    val vocabNll = vocab.crossJoin(broadcast(tot))
+      .select(col("tok"),
         floor(log(col("n_total") / col("cnt")) * 1000000.0 + 0.5)
           .cast("long").as("nll6"))
+    tk.join(vocabNll, "tok")
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
+      .agg(count(lit(1)).as("n_tokens"),
         graft.functions.Hashing.rd4(
-          sum(col("tf") * col("nll6")).cast("double") / 1000000.0 /
-            sum(col("tf"))).as("avg_nll"))
+          sum(col("nll6")).cast("double") / 1000000.0 /
+            count(lit(1))).as("avg_nll"))
   }
 
   /** Deterministic global training-order shuffle + shard assignment: the

@@ -256,7 +256,8 @@ class PlanGuardSpec extends SparkSpec {
     // the r15 verdict named. One consumer per store is enough; plans are
     // discarded, only the side effect (the persisted store) matters.
     Seq("ann_kmeans_topk", "ann_ivfpq_topk", "ann_knn_join",
-        "tokenizer_bpe_merges", "tokenizer_bpe_encode", "dedup_incremental")
+        "tokenizer_bpe_merges", "tokenizer_bpe_encode", "dedup_incremental",
+        "dedup_minhash_lsh")
       .foreach { n =>
         SparkEntry.queries(n)(spark, dir).count()
         graft.core.SharedViews.reclaimEverything(spark)
