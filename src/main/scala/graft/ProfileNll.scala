@@ -39,6 +39,20 @@ object ProfileNll {
       df.write.format("noop").mode("overwrite").save()
       println(f"NLL $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    def shape(label: String, df: DataFrame): Unit = {
+      val exec = df.queryExecution.executedPlan
+      exec.execute().count()
+      val p = exec.toString.split("== Initial Plan ==").head
+      def c(pat: String) = pat.r.findAllIn(p).length
+      println(s"SHAPE $label exch=${c("- Exchange ")} bcast=${c("- BroadcastExchange ")} " +
+        s"reused=${c("ReusedExchange")} bnlj=${c("BroadcastNestedLoopJoin")} " +
+        s"aggs=${c("HashAggregate")} stages=${c("QueryStage")}")
+      if (sys.env.contains("NLL_FULL")) println(p)
+    }
+    if (sys.env.contains("NLL_SHAPE")) {
+      shape("legacy", legacy(tk))
+      shape("production", graft.operators.TextAnalysis.lmScoreOf(tk))
+    }
     // the r15-verdict tf-grouped candidate, frozen for the A/B record:
     // group occurrences to (doc, term, tf) below the vocab join —
     // REJECTED (adds a distinct-stream exchange + double hash
@@ -58,13 +72,19 @@ object ProfileNll {
             sum(col("tf") * col("nll6")).cast("double") / 1000000.0 /
               sum(col("tf"))).as("avg_nll"))
     }
-    for (round <- 1 to 3) {
-      run(s"legacy r$round", legacy(tk))
-      run(s"tfgrouped r$round", tfGrouped(tk))
+    // order A/B-able via NLL_ORDER=rev (run-order effects on this box are
+    // real: page cache, JIT tiers and heap state all favor later runs of
+    // the SAME plan and can penalize whichever variant runs last)
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      ("legacy", () => legacy(tk)),
+      ("tfgrouped", () => tfGrouped(tk)),
       // production shape (vocab-side nll6): TextAnalysis.lmScoreOf itself,
       // so this profiler can never drift from the pipeline (r15 ADVICE)
-      run(s"production r$round", graft.operators.TextAnalysis.lmScoreOf(tk))
-    }
+      ("production", () => graft.operators.TextAnalysis.lmScoreOf(tk)))
+    val ordered = if (sys.env.get("NLL_ORDER").contains("rev")) variants.reverse
+      else variants
+    for (round <- 1 to 3; (label, mk) <- ordered)
+      run(s"$label r$round", mk())
     spark.stop()
   }
 }

@@ -954,7 +954,13 @@ object TextAnalysis {
       .select(col("tok"),
         floor(log(col("n_total") / col("cnt")) * 1000000.0 + 0.5)
           .cast("long").as("nll6"))
-    tk.join(vocabNll, "tok")
+    // broadcast hint is LOAD-BEARING: without it the planner sized the
+    // vocab+BNLJ build side as unknown and flipped to BuildLeft —
+    // hashing the ENTIRE exploded occurrence stream into the broadcast
+    // relation (measured 2.5x slower at sf1, and corpus-sized at 100 TB).
+    // vocabNll is an Aggregate over the vocabulary: bounded by
+    // construction (the PlanGuard hinted-build rule).
+    tk.join(broadcast(vocabNll), "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         graft.functions.Hashing.rd4(
