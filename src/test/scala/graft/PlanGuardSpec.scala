@@ -233,7 +233,13 @@ class PlanGuardSpec extends SparkSpec {
     // an extra stage raises the sum no matter which kind it lands as).
     // The independent r15 verify run tripped the exchange-only form on
     // exactly such a flip (dedup_incremental 5 vs pinned 4, with bcasts
-    // 1 vs pinned 2).
+    // 1 vs pinned 2). TWO-sided flips (SMJ = 2 shuffle exchanges where a
+    // broadcast join = 1 BroadcastExchange) still move the sum by one
+    // per flipped join, so the AQE-swingy rows (dedup_incremental's
+    // inline corpus/batch chain flips several joins at sf0.001;
+    // dedup_minhash_estimate one) are pinned at their WORST observed
+    // counts — the guard stays one-sided ≤, and the duplicate-scan
+    // disease is still caught exactly by the per-file scan axis.
     val src = scala.io.Source.fromFile("src/test/resources/plan_scan_watchlist.tsv")
     val expected: Map[String, Map[String, Int]] =
       try src.getLines().toSeq.map(_.split("\t")).collect {
