@@ -2,15 +2,22 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch interleaved A/B: dsirWeights as registered (MEMORY_ONLY
-  * persist of the exploded (doc, bucket) table) vs the same plan with
-  * no persist (ReuseExchange sharing) — the r12 "re-A/B freezes after
-  * their inputs got cheaper" check, post-native-tokenizer.
+/** Scratch interleaved A/B: dsirWeights as registered (the r15 fused
+  * conditional aggregate over a MEMORY_ONLY persist) vs the FROZEN
+  * pre-r15 legacy shape (two bucket aggregates left-joined), optionally
+  * without the persist — the r12 "re-A/B freezes after their inputs got
+  * cheaper" check. The production arm calls TextAnalysis.dsirWeights
+  * ITSELF so this profiler can never drift from the pipeline (the r15
+  * ADVICE finding: `variant` had silently kept the pre-fusion plan).
   */
 object ProfileDsir {
   import graft.operators.TextAnalysis.{tokens, withQuality}
 
-  def variant(docs: DataFrame, persist: Boolean, dim: Int = 64,
+  /** The FROZEN pre-r15 two-aggregate + left-join formulation — the
+    * legacy reference for A/Bs, NOT the production plan (that is
+    * [[graft.operators.TextAnalysis.dsirWeights]]).
+    */
+  def legacyVariant(docs: DataFrame, persist: Boolean, dim: Int = 64,
       qualityCut: Double = 0.7): DataFrame = {
     val q = withQuality(docs).select(col("doc_id"), col("quality"))
     val d0 = docs
@@ -43,15 +50,18 @@ object ProfileDsir {
   def main(args: Array[String]): Unit = {
     val spark: SparkSession = Harness.session("spark.sql.session.timeZone" -> "UTC")
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    def variantOf(production: Boolean): DataFrame =
+      if (production) graft.operators.TextAnalysis.dsirWeights(docs)
+      else legacyVariant(docs, persist = false)
     def run(persist: Boolean): Double = {
       val t0 = System.nanoTime()
-      variant(docs, persist).write.format("noop").mode("overwrite").save()
+      variantOf(persist).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
     run(true); run(false) // warm both codegen paths
     for (r <- 1 to 3)
-      println(f"DSIR round=$r persist=${run(true)}%.2f nopersist=${run(false)}%.2f")
+      println(f"DSIR round=$r production=${run(true)}%.2f legacy_nopersist=${run(false)}%.2f")
     spark.stop()
   }
 }
